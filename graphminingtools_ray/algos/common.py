@@ -1,0 +1,107 @@
+"""Shared pieces of the superstep algorithms.
+
+Scale contract (documented, deliberate): the per-vertex STATE VECTOR lives on
+the driver as sorted numpy arrays and is broadcast each superstep via
+``ray.put`` (read zero-copy from the object store by every task). Vertex
+state is ~16 bytes/vertex — 1.6 GB at 10^8 vertices — while the EDGE data
+(100-1000x larger) never leaves the distributed adjacency-block dataset and
+messages are pre-aggregated per block before the ``groupby(dst)`` exchange.
+When the vertex vector itself outgrows driver memory the framework's
+documented escape hatch is hash-co-partitioned state (see SURVEY §4); the
+broadcast is isolated in ``broadcast_state`` so only that seam changes.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import ray
+import ray.data as rd
+
+from ..graph.csr import unpack_block
+
+
+def _iter_block_rows(batch: pa.Table):
+    for row in range(batch.num_rows):
+        yield unpack_block(batch, row)
+
+
+def collect_vertex_ids(blocks: rd.Dataset) -> np.ndarray:
+    """Sorted unique vertex ids appearing as src or dst in any block.
+    Distributed dedup per block, small union stream to the driver."""
+
+    def uniq(batch: pa.Table) -> pa.Table:
+        ids = [
+            np.union1d(srcs, dst_unique)
+            for srcs, _, dst_unique, _, _ in _iter_block_rows(batch)
+        ]
+        out = np.unique(np.concatenate(ids)) if ids else np.empty(0, np.int64)
+        return pa.table({"vertex_id": out})
+
+    parts = []
+    for b in blocks.map_batches(uniq, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        parts.append(b["vertex_id"].to_numpy())
+    if not parts:
+        return np.empty(0, np.int64)
+    return np.unique(np.concatenate(parts))
+
+
+def out_degrees(blocks: rd.Dataset, ids: np.ndarray, weighted: bool = False) -> np.ndarray:
+    """Out-degree (or out-weight-sum) aligned to ``ids``. Per-block partial
+    bincount (combiner), final combine on the driver over the partial stream."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        accs, keys = [], []
+        for srcs, src_index, _, _, w in _iter_block_rows(batch):
+            weights = w if weighted else None
+            acc = np.bincount(src_index, weights=weights, minlength=len(srcs))
+            keys.append(srcs)
+            accs.append(acc.astype(np.float64))
+        if not keys:
+            return pa.table({"src": np.empty(0, np.int64), "deg": np.empty(0, np.float64)})
+        return pa.table({"src": np.concatenate(keys), "deg": np.concatenate(accs)})
+
+    deg = np.zeros(len(ids), dtype=np.float64)
+    for b in blocks.map_batches(partial, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        srcs = b["src"].to_numpy()
+        d = b["deg"].to_numpy()
+        np.add.at(deg, np.searchsorted(ids, srcs), d)
+    return deg
+
+
+def edges_digest(blocks: rd.Dataset) -> str:
+    """Order-independent content digest of the edge table (checkpoint lineage
+    key): commutative sum of per-edge mixes, so partitioning/scheduling order
+    cannot change it."""
+    MASK = (1 << 64) - 1
+
+    def mix(batch: pa.Table) -> pa.Table:
+        total = 0
+        n = 0
+        for srcs, src_index, dst_unique, dst_index, _ in _iter_block_rows(batch):
+            s = srcs[src_index].astype(np.uint64)
+            d = dst_unique[dst_index].astype(np.uint64)
+            m = (s * np.uint64(0x9E3779B97F4A7C15) + d * np.uint64(0xC2B2AE3D27D4EB4F))
+            total = (total + int(m.sum())) & MASK
+            n += len(s)
+        return pa.table({"mix": pa.array([total], pa.uint64()), "n": pa.array([n], pa.int64())})
+
+    total, n = 0, 0
+    for b in blocks.map_batches(mix, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        total = (total + int(b["mix"].to_numpy().sum())) & MASK
+        n += int(b["n"].to_numpy().sum())
+    return hashlib.blake2b(f"{n}:{total}".encode(), digest_size=16).hexdigest()
+
+
+def broadcast_state(ids: np.ndarray, values: np.ndarray):
+    """One superstep's broadcast: (ids_ref, values_ref). Tasks ray.get these
+    (zero-copy shared memory on a node) and look vertices up via searchsorted."""
+    return ray.put(ids), ray.put(np.ascontiguousarray(values))

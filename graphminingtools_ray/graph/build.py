@@ -1,0 +1,323 @@
+"""Edge-table derivation (SURVEY.md §2.11 "edge derivation", §7.1 step 1).
+
+Two producers of the canonical ``edges(src, dst, weight[, kind])`` table:
+
+- ``corpus_ingest``: the north-star path — Parquet corpus
+  ``(repo, path, commit, lang, content)`` → sha256 invariant column →
+  import / co-commit / shared-path edges (BASELINE.json north_star).
+- ``copurchase_edges``: the same co-occurrence semantics over the
+  driver-provided TPC-H-ish tables (parts co-occurring in an order), used by
+  the driver-checked queries and the bench since ``/root/testdata`` is the
+  mandated test input.
+
+Pair expansion within a key group is the reference's "graphs that share a
+key" notion; the quadratic blowup hazard on hub keys (SURVEY §7.4) is
+handled by a deterministic per-group cap (sorted ids, first ``cap``),
+documented as truncation semantics, not sampling.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data as rd
+from ray.data.aggregate import Count, Unique
+
+from ..functions.hashing import sha256_hex, stable_id64
+
+_IMPORT_RE = re.compile(r"^import\s+(\S+)$", re.MULTILINE)
+_PATH_RE = re.compile(r"^src/(pkg\d+)/(mod\d+)\.\w+$")
+
+
+# ---------------------------------------------------------------------------
+# vectorized all-pairs-within-groups
+# ---------------------------------------------------------------------------
+
+def pairs_within_lists(
+    lists: pa.ChunkedArray | pa.Array, cap: int = 64, return_group_index: bool = False
+):
+    """Given an Arrow list<int64> column (one list per group), emit all
+    unordered pairs (a < b) within each list, vectorized across groups.
+    Returns (a, b) or, with ``return_group_index``, (a, b, group_row_index).
+
+    Groups are size-capped deterministically: ids sorted ascending, first
+    ``cap`` kept. Groups are processed in size classes so the pair-index
+    template ``triu_indices(s, 1)`` is built once per distinct size —
+    no per-group Python loop over elements.
+    """
+    if isinstance(lists, pa.ChunkedArray):
+        lists = lists.combine_chunks()
+    offsets = lists.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    values = lists.values.to_numpy(zero_copy_only=False).astype(np.int64)
+
+    # sort within each group (np.sort on segments via lexsort trick):
+    # argsort (group_id, value) pairs — stable and fully vectorized
+    n_groups = len(offsets) - 1
+    sizes = np.diff(offsets)
+    group_ids = np.repeat(np.arange(n_groups), sizes)
+    order = np.lexsort((values, group_ids))
+    values = values[order]
+
+    # apply cap: keep first `cap` of each (sorted) group
+    if sizes.size and sizes.max() > cap:
+        pos_in_group = np.arange(len(values)) - np.repeat(offsets[:-1], sizes)
+        keep = pos_in_group < cap
+        values = values[keep]
+        sizes = np.minimum(sizes, cap)
+        offsets = np.concatenate([[0], np.cumsum(sizes)])
+
+    srcs, dsts, gids = [], [], []
+    for s in np.unique(sizes):
+        if s < 2:
+            continue
+        idx = np.flatnonzero(sizes == s)
+        starts = offsets[idx]  # (g,)
+        ii, jj = np.triu_indices(int(s), k=1)  # template, (p,)
+        a = values[(starts[:, None] + ii[None, :]).ravel()]
+        b = values[(starts[:, None] + jj[None, :]).ravel()]
+        srcs.append(a)
+        dsts.append(b)
+        gids.append(np.repeat(idx, len(ii)))
+    if not srcs:
+        e = np.empty(0, np.int64)
+        return (e, e, e) if return_group_index else (e, e)
+    a = np.concatenate(srcs)
+    b = np.concatenate(dsts)
+    g = np.concatenate(gids)
+    # lists were sorted, so a < b already except duplicates; drop a == b
+    m = a != b
+    if return_group_index:
+        return a[m], b[m], g[m]
+    return a[m], b[m]
+
+
+def _pair_expand_batch(batch: pa.Table, list_col: str, cap: int) -> pa.Table:
+    a, b = pairs_within_lists(batch[list_col], cap=cap)
+    return pa.table({"src": a, "dst": b})
+
+
+def keyed_self_pairs(
+    ds: rd.Dataset, key: str | list[str], item: str, cap: int = 64
+) -> rd.Dataset:
+    """(key, item) rows → unordered distinct-per-key pairs (src < dst) with
+    ``weight`` = number of keys in which the pair co-occurred.
+
+    Shape: ``groupby(key).aggregate(Unique(item))`` (the only shuffle, keyed
+    on the co-occurrence key) → vectorized pair expansion per batch →
+    ``groupby(src, dst).count()`` (pre-collapsed per batch first).
+    """
+    grouped = ds.groupby(key).aggregate(Unique(item, alias_name="items"))
+
+    def expand(batch: pa.Table) -> pa.Table:
+        t = _pair_expand_batch(batch, "items", cap)
+        if t.num_rows == 0:
+            return pa.table(
+                {"src": pa.array([], pa.int64()), "dst": pa.array([], pa.int64()),
+                 "partial": pa.array([], pa.int64())}
+            )
+        # batch-local combiner: collapse duplicate pairs before the shuffle
+        a = t["src"].to_numpy()
+        b = t["dst"].to_numpy()
+        packed = np.stack([a, b], axis=1)
+        uniq, counts = np.unique(packed, axis=0, return_counts=True)
+        return pa.table(
+            {"src": uniq[:, 0], "dst": uniq[:, 1], "partial": counts.astype(np.int64)}
+        )
+
+    pairs = grouped.map_batches(expand, batch_format="pyarrow")
+    out = pairs.groupby(["src", "dst"]).aggregate(
+        rd.aggregate.Sum("partial", alias_name="weight")
+    )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# TPC-H co-purchase graph (driver-checkable edge derivation)
+# ---------------------------------------------------------------------------
+
+def copurchase_edges(sf_dir: str, cap: int = 64) -> rd.Dataset:
+    """Edges between parts that appear in the same order.
+
+    ``edges(src: int64, dst: int64, weight: int64)`` with ``src < dst``;
+    weight = number of distinct orders containing both parts. Oracle SQL:
+    self-join of distinct (l_orderkey, l_partkey) on l_orderkey.
+    """
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
+    )
+    return keyed_self_pairs(li, "l_orderkey", "l_partkey", cap=cap)
+
+
+def symmetrize(edges: rd.Dataset) -> rd.Dataset:
+    """Undirected view: every (src,dst) also as (dst,src); weight preserved.
+
+    Mirrors the reference's undirected loader adding both half-edges
+    (``/root/reference/loading.c:407-425``)."""
+
+    def both(batch: pa.Table) -> pa.Table:
+        cols = {"src": pa.concat_arrays(
+                    [batch["src"].combine_chunks(), batch["dst"].combine_chunks()]),
+                "dst": pa.concat_arrays(
+                    [batch["dst"].combine_chunks(), batch["src"].combine_chunks()])}
+        if "weight" in batch.column_names:
+            w = batch["weight"].combine_chunks()
+            cols["weight"] = pa.concat_arrays([w, w])
+        return pa.table(cols)
+
+    return edges.map_batches(both, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# corpus ingest (north-star path)
+# ---------------------------------------------------------------------------
+
+class _IngestBatch:
+    """Stateless parse stage: sha256 invariant + vertex ids + module keys +
+    import targets, all per batch. Regexes compiled at module import."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        repo = batch["repo"].to_pylist()
+        path = batch["path"].to_pylist()
+        content = batch["content"].to_pylist()
+        vkey = [f"{r}:{p}" for r, p in zip(repo, path)]
+        vid = stable_id64(vkey)
+        modkey = []
+        for p in path:
+            m = _PATH_RE.match(p)
+            modkey.append(f"{m.group(1)}.{m.group(2)}" if m else "")
+        imports = [_IMPORT_RE.findall(c) for c in content]
+        return pa.table(
+            {
+                "repo": batch["repo"],
+                "path": batch["path"],
+                "commit": batch["commit"],
+                "lang": batch["lang"],
+                "sha256": sha256_hex(content),
+                "vertex_id": pa.array(vid),
+                "module_key": pa.array(modkey, pa.string()),
+                "imports": pa.array(imports, pa.list_(pa.string())),
+            }
+        )
+
+
+def corpus_ingest(
+    corpus: rd.Dataset, cap: int = 64, include_copath: bool = True
+) -> dict[str, rd.Dataset]:
+    """Corpus table → ``{"files", "vertices", "edges"}`` datasets.
+
+    - ``files``: per (file, commit) row with sha256 + vertex_id (invariant
+      check surface).
+    - ``vertices``: distinct ``(vertex_id, repo, path)``; collision-checked
+      downstream (a vertex_id mapping to 2 distinct keys is a hard error).
+    - ``edges``: union of
+        * ``import``  — file u imports module key defined by file v
+          (directed u→v; cross-repo fanout on popular packages = hubs),
+        * ``cocommit`` — files touched by the same (repo, commit),
+        * ``copath``  — same path string across repos (shared-path).
+      Schema ``(src, dst, weight: int64, kind: string)``.
+
+    Broadcast note: the module-definition dictionary is ``ray.put`` once and
+    read per task (small side of the import join). At 10^12-file scale that
+    side no longer fits and this join switches to ``Dataset.join`` on
+    ``module_key`` — the call site is factored so only ``_import_edges``
+    changes.
+    """
+    parsed = corpus.map_batches(_IngestBatch(), batch_format="pyarrow")
+    parsed = parsed.materialize()  # reused by 4 consumers below; corpus-scale
+
+    files = parsed.select_columns(
+        ["repo", "path", "commit", "lang", "sha256", "vertex_id"]
+    )
+
+    vertices = (
+        parsed.select_columns(["vertex_id", "repo", "path"])
+        .groupby("vertex_id")
+        .map_groups(lambda g: g.head(1), batch_format="pandas")
+    )
+
+    # --- import edges (broadcast small side) -------------------------------
+    defs = (
+        parsed.select_columns(["module_key", "vertex_id"])
+        .groupby(["module_key", "vertex_id"])
+        .aggregate(Count(alias_name="_c"))
+        .drop_columns(["_c"])
+    )
+    defs_tbl = defs.to_pandas()
+    def_map: dict[str, np.ndarray] = {
+        k: np.sort(g["vertex_id"].to_numpy())
+        for k, g in defs_tbl.groupby("module_key")
+        if k
+    }
+    def_ref = ray.put(def_map)
+
+    def import_pairs(batch: pa.Table) -> pa.Table:
+        dm = ray.get(def_ref)
+        src_ids = batch["vertex_id"].to_numpy()
+        imp = batch["imports"].to_pylist()
+        srcs, dsts = [], []
+        for sid, mods in zip(src_ids, imp):
+            for mk in mods:
+                targets = dm.get(mk)
+                if targets is None:
+                    continue
+                srcs.append(np.full(len(targets), sid, dtype=np.int64))
+                dsts.append(targets)
+        if not srcs:
+            return pa.table(
+                {"src": pa.array([], pa.int64()), "dst": pa.array([], pa.int64())}
+            )
+        a = np.concatenate(srcs)
+        b = np.concatenate(dsts)
+        m = a != b
+        return pa.table({"src": a[m], "dst": b[m]})
+
+    imports = (
+        parsed.select_columns(["vertex_id", "imports"])
+        .map_batches(import_pairs, batch_format="pyarrow")
+        .groupby(["src", "dst"])
+        .aggregate(Count(alias_name="weight"))
+    )
+    import_edges = imports.map_batches(
+        lambda t: t.append_column("kind", pa.array(["import"] * t.num_rows)),
+        batch_format="pyarrow",
+    )
+
+    # --- co-commit edges ---------------------------------------------------
+    cc_in = parsed.map_batches(
+        lambda t: pa.table(
+            {
+                "ckey": pc.binary_join_element_wise(
+                    t["repo"], t["commit"], "@"
+                ),
+                "vertex_id": t["vertex_id"],
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    cocommit = keyed_self_pairs(cc_in, "ckey", "vertex_id", cap=cap)
+    cocommit_edges = cocommit.map_batches(
+        lambda t: t.append_column("kind", pa.array(["cocommit"] * t.num_rows)),
+        batch_format="pyarrow",
+    )
+
+    parts = [import_edges, cocommit_edges]
+
+    # --- shared-path edges -------------------------------------------------
+    if include_copath:
+        cp_in = parsed.select_columns(["path", "vertex_id"])
+        copath = keyed_self_pairs(cp_in, "path", "vertex_id", cap=cap)
+        parts.append(
+            copath.map_batches(
+                lambda t: t.append_column(
+                    "kind", pa.array(["copath"] * t.num_rows)
+                ),
+                batch_format="pyarrow",
+            )
+        )
+
+    edges = parts[0].union(*parts[1:])
+    return {"files": files, "vertices": vertices, "edges": edges}

@@ -1,0 +1,120 @@
+"""North-star algorithms on the hand-written micro-graphs (FIXTURES.md §3)."""
+
+import numpy as np
+import pytest
+
+from graphminingtools_ray.algos import (
+    connected_components,
+    pagerank,
+    triangle_counts,
+    wl_relabel,
+)
+from graphminingtools_ray.graph import symmetrize
+
+from .conftest import PATH4, SELFLOOP_DUP, STAR_HUB, TRI3, TWO_COMP, edges_ds
+from .oracles import cc_oracle, pagerank_oracle, triangles_oracle, wl_oracle
+
+GRAPHS = {
+    "tri3": TRI3,
+    "two_comp": TWO_COMP,
+    "star_hub": STAR_HUB,
+    "path4": PATH4,
+    "selfloop_dup": SELFLOOP_DUP,
+}
+
+
+@pytest.mark.parametrize("name", sorted(GRAPHS))
+def test_pagerank_matches_oracle(name):
+    # PageRank is defined on the simple symmetric graph (multigraph edges and
+    # self-loops are an ingest policy, handled in simple_undirected)
+    from graphminingtools_ray.algos.triangles import simple_undirected
+
+    pairs = GRAPHS[name]
+    # fixed iteration count on both sides: engine and oracle follow the same
+    # arithmetic path, so agreement is ~1e-15 regardless of convergence state
+    ids, r, info = pagerank(
+        symmetrize(simple_undirected(edges_ds(pairs))), tol=0.0, max_iter=15
+    )
+    pairs_simple = [(s, d) for s, d in np.asarray(pairs).reshape(-1, 2) if s != d]
+    oids, orr = pagerank_oracle(pairs_simple, tol=0.0, max_iter=15, directed=False)
+    assert np.array_equal(ids, oids)
+    np.testing.assert_allclose(r, orr, atol=1e-9)
+    assert abs(r.sum() - 1.0) < 1e-9  # mass conservation
+
+
+def test_pagerank_converges_tri3():
+    ids, r, info = pagerank(symmetrize(edges_ds(TRI3)), tol=1e-6)
+    assert info["converged"]
+    np.testing.assert_allclose(r, np.full(3, 1 / 3), atol=1e-9)
+
+
+@pytest.mark.parametrize("name", sorted(GRAPHS))
+def test_cc_matches_oracle(name):
+    pairs = GRAPHS[name]
+    ids, labels, info = connected_components(symmetrize(edges_ds(pairs)))
+    oids, olabels = cc_oracle(pairs)
+    assert np.array_equal(ids, oids)
+    assert np.array_equal(labels, olabels)
+    assert info["converged"]
+
+
+def test_cc_isolated_vertex():
+    # reference keeps isolated vertices as their own component
+    ids, labels, _ = connected_components(
+        symmetrize(edges_ds(TWO_COMP)), all_vertex_ids=np.array([9], dtype=np.int64)
+    )
+    oids, olabels = cc_oracle(TWO_COMP, extra_vertices=[9])
+    assert np.array_equal(ids, oids)
+    assert np.array_equal(labels, olabels)
+
+
+def test_cc_empty():
+    ids, labels, _ = connected_components(edges_ds([]).filter(lambda r: False))
+    assert len(ids) == 0 and len(labels) == 0
+
+
+@pytest.mark.parametrize("name", sorted(GRAPHS))
+def test_wl_matches_oracle(name):
+    pairs = GRAPHS[name]
+    # WL runs on the simple symmetric graph: self-loops/dups removed first
+    from graphminingtools_ray.algos.triangles import simple_undirected
+
+    simple = simple_undirected(edges_ds(pairs))
+    ids, labels, _ = wl_relabel(symmetrize(simple), iterations=2)
+    pairs_simple = [(s, d) for s, d in np.asarray(pairs).reshape(-1, 2) if s != d]
+    oids, olabels = wl_oracle(pairs_simple, iterations=2)
+    assert np.array_equal(ids, oids)
+    assert list(labels) == list(olabels)
+
+
+def test_wl_path4_ends_vs_middle():
+    from graphminingtools_ray.algos.triangles import simple_undirected
+
+    ids, labels, _ = wl_relabel(symmetrize(simple_undirected(edges_ds(PATH4))))
+    lab = dict(zip(ids.tolist(), labels.tolist()))
+    # after 1 iter: ends (degree 1) differ from middles (degree 2)
+    assert lab[0] != lab[1]
+    assert len({lab[0], lab[1], lab[2], lab[3]}) >= 2
+
+
+@pytest.mark.parametrize("name", sorted(GRAPHS))
+def test_triangles_match_oracle(name):
+    pairs = GRAPHS[name]
+    ids, per_vertex, total = triangle_counts(edges_ds(pairs))
+    pairs_simple = [(s, d) for s, d in np.asarray(pairs).reshape(-1, 2) if s != d]
+    oids, opv, ototal = triangles_oracle(pairs_simple)
+    assert np.array_equal(ids, oids)
+    assert np.array_equal(per_vertex, opv)
+    assert total == ototal
+
+
+def test_triangles_tri3_exact():
+    ids, per_vertex, total = triangle_counts(edges_ds(TRI3))
+    assert total == 1
+    assert per_vertex.tolist() == [1, 1, 1]
+
+
+def test_triangles_star_zero():
+    _, per_vertex, total = triangle_counts(edges_ds(STAR_HUB))
+    assert total == 0
+    assert per_vertex.sum() == 0
