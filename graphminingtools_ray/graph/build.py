@@ -189,7 +189,9 @@ class _IngestBatch:
         for p in path:
             m = _PATH_RE.match(p)
             modkey.append(f"{m.group(1)}.{m.group(2)}" if m else "")
-        imports = [_IMPORT_RE.findall(c) for c in content]
+        # comma-joined (module keys contain no commas): survives the
+        # arrow->pandas->arrow round trip that list<string> does not
+        imports = [",".join(_IMPORT_RE.findall(c)) for c in content]
         return pa.table(
             {
                 "repo": batch["repo"],
@@ -199,13 +201,16 @@ class _IngestBatch:
                 "sha256": sha256_hex(content),
                 "vertex_id": pa.array(vid),
                 "module_key": pa.array(modkey, pa.string()),
-                "imports": pa.array(imports, pa.list_(pa.string())),
+                "imports": pa.array(imports, pa.string()),
             }
         )
 
 
 def corpus_ingest(
-    corpus: rd.Dataset, cap: int = 64, include_copath: bool = True
+    corpus: rd.Dataset,
+    cap: int = 64,
+    include_copath: bool = True,
+    check_collisions: bool = False,
 ) -> dict[str, rd.Dataset]:
     """Corpus table → ``{"files", "vertices", "edges"}`` datasets.
 
@@ -233,19 +238,32 @@ def corpus_ingest(
         ["repo", "path", "commit", "lang", "sha256", "vertex_id"]
     )
 
-    vertices = (
-        parsed.select_columns(["vertex_id", "repo", "path"])
-        .groupby("vertex_id")
-        .map_groups(lambda g: g.head(1), batch_format="pandas")
+    # one row per FILE (vertex): the corpus is commit-grained; graph semantics
+    # are file-grained. Deterministic pick = lexicographically max commit
+    # (defines which content version wins if a file changed across commits).
+    distinct_files = (
+        parsed.groupby("vertex_id")
+        .map_groups(
+            lambda g: g.sort_values("commit").tail(1), batch_format="pandas"
+        )
+        .materialize()
     )
 
+    vertices = distinct_files.select_columns(["vertex_id", "repo", "path"])
+
+    if check_collisions:
+        n_distinct_keys = (
+            parsed.groupby(["repo", "path"]).aggregate(Count(alias_name="_c")).count()
+        )
+        n_distinct_ids = distinct_files.count()
+        if n_distinct_keys != n_distinct_ids:
+            raise RuntimeError(
+                f"vertex_id hash collision: {n_distinct_keys} distinct repo:path "
+                f"keys -> {n_distinct_ids} distinct vertex ids"
+            )
+
     # --- import edges (broadcast small side) -------------------------------
-    defs = (
-        parsed.select_columns(["module_key", "vertex_id"])
-        .groupby(["module_key", "vertex_id"])
-        .aggregate(Count(alias_name="_c"))
-        .drop_columns(["_c"])
-    )
+    defs = distinct_files.select_columns(["module_key", "vertex_id"])
     defs_tbl = defs.to_pandas()
     def_map: dict[str, np.ndarray] = {
         k: np.sort(g["vertex_id"].to_numpy())
@@ -260,7 +278,7 @@ def corpus_ingest(
         imp = batch["imports"].to_pylist()
         srcs, dsts = [], []
         for sid, mods in zip(src_ids, imp):
-            for mk in mods:
+            for mk in mods.split(",") if mods else []:
                 targets = dm.get(mk)
                 if targets is None:
                     continue
@@ -276,7 +294,7 @@ def corpus_ingest(
         return pa.table({"src": a[m], "dst": b[m]})
 
     imports = (
-        parsed.select_columns(["vertex_id", "imports"])
+        distinct_files.select_columns(["vertex_id", "imports"])
         .map_batches(import_pairs, batch_format="pyarrow")
         .groupby(["src", "dst"])
         .aggregate(Count(alias_name="weight"))

@@ -1,0 +1,71 @@
+"""Checkpoint/resume: kill after iteration k, resume, bit-identical final
+state (BASELINE.md checkpoint row; SURVEY §5 item 4)."""
+
+import json
+import os
+
+import numpy as np
+
+from graphminingtools_ray.algos import connected_components, pagerank
+from graphminingtools_ray.graph import symmetrize
+from graphminingtools_ray.state.checkpoint import CheckpointManager
+
+from .conftest import PATH4, STAR_HUB, edges_ds
+
+
+def test_manager_roundtrip(tmp_path):
+    mgr = CheckpointManager(str(tmp_path / "ck"), "digest-a", num_partitions=4)
+    ids = np.arange(10, dtype=np.int64) * 7
+    vals = np.linspace(0, 1, 10)
+    mgr.save(0, ids, vals, meta={"x": 1})
+    mgr.save(1, ids, vals * 2, meta={"x": 2})
+    it, rids, rvals, meta = mgr.load_latest()
+    assert it == 1 and meta == {"x": 2}
+    assert np.array_equal(rids, ids)
+    assert np.array_equal(rvals, vals * 2)
+    # lineage metadata embedded per shard
+    d = tmp_path / "ck" / "iter=1"
+    mf = json.load(open(d / "MANIFEST.json"))
+    assert mf["input_digest"] == "digest-a"
+    # a manager with a different digest must NOT resume from these
+    mgr2 = CheckpointManager(str(tmp_path / "ck"), "digest-b", num_partitions=4)
+    assert mgr2.load_latest() is None
+
+
+def test_pagerank_resume_bit_identical(tmp_path):
+    edges = symmetrize(edges_ds(STAR_HUB))
+    ck = str(tmp_path / "pr")
+
+    # uninterrupted run: 8 fixed iterations
+    ids_a, rank_a, _ = pagerank(edges, tol=0.0, max_iter=8)
+
+    # "killed" run: 4 iterations, then resume to 8 via a fresh call
+    pagerank(edges, tol=0.0, max_iter=4, checkpoint_dir=ck)
+    assert sorted(os.listdir(ck)) == [f"iter={i}" for i in range(4)]
+    ids_b, rank_b, info = pagerank(edges, tol=0.0, max_iter=8, checkpoint_dir=ck)
+    assert info["resumed_from"] == 3
+    assert info["supersteps"][0]["iteration"] == 4  # no recomputation of 0..3
+
+    assert np.array_equal(ids_a, ids_b)
+    assert np.array_equal(rank_a, rank_b)  # bit-identical, not just allclose
+
+
+def test_pagerank_converged_checkpoint_short_circuits(tmp_path):
+    edges = symmetrize(edges_ds(PATH4))
+    ck = str(tmp_path / "pr2")
+    ids_a, rank_a, info_a = pagerank(edges, tol=1e-6, checkpoint_dir=ck)
+    assert info_a["converged"]
+    ids_b, rank_b, info_b = pagerank(edges, tol=1e-6, checkpoint_dir=ck)
+    assert info_b["supersteps"] == []  # nothing recomputed
+    assert np.array_equal(rank_a, rank_b)
+
+
+def test_cc_resume(tmp_path):
+    edges = symmetrize(edges_ds(PATH4))
+    ck = str(tmp_path / "cc")
+    ids_a, lab_a, _ = connected_components(edges)
+    connected_components(edges, max_iter=1, checkpoint_dir=ck)
+    ids_b, lab_b, info = connected_components(edges, checkpoint_dir=ck)
+    assert info["resumed_from"] == 0
+    assert np.array_equal(ids_a, ids_b)
+    assert np.array_equal(lab_a, lab_b)
