@@ -1,16 +1,13 @@
 """Driver contract for the graft builder (Ray Data target).
 
 The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+initialised, local mode), runs each ``queries()[name](sf_dir)`` at sf=0.01
+and compares it against the matching ``oracle_sql()[name]`` via DuckDB
+(row-count + schema + order-insensitive value-hash). Names and float
+rounding match on both sides by construction (see
+``graphminingtools_ray.functions.rounding``).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+No ``ray.init`` / ``ray.shutdown`` here — the driver owns the session.
 """
 
 from __future__ import annotations
@@ -18,27 +15,212 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+SF1 = "/root/testdata/sf0.001"
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline at sf0.001: derive the co-purchase link graph from
+    the lineitem table and run PageRank over it to convergence."""
+    from graphminingtools_ray.context import configure
+    from graphminingtools_ray.pipelines.graph_queries import pagerank_query
+
+    configure()
+    return pagerank_query(SF1)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from graphminingtools_ray.context import configure
+    from graphminingtools_ray.pipelines import (
+        embeddings_q,
+        graph_queries,
+        relational,
+        text_q,
+    )
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    configure()
+    return {
+        # relational / operator-surface (SURVEY §2.2, §2.5, §2.6)
+        "q1_pricing_summary": relational.q1_pricing_summary,
+        "filter_project_revenue": relational.filter_project_revenue,
+        "nation_revenue": relational.nation_revenue,
+        "topk_orders": relational.topk_orders,
+        "events_hourly": relational.events_hourly,
+        "sessionize": relational.sessionize,
+        "mktsegment_distinct": relational.mktsegment_distinct,
+        # link-graph north-star ops (SURVEY §2.11)
+        "copurchase_edges": graph_queries.edges_query,
+        "degree": graph_queries.degree_query,
+        "triangles_global": graph_queries.triangles_global_query,
+        "triangles_per_vertex": graph_queries.triangles_per_vertex_query,
+        "connected_components": graph_queries.components_query,
+        "pagerank": graph_queries.pagerank_query,
+        "wl_relabel_1": graph_queries.wl_relabel_query,
+        # documents: dedup family + text analysis
+        "dedup_exact": text_q.dedup_exact,
+        "doc_stats": text_q.doc_stats,
+        "lang_distribution": text_q.lang_distribution,
+        "langid_predict": text_q.langid_predict,
+        "quality_scores": text_q.quality_scores,
+        "word_freq_topk": text_q.word_freq_topk,
+        "minhash_near_dup": text_q.minhash_near_dup,
+        "simhash_fingerprints": text_q.simhash_fingerprints,
+        "winnow_fingerprints": text_q.winnow_fingerprints,
+        "media_features": text_q.media_features,
+        # embeddings: similarity search + near-dup
+        "ann_topk": embeddings_q.ann_topk,
+        "embedding_near_dup": embeddings_q.embedding_near_dup,
+    }
+
+
+# shared SQL fragments for the derived co-purchase graph
+_OP = "op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem)"
+_E0 = (
+    "e0 AS (SELECT a.p AS src, b.p AS dst, COUNT(*)::BIGINT AS weight "
+    "FROM op a JOIN op b ON a.o = b.o AND a.p < b.p GROUP BY 1, 2)"
+)
+_E_SYM = "e AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0)"
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "q1_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   ROUND(SUM(l_quantity), 2) AS sum_qty,
+                   ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+                   CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                            * (100 - CAST(ROUND(l_discount * 100) AS BIGINT)))
+                        AS BIGINT) AS sum_disc_price_e4,
+                   CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                            * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))
+                            * (100 + CAST(ROUND(l_tax * 100) AS BIGINT)))
+                        AS BIGINT) AS sum_charge_e6,
+                   COUNT(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "filter_project_revenue": """
+            SELECT l_orderkey, l_linenumber,
+                   ROUND(l_extendedprice * (1 - l_discount), 2) AS revenue
+            FROM lineitem
+            WHERE l_shipdate < TIMESTAMP '1996-01-01' AND l_discount > 0.05
+        """,
+        "nation_revenue": """
+            SELECT n_name, ROUND(SUM(o_totalprice), 2) AS revenue,
+                   COUNT(*) AS n_orders
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY n_name
+        """,
+        "topk_orders": """
+            SELECT o_orderkey, o_custkey, o_totalprice
+            FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+        """,
+        "events_hourly": """
+            SELECT date_trunc('hour', ts) AS hour, event_type,
+                   COUNT(*) AS n_events,
+                   CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_c
+            FROM events GROUP BY 1, 2
+        """,
+        "sessionize": """
+            SELECT user_id, COUNT(*) AS n_events,
+                   CAST(1 + COALESCE(SUM(CASE WHEN prev_ts IS NOT NULL
+                        AND ts - prev_ts > INTERVAL 30 MINUTE THEN 1 ELSE 0 END), 0)
+                        AS BIGINT) AS n_sessions
+            FROM (SELECT user_id, ts, event_id,
+                         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+                  FROM events) t
+            GROUP BY user_id
+        """,
+        "mktsegment_distinct": """
+            SELECT c_mktsegment, COUNT(*) AS n_customers FROM customer GROUP BY 1
+        """,
+        "copurchase_edges": f"WITH {_OP}, {_E0} SELECT src, dst, weight FROM e0",
+        "degree": f"""
+            WITH {_OP}, {_E0}, {_E_SYM}
+            SELECT src AS vertex_id, COUNT(*)::BIGINT AS degree FROM e GROUP BY 1
+        """,
+        "triangles_global": f"""
+            WITH {_OP}, {_E0}
+            SELECT COUNT(*)::BIGINT AS n_triangles
+            FROM e0 ab JOIN e0 bc ON ab.dst = bc.src
+                       JOIN e0 ac ON ac.src = ab.src AND ac.dst = bc.dst
+        """,
+        "triangles_per_vertex": f"""
+            WITH {_OP}, {_E0},
+            tri AS (SELECT ab.src AS a, ab.dst AS b, bc.dst AS c
+                    FROM e0 ab JOIN e0 bc ON ab.dst = bc.src
+                               JOIN e0 ac ON ac.src = ab.src AND ac.dst = bc.dst)
+            SELECT v AS vertex_id, COUNT(*)::BIGINT AS triangles
+            FROM (SELECT a AS v FROM tri UNION ALL SELECT b FROM tri
+                  UNION ALL SELECT c FROM tri)
+            GROUP BY 1
+        """,
+        # CC runs on the weight>=2 subgraph: thresholding yields multiple
+        # non-trivial components AND keeps the transitive-closure oracle
+        # (|component|^2 rows) tractable in DuckDB
+        "connected_components": f"""
+            WITH RECURSIVE {_OP},
+            e0 AS (SELECT a.p AS src, b.p AS dst FROM op a
+                   JOIN op b ON a.o = b.o AND a.p < b.p
+                   GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+            {_E_SYM},
+            reach(v, r) AS (
+                SELECT DISTINCT src, src FROM e
+                UNION
+                SELECT e.dst, reach.r FROM reach, e WHERE e.src = reach.v
+            )
+            SELECT v AS vertex_id, MIN(r)::BIGINT AS component FROM reach GROUP BY v
+        """,
+        "wl_relabel_1": f"""
+            WITH {_OP}, {_E0}, {_E_SYM}
+            SELECT e.dst AS vertex_id,
+                   md5(CAST(e.dst AS VARCHAR) || '|' ||
+                       array_to_string(list_sort(list(CAST(e.src AS VARCHAR))), ',')) AS label
+            FROM e GROUP BY e.dst
+        """,
+        "dedup_exact": """
+            SELECT md5(text) AS text_md5, MIN(doc_id) AS keeper_doc_id,
+                   COUNT(*) AS n_copies
+            FROM documents GROUP BY 1
+        """,
+        "doc_stats": r"""
+            SELECT doc_id, length(text)::BIGINT AS n_chars_computed,
+                   CAST(CASE WHEN trim(text) = '' THEN 0
+                        ELSE length(string_split_regex(trim(text), '\s+')) END
+                        AS BIGINT) AS n_tokens
+            FROM documents
+        """,
+        "lang_distribution": """
+            SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY 1
+        """,
+        "word_freq_topk": r"""
+            SELECT token, COUNT(*) AS n
+            FROM (SELECT unnest(string_split_regex(trim(text), '\s+')) AS token
+                  FROM documents WHERE trim(text) <> '')
+            GROUP BY token ORDER BY n DESC, token LIMIT 20
+        """,
+        "ann_topk": """
+            WITH q AS (SELECT vec_id AS qid, embedding AS qe
+                       FROM embeddings ORDER BY vec_id LIMIT 16),
+            s AS (SELECT q.qid, e.vec_id,
+                         list_cosine_similarity(CAST(q.qe AS DOUBLE[]),
+                                                CAST(e.embedding AS DOUBLE[])) AS cos
+                  FROM q CROSS JOIN embeddings e WHERE e.vec_id <> q.qid)
+            SELECT qid, vec_id AS neighbor_id,
+                   row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rank
+            FROM s QUALIFY rank <= 5
+        """,
+        "embedding_near_dup": """
+            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+            FROM embeddings a JOIN embeddings b
+              ON a.label = b.label AND a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                         CAST(b.embedding AS DOUBLE[])) > 0.3
+        """,
+        # pagerank, sessionize-adjacent stateful ops, minhash/simhash/winnow,
+        # langid/quality/media: not SQL-expressible (iterative fixpoint /
+        # seeded sketches / heuristic scoring) — driver records rows-only;
+        # exactness is covered by the pytest oracles.
+    }

@@ -1,0 +1,78 @@
+"""Link-graph queries over the co-purchase graph derived from the
+driver-provided tables (north-star operators, SURVEY §2.11).
+
+Graph: vertices = parts; an edge (src < dst) connects two parts that appear
+in the same order; weight = number of such orders. The derivation is the
+same keyed co-occurrence self-join the corpus ingest uses for co-commit
+edges, so the driver's SQL oracle certifies both paths.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+from ray.data.aggregate import Count
+
+from ..algos.components import connected_components
+from ..algos.pagerank import pagerank
+from ..algos.triangles import triangle_counts
+from ..algos.wl import wl_relabel
+from ..functions.rounding import round_half_away
+from ..graph.build import copurchase_edges, symmetrize
+
+
+def edges_query(sf_dir: str):
+    return copurchase_edges(sf_dir)
+
+
+def degree_query(sf_dir: str):
+    """Per-vertex degree in the simple co-purchase graph
+    (reference: ``/root/reference/graph.c:611-650`` maxDegree/minDegree)."""
+    sym = symmetrize(copurchase_edges(sf_dir).drop_columns(["weight"]))
+    out = sym.groupby("src").aggregate(Count(alias_name="degree"))
+    return out.map_batches(
+        lambda t: t.rename_columns(["vertex_id", "degree"]), batch_format="pyarrow"
+    )
+
+
+def triangles_global_query(sf_dir: str):
+    _, _, total = triangle_counts(copurchase_edges(sf_dir))
+    return pd.DataFrame({"n_triangles": [total]})
+
+
+def triangles_per_vertex_query(sf_dir: str):
+    ids, per_vertex, _ = triangle_counts(copurchase_edges(sf_dir))
+    m = per_vertex > 0  # SQL oracle can't see 0-triangle vertices
+    return pd.DataFrame({"vertex_id": ids[m], "triangles": per_vertex[m]})
+
+
+def components_query(sf_dir: str, min_weight: int = 2):
+    """CC on the weight>=2 subgraph (matches the SQL oracle: thresholding
+    yields multiple non-trivial components and keeps the transitive-closure
+    oracle tractable)."""
+    edges = copurchase_edges(sf_dir).filter(
+        expr=f"weight >= {min_weight}"
+    )
+    ids, labels, _ = connected_components(symmetrize(edges))
+    return pd.DataFrame({"vertex_id": ids, "component": labels})
+
+
+def pagerank_query(sf_dir: str):
+    """No SQL oracle (iterative fixpoint): driver records rows-only; exactness
+    vs the NumPy oracle is covered by tests/test_algos_*."""
+    ids, ranks, info = pagerank(
+        symmetrize(copurchase_edges(sf_dir).drop_columns(["weight"])), tol=1e-6,
+        max_iter=200,
+    )
+    return pd.DataFrame(
+        {"vertex_id": ids, "rank": round_half_away(ranks, 9)}
+    )
+
+
+def wl_relabel_query(sf_dir: str):
+    ids, labels, _ = wl_relabel(
+        symmetrize(copurchase_edges(sf_dir).drop_columns(["weight"])), iterations=1
+    )
+    return pd.DataFrame({"vertex_id": ids, "label": list(labels)})

@@ -1,0 +1,206 @@
+"""Relational operator pipelines over the TPC-H-ish tables.
+
+These exercise the engine's scan / filter / project / aggregate / join /
+sort-limit / window surface — the Ray Data re-expression of the reference's
+``gf`` filter executable (measure → predicate → projection,
+``/root/reference/executables/filter.c:386-586``) and its trie-based
+partial+final aggregation (``searchTree.c:372-456``).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data as rd
+from ray.data.aggregate import Count, Sum
+
+from ..functions.rounding import round_half_away
+from ..sources.tables import read_table
+
+
+def q1_pricing_summary(sf_dir: str):
+    """TPC-H Q1 shape: filtered scan → derived columns → grouped aggregate.
+    Batch-local partials via vectorized arrow kernels; Sum/Count finalize."""
+    ds = read_table(
+        sf_dir,
+        "lineitem",
+        columns=[
+            "l_returnflag",
+            "l_linestatus",
+            "l_quantity",
+            "l_extendedprice",
+            "l_discount",
+            "l_tax",
+            "l_shipdate",
+        ],
+    )
+
+    def derive(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.less_equal(t["l_shipdate"], pa.scalar(pd.Timestamp("1998-09-02"))))
+        # money columns are exact 2-decimal values: do the derived-price
+        # aggregates in integer cents so sums are EXACT and independent of
+        # summation order (float sums round-trip differently between engines)
+        ep_c = np.rint(t["l_extendedprice"].to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        disc_pct = np.rint(t["l_discount"].to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        tax_pct = np.rint(t["l_tax"].to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        disc_price_e4 = ep_c * (100 - disc_pct)
+        charge_e6 = disc_price_e4 * (100 + tax_pct)
+        return pa.table(
+            {
+                "l_returnflag": t["l_returnflag"],
+                "l_linestatus": t["l_linestatus"],
+                "l_quantity": t["l_quantity"],
+                "l_extendedprice": t["l_extendedprice"],
+                "disc_price_e4": disc_price_e4,
+                "charge_e6": charge_e6,
+            }
+        )
+
+    out = (
+        ds.map_batches(derive, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("l_quantity", alias_name="sum_qty"),
+            Sum("l_extendedprice", alias_name="sum_base_price"),
+            Sum("disc_price_e4", alias_name="sum_disc_price_e4"),
+            Sum("charge_e6", alias_name="sum_charge_e6"),
+            Count(alias_name="count_order"),
+        )
+        .to_pandas()
+    )
+    # sum_qty (integral values) and sum_base_price (2-decimal values) are
+    # exact at 2-decimal rounding; the scaled sums are already exact ints
+    for c in ["sum_qty", "sum_base_price"]:
+        out[c] = round_half_away(out[c], 2)
+    out["sum_disc_price_e4"] = out["sum_disc_price_e4"].astype(np.int64)
+    out["sum_charge_e6"] = out["sum_charge_e6"].astype(np.int64)
+    return out
+
+
+def filter_project_revenue(sf_dir: str):
+    """Per-row map + predicate + projection (the ``gf`` scan shape)."""
+    ds = read_table(
+        sf_dir,
+        "lineitem",
+        columns=[
+            "l_orderkey",
+            "l_linenumber",
+            "l_extendedprice",
+            "l_discount",
+            "l_shipdate",
+        ],
+    )
+
+    def fn(t: pa.Table) -> pa.Table:
+        m = pc.and_(
+            pc.less(t["l_shipdate"], pa.scalar(pd.Timestamp("1996-01-01"))),
+            pc.greater(t["l_discount"], 0.05),
+        )
+        t = t.filter(m)
+        rev = pc.multiply(t["l_extendedprice"], pc.subtract(1.0, t["l_discount"]))
+        return pa.table(
+            {
+                "l_orderkey": t["l_orderkey"],
+                "l_linenumber": t["l_linenumber"],
+                "revenue": round_half_away(rev.to_numpy(zero_copy_only=False), 2),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def nation_revenue(sf_dir: str):
+    """orders ⋈ customer ⋈ nation → per-nation revenue. Small sides
+    (customer, nation) are broadcast via ``ray.put`` and looked up per batch —
+    no shuffle join (SURVEY §7.3 broadcast rule)."""
+    cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_nationkey"]).to_pandas()
+    nat = read_table(sf_dir, "nation", columns=["n_nationkey", "n_name"]).to_pandas()
+    c2n = dict(zip(cust["c_custkey"], cust["c_nationkey"]))
+    n2name = dict(zip(nat["n_nationkey"], nat["n_name"]))
+    ref = ray.put((c2n, n2name))
+
+    def attach(t: pa.Table) -> pa.Table:
+        c2n_, n2name_ = ray.get(ref)
+        ck = t["o_custkey"].to_numpy()
+        names = [n2name_[c2n_[int(c)]] for c in ck]
+        return pa.table(
+            {"n_name": pa.array(names, pa.string()), "o_totalprice": t["o_totalprice"]}
+        )
+
+    out = (
+        read_table(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+        .map_batches(attach, batch_format="pyarrow")
+        .groupby("n_name")
+        .aggregate(
+            Sum("o_totalprice", alias_name="revenue"), Count(alias_name="n_orders")
+        )
+        .to_pandas()
+    )
+    out["revenue"] = round_half_away(out["revenue"], 2)
+    return out
+
+
+def topk_orders(sf_dir: str, k: int = 10):
+    """sort desc + deterministic tiebreak + limit (SURVEY §2.6 top-k)."""
+    ds = read_table(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_totalprice"])
+    return ds.sort(["o_totalprice", "o_orderkey"], descending=[True, False]).limit(k)
+
+
+def events_hourly(sf_dir: str):
+    """Tumbling-window aggregate: window = hour(ts) (streaming-shaped per
+    SURVEY §2.9 — Ray Data has no watermarks; windows are keyed groupbys)."""
+    ds = read_table(sf_dir, "events", columns=["ts", "event_type", "value"])
+
+    def win(t: pa.Table) -> pa.Table:
+        # value is an exact 2-decimal quantity → aggregate in integer cents
+        value_c = np.rint(t["value"].to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        return pa.table(
+            {
+                "hour": pc.floor_temporal(t["ts"], unit="hour"),
+                "event_type": t["event_type"],
+                "value_c": value_c,
+            }
+        )
+
+    out = (
+        ds.map_batches(win, batch_format="pyarrow")
+        .groupby(["hour", "event_type"])
+        .aggregate(Count(alias_name="n_events"), Sum("value_c", alias_name="sum_value_c"))
+        .to_pandas()
+    )
+    out["sum_value_c"] = out["sum_value_c"].astype(np.int64)
+    return out
+
+
+def sessionize(sf_dir: str, gap_minutes: int = 30):
+    """Session windows per user: a new session starts after a gap > 30 min.
+    Ordering contract: (ts, event_id) within user (SURVEY §2.9)."""
+    ds = read_table(sf_dir, "events", columns=["user_id", "event_id", "ts"])
+    gap = np.timedelta64(gap_minutes * 60, "s")
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        dt = g["ts"].diff().to_numpy()
+        n_sessions = 1 + int((dt[1:] > gap).sum())
+        return pd.DataFrame(
+            {
+                "user_id": [g["user_id"].iloc[0]],
+                "n_events": [len(g)],
+                "n_sessions": [n_sessions],
+            }
+        )
+
+    return ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+
+
+def mktsegment_distinct(sf_dir: str):
+    """distinct over one column (reference: trie distinct count,
+    ``searchTree.c:475-490``)."""
+    return (
+        read_table(sf_dir, "customer", columns=["c_mktsegment"])
+        .groupby("c_mktsegment")
+        .aggregate(Count(alias_name="n_customers"))
+    )
