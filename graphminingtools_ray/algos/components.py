@@ -23,8 +23,8 @@ import numpy as np
 import pyarrow as pa
 import ray
 import ray.data as rd
-from ray.data.aggregate import Min
 
+from ..functions.bucketing import bucketed_group_combine, min_by_int_key
 from ..graph.csr import build_csr_blocks, unpack_block
 from ..state.checkpoint import CheckpointManager
 from .common import broadcast_state, collect_vertex_ids, edges_digest
@@ -100,7 +100,9 @@ def connected_components(
         msgs = blocks.map_batches(
             _make_min_fn(ids_ref, lab_ref), batch_format="pyarrow"
         )
-        agg = msgs.groupby("dst").aggregate(Min("partial", alias_name="incoming"))
+        agg = bucketed_group_combine(
+            msgs, ["dst"], min_by_int_key("dst", "partial", "dst", "incoming")
+        )
         new_labels = labels.copy()
         for b in agg.iter_batches(batch_format="pyarrow"):
             idx = np.searchsorted(ids, b["dst"].to_numpy())

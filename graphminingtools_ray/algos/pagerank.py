@@ -25,8 +25,8 @@ import numpy as np
 import pyarrow as pa
 import ray
 import ray.data as rd
-from ray.data.aggregate import Sum
 
+from ..functions.bucketing import bucketed_group_combine, sum_by_int_key
 from ..graph.csr import build_csr_blocks, unpack_block
 from ..state.checkpoint import CheckpointManager
 from .common import broadcast_state, collect_vertex_ids, edges_digest, out_degrees
@@ -123,7 +123,10 @@ def pagerank(
         contribs = blocks.map_batches(
             _make_contrib_fn(ids_ref, coef_ref, weighted), batch_format="pyarrow"
         )
-        agg = contribs.groupby("dst").aggregate(Sum("partial", alias_name="contrib"))
+        # hash-partitioned exchange keyed on dst + vectorized per-bucket sum
+        agg = bucketed_group_combine(
+            contribs, ["dst"], sum_by_int_key("dst", "partial", "dst", "contrib")
+        )
         incoming = np.zeros(n, dtype=np.float64)
         for b in agg.iter_batches(batch_format="pyarrow"):
             idx = np.searchsorted(ids, b["dst"].to_numpy())

@@ -6,15 +6,16 @@ closing-edge probe (``/root/reference/executables/patternExtractor.c:274-294``,
 degree-ordered orientation so each triangle is generated exactly once at its
 order-minimal vertex and hub wedges are tamed (SURVEY §2.11):
 
-1. simple graph: distinct undirected pairs (u < v), self-loops dropped;
+1. simple graph: distinct undirected pairs (u < v), self-loops dropped
+   (hash-bucketed distinct — functions.bucketing);
 2. total order ``(degree, id)``; orient every edge small→large;
-3. wedges: ``groupby(center).aggregate(Unique(out_neighbor))`` → vectorized
-   within-list pair expansion (graph.build.pairs_within_lists);
+3. wedges: hash-bucketed exchange keyed on the wedge CENTER; per bucket,
+   fully vectorized pair expansion over the sorted (center, out) rows;
 4. closing-edge probe: membership of the wedge pair in the simple edge set —
    broadcast as a sorted packed-key array, probed with ``np.searchsorted``
-   per batch (the semi-join). At a scale where the edge set no longer
-   broadcasts, this probe becomes a bucketed semi-join on ``hash(pair)``;
-   the probe is isolated in ``_closed_mask`` so only that seam changes.
+   inside the same bucket combine (the semi-join). At a scale where the
+   edge set no longer broadcasts, this probe becomes a second bucketed
+   semi-join on ``hash(pair)``; the probe is a seam inside ``wedge_probe``.
 
 Per-vertex counts credit all three corners of each closed wedge.
 """
@@ -25,14 +26,15 @@ import numpy as np
 import pyarrow as pa
 import ray
 import ray.data as rd
-from ray.data.aggregate import Count, Unique
 
-from ..graph.build import pairs_within_lists
-from .common import collect_vertex_ids  # noqa: F401  (re-exported convenience)
+from ..functions.bucketing import bucketed_group_combine
+from ..graph.build import _pairs_from_sorted_key_items
+
+_NO_CAP = np.iinfo(np.int64).max
 
 
-def simple_undirected(edges: rd.Dataset) -> rd.Dataset:
-    """Distinct (u < v) pairs, no self-loops, from any (src,dst) table."""
+def simple_undirected(edges: rd.Dataset, num_buckets: int = 32) -> rd.Dataset:
+    """Distinct (src < dst) pairs, no self-loops, from any (src,dst) table."""
 
     def norm(batch: pa.Table) -> pa.Table:
         s = batch["src"].to_numpy()
@@ -44,25 +46,30 @@ def simple_undirected(edges: rd.Dataset) -> rd.Dataset:
         uniq = np.unique(packed, axis=0)  # batch-local combiner
         return pa.table({"src": uniq[:, 0], "dst": uniq[:, 1]})
 
-    return (
-        edges.map_batches(norm, batch_format="pyarrow")
-        .groupby(["src", "dst"])
-        .aggregate(Count(alias_name="_c"))
-        .drop_columns(["_c"])
+    def distinct(t: pa.Table) -> pa.Table:
+        packed = np.stack([t["src"].to_numpy(), t["dst"].to_numpy()], axis=1)
+        uniq = np.unique(packed, axis=0)
+        return pa.table({"src": uniq[:, 0], "dst": uniq[:, 1]})
+
+    return bucketed_group_combine(
+        edges.map_batches(norm, batch_format="pyarrow"),
+        ["src", "dst"],
+        distinct,
+        num_buckets=num_buckets,
     )
 
 
-def triangle_counts(edges: rd.Dataset):
+def triangle_counts(edges: rd.Dataset, num_buckets: int = 32):
     """-> (vertex_ids, per_vertex_counts, global_count)."""
-    simple = simple_undirected(edges).materialize()
+    simple = simple_undirected(edges, num_buckets=num_buckets).materialize()
 
-    # gather vertex ids + degrees (vertex-scale, driver-held by design — see
+    # vertex ids + degrees (vertex-scale, driver-held by design — see
     # algos.common scale contract)
-    ids_parts, deg_maps = [], []
+    ids_parts = []
     for b in simple.iter_batches(batch_format="pyarrow"):
-        u = b["src"].to_numpy()
-        v = b["dst"].to_numpy()
-        ids_parts.append(np.unique(np.concatenate([u, v])))
+        ids_parts.append(
+            np.unique(np.concatenate([b["src"].to_numpy(), b["dst"].to_numpy()]))
+        )
     if not ids_parts:
         return np.empty(0, np.int64), np.empty(0, np.int64), 0
     ids = np.unique(np.concatenate(ids_parts))
@@ -99,13 +106,17 @@ def triangle_counts(edges: rd.Dataset):
         return pa.table({"center": src, "out": dst})
 
     oriented = simple.map_batches(orient, batch_format="pyarrow")
-    adj = oriented.groupby("center").aggregate(Unique("out", alias_name="outs"))
 
-    def count_closed(batch: pa.Table) -> pa.Table:
+    def wedge_probe(t: pa.Table) -> pa.Table:
+        """Per bucket: expand wedges of every center in the bucket, probe the
+        closing edge, emit per-vertex partial counts."""
         _ids = ray.get(ids_ref)
         _keys = ray.get(keys_ref)
-        a, b_, gidx = pairs_within_lists(
-            batch["outs"], cap=np.iinfo(np.int32).max, return_group_index=True
+        c = t["center"].to_numpy()
+        o = t["out"].to_numpy()
+        ordr = np.lexsort((o, c))
+        a, b_, centers = _pairs_from_sorted_key_items(
+            c[ordr], o[ordr], _NO_CAP, return_keys=True
         )
         if len(a) == 0:
             return pa.table(
@@ -117,15 +128,16 @@ def triangle_counts(edges: rd.Dataset):
         pos = np.searchsorted(_keys, q)
         pos = np.minimum(pos, len(_keys) - 1)
         closed = _keys[pos] == q
-        centers = batch["center"].to_numpy()[gidx[closed]]
-        corners = np.concatenate([centers, a[closed], b_[closed]])
+        corners = np.concatenate([centers[closed], a[closed], b_[closed]])
         vid, cnt = np.unique(corners, return_counts=True)
         return pa.table({"vertex_id": vid, "partial": cnt.astype(np.int64)})
 
+    partials = bucketed_group_combine(
+        oriented, ["center"], wedge_probe, num_buckets=num_buckets
+    )
+
     counts = np.zeros(n, dtype=np.int64)
-    for b in adj.map_batches(count_closed, batch_format="pyarrow").iter_batches(
-        batch_format="pyarrow"
-    ):
+    for b in partials.iter_batches(batch_format="pyarrow"):
         idx = np.searchsorted(ids, b["vertex_id"].to_numpy())
         np.add.at(counts, idx, b["partial"].to_numpy())
     total = int(counts.sum()) // 3

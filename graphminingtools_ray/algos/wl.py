@@ -61,15 +61,33 @@ def _make_msg_fn(ids_ref, lab_ref):
     return emit
 
 
-def _sig_group(g: pd.DataFrame) -> pd.DataFrame:
-    own = g["own_label"].iloc[0]
-    sig = wl_signature(own, g["src_label"].tolist())
-    return pd.DataFrame(
-        {
-            "vertex_id": [g["dst"].iloc[0]],
-            "label": [hashlib.md5(sig.encode()).hexdigest()],
-        }
-    )
+def _make_sig_bucket(ids_ref, lab_ref):
+    """Per-bucket combine: signatures for EVERY dst in the bucket in one
+    pandas pass (sorted join + md5 per vertex) — no per-group dispatch."""
+
+    def combine(t: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        ids = _ray.get(ids_ref)
+        labels = _ray.get(lab_ref)
+        df = pd.DataFrame(
+            {"dst": t["dst"].to_numpy(), "src_label": t["src_label"].to_pylist()}
+        )
+        df = df.sort_values(["dst", "src_label"], kind="stable")
+        joined = df.groupby("dst", sort=True)["src_label"].agg(",".join)
+        own = labels[np.searchsorted(ids, joined.index.to_numpy())]
+        out_labels = [
+            hashlib.md5(f"{o}|{ns}".encode()).hexdigest()
+            for o, ns in zip(own, joined.to_numpy())
+        ]
+        return pa.table(
+            {
+                "vertex_id": joined.index.to_numpy(),
+                "label": pa.array(out_labels, pa.string()),
+            }
+        )
+
+    return combine
 
 
 def wl_relabel(
@@ -99,15 +117,13 @@ def wl_relabel(
     for _ in range(iterations):
         ids_ref, lab_ref = broadcast_state(ids, labels)
         msgs = blocks.map_batches(_make_msg_fn(ids_ref, lab_ref), batch_format="pyarrow")
+        # hash-partitioned exchange keyed on dst; every dst's whole neighbor
+        # multiset lands in one bucket
+        from ..functions.bucketing import bucketed_group_combine
 
-        # attach own label so the per-group signature fn is self-contained
-        def attach_own(batch: pa.Table, _ids=ids, _labels=labels) -> pa.Table:
-            d = batch["dst"].to_numpy()
-            own = _labels[np.searchsorted(_ids, d)]
-            return batch.append_column("own_label", pa.array(own.tolist(), pa.string()))
-
-        msgs = msgs.map_batches(attach_own, batch_format="pyarrow")
-        sigs = msgs.groupby("dst").map_groups(_sig_group, batch_format="pandas")
+        sigs = bucketed_group_combine(
+            msgs, ["dst"], _make_sig_bucket(ids_ref, lab_ref)
+        )
 
         new_labels = np.empty(n, dtype=object)
         seen = np.zeros(n, dtype=bool)

@@ -1,0 +1,156 @@
+"""Hash-bucketed group-combine — the engine's workhorse exchange.
+
+``Dataset.groupby(key).aggregate(...)`` in this Ray version takes a slow
+per-key aggregation path (measured ~5s for 20k groups regardless of data
+size), while the underlying all-to-all exchange itself is sub-second. So the
+engine's keyed aggregations are expressed as:
+
+    map_batches: add ``_bucket = hash(key) % P``   (vectorized)
+      → groupby("_bucket").map_groups(combine)     (P python calls, each a
+                                                    VECTORIZED numpy/pandas
+                                                    aggregation over its
+                                                    whole bucket)
+
+This is the same hash-partitioned exchange keyed on the group key (every row
+of a key lands in exactly one bucket), with the per-key work done by
+vectorized kernels instead of Ray's per-group machinery. P defaults to 32 —
+at cluster scale, set P to a small multiple of total cores; skewed keys are
+already pre-combined per block by callers (combiner pattern), so bucket
+sizes stay balanced.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+
+_MULT = np.uint64(0x9E3779B97F4A7C15)
+
+
+def int_bucket(arr: np.ndarray, num_buckets: int) -> np.ndarray:
+    """Deterministic bucket of an int64 array (multiplicative hashing)."""
+    h = (arr.astype(np.uint64) * _MULT) >> np.uint64(17)
+    return (h % np.uint64(num_buckets)).astype(np.int64)
+
+
+def string_bucket(col, num_buckets: int) -> np.ndarray:
+    """Deterministic bucket of a string column via polars' vectorized hash
+    (seeded => stable across workers within a run)."""
+    import polars as pl
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    h = pl.from_arrow(pa.table({"s": col}))["s"].hash(seed=42).to_numpy()
+    return (h % np.uint64(num_buckets)).astype(np.int64)
+
+
+def add_bucket(batch: pa.Table, keys: list[str], num_buckets: int) -> pa.Table:
+    acc = np.zeros(batch.num_rows, dtype=np.uint64)
+    for k in keys:
+        col = batch[k]
+        if pa.types.is_integer(col.type):
+            h = (col.to_numpy().astype(np.uint64) * _MULT) >> np.uint64(17)
+        else:
+            import polars as pl
+
+            c = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+            h = pl.from_arrow(pa.table({"s": c}))["s"].hash(seed=42).to_numpy()
+        acc = acc * np.uint64(1099511628211) + h
+    return batch.append_column(
+        "_bucket", pa.array((acc % np.uint64(num_buckets)).astype(np.int64))
+    )
+
+
+def bucketed_group_combine(
+    ds: rd.Dataset,
+    keys: list[str],
+    combine,
+    num_buckets: int = 32,
+) -> rd.Dataset:
+    """Hash-partitioned exchange on ``keys`` + vectorized per-bucket combine.
+
+    ``combine(table: pa.Table) -> pa.Table`` sees ALL rows of its bucket
+    (with the ``_bucket`` column dropped) and must aggregate per key itself
+    — vectorized (np.unique / bincount / pandas groupby), never per-row.
+    """
+    bucketed = ds.map_batches(
+        lambda t: add_bucket(t, keys, num_buckets), batch_format="pyarrow"
+    )
+    # parallelism of the combine = block count after the sort; guarantee one
+    # task per bucket even when the input arrived as a handful of blocks
+    bucketed = bucketed.repartition(num_buckets)
+
+    def per_bucket(t: pa.Table) -> pa.Table:
+        return combine(t.drop_columns(["_bucket"]))
+
+    return bucketed.groupby("_bucket").map_groups(per_bucket, batch_format="pyarrow")
+
+
+# ---- ready-made combines ---------------------------------------------------
+
+def sum_by_int_keys(keys: list[str], value: str, out_value: str | None = None):
+    """combine: Sum(value) grouped by int64 key column(s), vectorized."""
+    out_value = out_value or value
+
+    def combine(t: pa.Table) -> pa.Table:
+        v = t[value].to_numpy()
+        if len(keys) == 1:
+            uk, inv = np.unique(t[keys[0]].to_numpy(), return_inverse=True)
+            out = {keys[0]: uk}
+        else:
+            packed = np.stack([t[k].to_numpy() for k in keys], axis=1)
+            uk, inv = np.unique(packed, axis=0, return_inverse=True)
+            out = {k: uk[:, i] for i, k in enumerate(keys)}
+        s = np.bincount(inv, weights=v.astype(np.float64), minlength=len(uk))
+        if np.issubdtype(v.dtype, np.integer):
+            s = np.rint(s).astype(np.int64)
+        out[out_value] = s
+        return pa.table(out)
+
+    return combine
+
+
+def sum_by_int_key(key: str, value: str, out_key: str | None = None,
+                   out_value: str | None = None):
+    """combine: Sum(value) grouped by an int64 key, vectorized."""
+    out_key = out_key or key
+    out_value = out_value or value
+
+    def combine(t: pa.Table) -> pa.Table:
+        k = t[key].to_numpy()
+        v = t[value].to_numpy()
+        uk, inv = np.unique(k, return_inverse=True)
+        s = np.bincount(inv, weights=v.astype(np.float64), minlength=len(uk))
+        if np.issubdtype(v.dtype, np.integer):
+            s = np.rint(s).astype(np.int64)
+        return pa.table({out_key: uk, out_value: s})
+
+    return combine
+
+
+def min_by_int_key(key: str, value: str, out_key: str | None = None,
+                   out_value: str | None = None):
+    def combine(t: pa.Table) -> pa.Table:
+        k = t[key].to_numpy()
+        v = t[value].to_numpy()
+        order = np.lexsort((v, k))
+        k, v = k[order], v[order]
+        uk, first = np.unique(k, return_index=True)
+        return pa.table({out_key or key: uk, out_value or value: v[first]})
+
+    return combine
+
+
+def count_distinct_rows(keys: list[str], count_col: str = "weight"):
+    """combine: count duplicate rows of an all-int key tuple."""
+
+    def combine(t: pa.Table) -> pa.Table:
+        cols = [t[k].to_numpy() for k in keys]
+        packed = np.stack(cols, axis=1)
+        uniq, counts = np.unique(packed, axis=0, return_counts=True)
+        out = {k: uniq[:, i] for i, k in enumerate(keys)}
+        out[count_col] = counts.astype(np.int64)
+        return pa.table(out)
+
+    return combine

@@ -100,39 +100,109 @@ def _pair_expand_batch(batch: pa.Table, list_col: str, cap: int) -> pa.Table:
     return pa.table({"src": a, "dst": b})
 
 
+def _pairs_from_sorted_key_items(
+    key: np.ndarray, items: np.ndarray, cap: int, return_keys: bool = False
+):
+    """All distinct unordered item pairs within each key group, given rows
+    sorted by (key, item). Dedup + size-class expansion, fully vectorized.
+    With ``return_keys``, also returns the group key of each pair."""
+    if len(key) == 0:
+        e = np.empty(0, np.int64)
+        return (e, e, e) if return_keys else (e, e)
+    # dedupe (key, item)
+    keep = np.ones(len(key), dtype=bool)
+    keep[1:] = (key[1:] != key[:-1]) | (items[1:] != items[:-1])
+    key, items = key[keep], items[keep]
+    # offsets per key
+    starts = np.flatnonzero(np.concatenate([[True], key[1:] != key[:-1]]))
+    offsets = np.concatenate([starts, [len(key)]]).astype(np.int64)
+    sizes = np.diff(offsets)
+    # apply cap (items sorted within key → keep first `cap`)
+    if sizes.size and sizes.max() > cap:
+        pos = np.arange(len(items)) - np.repeat(offsets[:-1], sizes)
+        m = pos < cap
+        items = items[m]
+        key = key[m]
+        sizes = np.minimum(sizes, cap)
+        offsets = np.concatenate([[0], np.cumsum(sizes)])
+    group_keys = key[offsets[:-1].clip(max=len(key) - 1)] if len(key) else key
+    srcs, dsts, pkeys = [], [], []
+    for s in np.unique(sizes):
+        if s < 2:
+            continue
+        idx = np.flatnonzero(sizes == s)
+        st = offsets[idx]
+        ii, jj = np.triu_indices(int(s), k=1)
+        srcs.append(items[(st[:, None] + ii[None, :]).ravel()])
+        dsts.append(items[(st[:, None] + jj[None, :]).ravel()])
+        if return_keys:
+            pkeys.append(np.repeat(group_keys[idx], len(ii)))
+    if not srcs:
+        e = np.empty(0, np.int64)
+        return (e, e, e) if return_keys else (e, e)
+    a, b = np.concatenate(srcs), np.concatenate(dsts)
+    if return_keys:
+        return a, b, np.concatenate(pkeys)
+    return a, b
+
+
 def keyed_self_pairs(
-    ds: rd.Dataset, key: str | list[str], item: str, cap: int = 64
+    ds: rd.Dataset, key: str | list[str], item: str, cap: int = 64,
+    num_buckets: int = 32,
 ) -> rd.Dataset:
     """(key, item) rows → unordered distinct-per-key pairs (src < dst) with
     ``weight`` = number of keys in which the pair co-occurred.
 
-    Shape: ``groupby(key).aggregate(Unique(item))`` (the only shuffle, keyed
-    on the co-occurrence key) → vectorized pair expansion per batch →
-    ``groupby(src, dst).count()`` (pre-collapsed per batch first).
+    Two hash-partitioned exchanges (functions.bucketing):
+      1. bucket by co-occurrence KEY → per-bucket vectorized pair expansion
+         (all keys of a bucket processed in one numpy pass, duplicate pairs
+         pre-collapsed per bucket — the combiner half);
+      2. bucket by (src, dst) → final weight sum.
     """
-    grouped = ds.groupby(key).aggregate(Unique(item, alias_name="items"))
+    from ..functions.bucketing import (
+        bucketed_group_combine,
+        sum_by_int_keys,
+    )
 
-    def expand(batch: pa.Table) -> pa.Table:
-        t = _pair_expand_batch(batch, "items", cap)
-        if t.num_rows == 0:
+    keys = [key] if isinstance(key, str) else list(key)
+
+    def expand_bucket(t: pa.Table) -> pa.Table:
+        items = t[item].to_numpy()
+        if len(keys) == 1:
+            kcol = t[keys[0]]
+            if pa.types.is_integer(kcol.type):
+                k = kcol.to_numpy()
+            else:
+                # map string keys to dense ints within the bucket
+                k = pa.compute.dictionary_encode(
+                    kcol.combine_chunks()
+                    if isinstance(kcol, pa.ChunkedArray) else kcol
+                ).indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        else:
+            packed = np.stack([t[c].to_numpy() for c in keys], axis=1)
+            _, k = np.unique(packed, axis=0, return_inverse=True)
+        order = np.lexsort((items, k))
+        a, b = _pairs_from_sorted_key_items(k[order], items[order], cap)
+        if len(a) == 0:
             return pa.table(
                 {"src": pa.array([], pa.int64()), "dst": pa.array([], pa.int64()),
                  "partial": pa.array([], pa.int64())}
             )
-        # batch-local combiner: collapse duplicate pairs before the shuffle
-        a = t["src"].to_numpy()
-        b = t["dst"].to_numpy()
         packed = np.stack([a, b], axis=1)
         uniq, counts = np.unique(packed, axis=0, return_counts=True)
         return pa.table(
             {"src": uniq[:, 0], "dst": uniq[:, 1], "partial": counts.astype(np.int64)}
         )
 
-    pairs = grouped.map_batches(expand, batch_format="pyarrow")
-    out = pairs.groupby(["src", "dst"]).aggregate(
-        rd.aggregate.Sum("partial", alias_name="weight")
+    pairs = bucketed_group_combine(
+        ds, keys, expand_bucket, num_buckets=num_buckets
     )
-    return out
+    return bucketed_group_combine(
+        pairs,
+        ["src", "dst"],
+        sum_by_int_keys(["src", "dst"], "partial", out_value="weight"),
+        num_buckets=num_buckets,
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,269 @@
+"""Per-graph measure kernels over a transactional graph DB — the engine's
+re-expression of the reference's ``gf`` filter suite
+(``/root/reference/executables/filter.c:386-533`` dispatch; measures cited
+per function below).
+
+Model: the graph DB is a pair of Datasets (``gdb_vertices``, ``gdb_edges``)
+keyed by ``graph_id`` (FIXTURES.md §4). Per-graph work is a
+``groupby(graph_id).map_groups`` kernel — each group is one small graph, the
+streaming executor parallelizes across graphs exactly where the reference
+streamed them serially.
+
+Measures (column → reference):
+    n, m                → header fields (filter.c:492-497)
+    max_degree, min_degree → graph.c:611-650
+    n_components        → listComponents.c:306-319 (getAndMarkConnectedComponents)
+    connected           → connectedComponents.c:93-113 (isConnected; true for n==0)
+    is_tree             → outerplanar.c:25-37 (connected ∧ m == n-1)
+    is_path             → outerplanar.c:11-23 (tree ∧ degrees ≤ 2)
+    n_bridges, n_blocks → listComponents.c:128-204 over Tarjan lowpoints
+    n_self_loops        → ingest policy surface (FIXTURES §3 selfloop_dup)
+    spanning_trees      → count semantics of listSpanningTrees.c:409-437,
+                          computed via the matrix-tree theorem (Kirchhoff)
+                          instead of enumeration; capped like the reference's
+                          maxBound guard
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+SPANNING_TREE_CAP = np.int64(2**62)
+
+MEASURE_COLUMNS = [
+    "graph_id", "n", "m", "max_degree", "min_degree", "n_components",
+    "connected", "is_tree", "is_path", "n_bridges", "n_blocks",
+    "n_self_loops", "spanning_trees",
+]
+
+
+def measures_for_graph(n: int, edges: list[tuple[int, int]]) -> dict:
+    """Single-graph kernel. ``edges`` are 0-based undirected pairs (possibly
+    with self-loops / multi-edges, which the measures treat explicitly)."""
+    deg = np.zeros(n, dtype=np.int64)
+    n_self = 0
+    simple = set()
+    adj: list[list[int]] = [[] for _ in range(n)]
+    for v, w in edges:
+        if v == w:
+            n_self += 1
+            continue
+        deg[v] += 1
+        deg[w] += 1
+        adj[v].append(w)
+        adj[w].append(v)
+        simple.add((min(v, w), max(v, w)))
+    m = len(edges)
+
+    # connected components (iterative DFS)
+    comp = np.full(n, -1, dtype=np.int64)
+    n_components = 0
+    for s in range(n):
+        if comp[s] != -1:
+            continue
+        n_components += 1
+        stack = [s]
+        comp[s] = s
+        while stack:
+            v = stack.pop()
+            for w in adj[v]:
+                if comp[w] == -1:
+                    comp[w] = s
+                    stack.append(w)
+
+    connected = n_components <= 1  # true for the empty graph, like isConnected
+    is_tree = connected and m == n - 1 and n_self == 0
+    is_path = is_tree and (n == 0 or deg.max() <= 2)
+
+    n_bridges, n_blocks = _bridges_and_blocks(n, adj)
+
+    st = _spanning_tree_count(n, edges, comp, n_components)
+
+    return {
+        "n": n,
+        "m": m,
+        "max_degree": int(deg.max()) if n else 0,
+        "min_degree": int(deg.min()) if n else 0,
+        "n_components": n_components,
+        "connected": bool(connected),
+        "is_tree": bool(is_tree),
+        "is_path": bool(is_path),
+        "n_bridges": n_bridges,
+        "n_blocks": n_blocks,
+        "n_self_loops": n_self,
+        "spanning_trees": int(st),
+    }
+
+
+def _bridges_and_blocks(n: int, adj: list[list[int]]) -> tuple[int, int]:
+    """Iterative Tarjan lowpoint DFS listing biconnected components.
+    Reference semantics (listComponents.c:143-191):
+      bridges = biconnected components with exactly 1 edge,
+      blocks  = biconnected components with  more than 1 edge."""
+    disc = np.full(n, -1, dtype=np.int64)
+    low = np.full(n, 0, dtype=np.int64)
+    timer = 0
+    n_bridges = 0
+    n_blocks = 0
+    edge_stack: list[tuple[int, int]] = []
+
+    for root in range(n):
+        if disc[root] != -1:
+            continue
+        # stack frames: (v, parent, iterator index, parent-edge-used flag)
+        stack = [(root, -1, 0, False)]
+        while stack:
+            v, parent, idx, used_parent_edge = stack.pop()
+            if idx == 0:
+                disc[v] = low[v] = timer
+                timer += 1
+            advanced = False
+            while idx < len(adj[v]):
+                w = adj[v][idx]
+                idx += 1
+                if w == parent and not used_parent_edge:
+                    used_parent_edge = True  # skip parent edge ONCE (parallel edges count)
+                    continue
+                if disc[w] == -1:
+                    edge_stack.append((v, w))
+                    stack.append((v, parent, idx, used_parent_edge))
+                    stack.append((w, v, 0, False))
+                    advanced = True
+                    break
+                elif disc[w] < disc[v]:
+                    edge_stack.append((v, w))
+                    low[v] = min(low[v], disc[w])
+            if advanced:
+                continue
+            # v finished: pop its biconnected component if v closes one
+            if parent != -1:
+                if low[v] >= disc[parent]:
+                    size = 0
+                    while edge_stack and edge_stack[-1] != (parent, v):
+                        edge_stack.pop()
+                        size += 1
+                    if edge_stack:
+                        edge_stack.pop()
+                        size += 1
+                    if size == 1:
+                        n_bridges += 1
+                    elif size > 1:
+                        n_blocks += 1
+                low[parent] = min(low[parent], low[v])
+    return n_bridges, n_blocks
+
+
+def _spanning_tree_count(n, edges, comp, n_components) -> int:
+    """Matrix-tree theorem per component; product across components of a
+    disconnected graph is 0 spanning trees (whole graph), matching the
+    'spanning tree of the graph' semantics; for connected graphs the count.
+    Capped at SPANNING_TREE_CAP (reference caps via maxBound)."""
+    if n == 0:
+        return 1
+    if n_components > 1:
+        return 0
+    L = np.zeros((n, n), dtype=np.float64)
+    for v, w in edges:
+        if v == w:
+            continue
+        L[v, v] += 1
+        L[w, w] += 1
+        L[v, w] -= 1
+        L[w, v] -= 1
+    if n == 1:
+        return 1
+    (sign, logdet) = np.linalg.slogdet(L[1:, 1:])
+    if sign <= 0:
+        return 0
+    if logdet > np.log(float(SPANNING_TREE_CAP)):
+        return int(SPANNING_TREE_CAP)
+    return int(round(np.exp(logdet)))
+
+
+def _group_kernel(g: pd.DataFrame) -> pd.DataFrame:
+    gid = g["graph_id"].iloc[0]
+    verts = g[g["kind"] == "v"]
+    edges_df = g[g["kind"] == "e"]
+    vids = sorted(verts["a"].astype(int).tolist())
+    index = {v: i for i, v in enumerate(vids)}
+    edges = [
+        (index[int(r.a)], index[int(r.b)]) for r in edges_df.itertuples()
+    ]
+    out = measures_for_graph(len(vids), edges)
+    out["graph_id"] = gid
+    return pd.DataFrame([out])[MEASURE_COLUMNS]
+
+
+def graph_measures(gdb_vertices: rd.Dataset, gdb_edges: rd.Dataset) -> rd.Dataset:
+    """Per-graph measures Dataset. Vertices and edges are unioned into one
+    tagged long table so a single groupby(graph_id) sees both (isolated
+    vertices count — connectedComponents.c:57-62)."""
+    v_rows = gdb_vertices.map_batches(
+        lambda t: pa.table(
+            {
+                "graph_id": t["graph_id"].cast(pa.int64()),
+                "a": t["vertex_id"].cast(pa.int64()),
+                "b": pa.nulls(t.num_rows, pa.int64()),
+                "kind": pa.array(["v"] * t.num_rows),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    e_rows = gdb_edges.map_batches(
+        lambda t: pa.table(
+            {
+                "graph_id": t["graph_id"].cast(pa.int64()),
+                "a": t["v"].cast(pa.int64()),
+                "b": t["w"].cast(pa.int64()),
+                "kind": pa.array(["e"] * t.num_rows),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    return v_rows.union(e_rows).groupby("graph_id").map_groups(
+        _group_kernel, batch_format="pandas"
+    )
+
+
+# --- the gf filter DSL (executables/filter.h dispatch re-expressed) ---------
+
+_COMPARATORS = {
+    "==": lambda a, b: a == b,
+    "!=": lambda a, b: a != b,
+    "<=": lambda a, b: a <= b,
+    ">=": lambda a, b: a >= b,
+    "<": lambda a, b: a < b,
+    ">": lambda a, b: a > b,
+    "pass": lambda a, b: a == a,
+}
+
+
+def filter_graphs(
+    measures: rd.Dataset,
+    measure: str,
+    cmp: str = "pass",
+    value: int | float | bool = 0,
+    projection: str = "id",
+):
+    """``gf``-style: keep graphs where measure ⟨cmp⟩ value, project output
+    (filter.c:540-586: comparators eq/neq/leq/geq/less/greater/pass;
+    projections id | value | id+value)."""
+    if cmp not in _COMPARATORS:
+        raise ValueError(f"unknown comparator {cmp!r}")
+    op = {"==": "==", "!=": "!=", "<=": "<=", ">=": ">=", "<": "<", ">": ">"}
+    if cmp == "pass":
+        kept = measures
+    else:
+        kept = measures.filter(expr=f"{measure} {op[cmp]} {value!r}")
+    if projection == "id":
+        return kept.select_columns(["graph_id"])
+    if projection == "value":
+        return kept.select_columns([measure])
+    if projection == "id+value":
+        return kept.select_columns(["graph_id", measure])
+    if projection == "all":
+        return kept
+    raise ValueError(f"unknown projection {projection!r}")

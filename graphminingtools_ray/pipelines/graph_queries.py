@@ -30,11 +30,17 @@ def edges_query(sf_dir: str):
 def degree_query(sf_dir: str):
     """Per-vertex degree in the simple co-purchase graph
     (reference: ``/root/reference/graph.c:611-650`` maxDegree/minDegree)."""
+    import pyarrow as pa
+
+    from ..functions.bucketing import bucketed_group_combine
+
     sym = symmetrize(copurchase_edges(sf_dir).drop_columns(["weight"]))
-    out = sym.groupby("src").aggregate(Count(alias_name="degree"))
-    return out.map_batches(
-        lambda t: t.rename_columns(["vertex_id", "degree"]), batch_format="pyarrow"
-    )
+
+    def count_by_src(t: pa.Table) -> pa.Table:
+        uk, counts = np.unique(t["src"].to_numpy(), return_counts=True)
+        return pa.table({"vertex_id": uk, "degree": counts.astype(np.int64)})
+
+    return bucketed_group_combine(sym, ["src"], count_by_src)
 
 
 def triangles_global_query(sf_dir: str):

@@ -21,11 +21,26 @@ def _docs(sf_dir: str, columns=("doc_id", "text")) -> rd.Dataset:
 
 def dedup_exact(sf_dir: str):
     """Exact dedup: canonical key (md5 of text) → per-key keeper (min doc_id)
-    + multiplicity. Hash-partition + per-group first (SURVEY §2.7)."""
+    + multiplicity. Hash-partition by key + vectorized per-bucket combine
+    (SURVEY §2.7)."""
+    from ..functions.bucketing import bucketed_group_combine
+
     keyed = _docs(sf_dir).map_batches(ExactDedupKey(), batch_format="pandas")
-    return keyed.groupby("text_md5").aggregate(
-        Min("doc_id", alias_name="keeper_doc_id"), Count(alias_name="n_copies")
-    )
+
+    def combine(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {"text_md5": t["text_md5"].to_pylist(), "doc_id": t["doc_id"].to_numpy()}
+        )
+        g = df.groupby("text_md5", sort=True)["doc_id"].agg(["min", "count"])
+        return pa.table(
+            {
+                "text_md5": pa.array(g.index.tolist(), pa.string()),
+                "keeper_doc_id": g["min"].to_numpy(np.int64),
+                "n_copies": g["count"].to_numpy(np.int64),
+            }
+        )
+
+    return bucketed_group_combine(keyed, ["text_md5"], combine)
 
 
 def doc_stats(sf_dir: str):
@@ -68,11 +83,28 @@ def word_freq_topk(sf_dir: str, k: int = 20):
             {"token": list(counts), "partial": np.fromiter(counts.values(), np.int64)}
         )
 
+    from ..functions.bucketing import bucketed_group_combine
+
+    def combine(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {"token": t["token"].to_pylist(), "partial": t["partial"].to_numpy()}
+        )
+        g = df.groupby("token", sort=True)["partial"].sum()
+        return pa.table(
+            {
+                "token": pa.array(g.index.tolist(), pa.string()),
+                "n": g.to_numpy(np.int64),
+            }
+        )
+
     return (
-        _docs(sf_dir, columns=("doc_id", "text"))
-        .map_batches(partial, batch_format="pandas")
-        .groupby("token")
-        .aggregate(Sum("partial", alias_name="n"))
+        bucketed_group_combine(
+            _docs(sf_dir, columns=("doc_id", "text")).map_batches(
+                partial, batch_format="pandas"
+            ),
+            ["token"],
+            combine,
+        )
         .sort(["n", "token"], descending=[True, False])
         .limit(k)
     )

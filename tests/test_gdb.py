@@ -1,0 +1,198 @@
+"""Transactional graph-DB layer: aids format roundtrip on the reference's own
+shipped corpora, per-graph measure kernels vs brute force, canonical tree
+strings (isomorphism invariance + roundtrip)."""
+
+import itertools
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from graphminingtools_ray.functions.cstring import (
+    canonical_tree_string,
+    parse_cstring,
+)
+from graphminingtools_ray.graph.gdb import (
+    filter_graphs,
+    graph_measures,
+    measures_for_graph,
+)
+from graphminingtools_ray.sources.aids import (
+    parse_aids_text,
+    read_aids,
+    write_aids_text,
+)
+
+HIV5 = "/root/reference/data/5hivtrees.txt"
+
+
+def test_aids_parse_reference_file():
+    t = read_aids(HIV5)
+    g = t["gdb_graphs"]
+    assert g.num_rows == 5
+    # header n/m must match actual vertex/edge row counts
+    vc = t["gdb_vertices"].to_pandas().groupby("graph_id").size()
+    ec = t["gdb_edges"].to_pandas().groupby("graph_id").size()
+    for r in g.to_pylist():
+        assert vc[r["graph_id"]] == r["n"]
+        assert ec.get(r["graph_id"], 0) == r["m"]
+
+
+def test_aids_roundtrip():
+    t = read_aids(HIV5)
+    text = write_aids_text(t)
+    t2 = parse_aids_text(text)
+    for k in t:
+        assert t[k].equals(t2[k]), k
+
+
+def _brute_measures(n, edges):
+    """Independent brute-force oracle (adjacency-matrix based)."""
+    import numpy as np
+
+    A = np.zeros((n, n), dtype=int)
+    n_self = sum(1 for v, w in edges if v == w)
+    for v, w in edges:
+        if v != w:
+            A[v, w] += 1
+            A[w, v] += 1
+    deg = A.sum(axis=1)
+    # components by repeated matrix powers (reachability)
+    R = np.eye(n, dtype=bool) | (A > 0)
+    for _ in range(n):
+        R = R | (R @ R)
+    comps = len({tuple(r) for r in R}) if n else 0
+    connected = comps <= 1
+    m = len(edges)
+    is_tree = connected and m == n - 1 and n_self == 0
+    is_path = is_tree and (n == 0 or deg.max() <= 2)
+    return {
+        "n_components": comps,
+        "connected": connected,
+        "is_tree": is_tree,
+        "is_path": is_path,
+        "max_degree": int(deg.max()) if n else 0,
+        "min_degree": int(deg.min()) if n else 0,
+    }
+
+
+CASES = [
+    (3, [(0, 1), (1, 2), (2, 0)]),           # triangle: 1 block, 0 bridges
+    (4, [(0, 1), (1, 2), (2, 3)]),           # path: 3 bridges, tree, path
+    (4, [(0, 1), (2, 3)]),                   # 2 components
+    (1, []),                                  # isolated vertex
+    (0, []),                                  # empty graph
+    (5, [(0, 1), (1, 2), (2, 0), (2, 3), (3, 4)]),  # triangle + tail
+    (2, [(0, 1), (0, 1)]),                   # parallel edges: a block, no bridge
+    (3, [(0, 0), (1, 2)]),                   # self-loop + edge
+    (6, [(0, 1), (1, 2), (2, 0), (3, 4), (4, 5), (5, 3)]),  # two triangles
+]
+
+
+@pytest.mark.parametrize("case", range(len(CASES)))
+def test_measures_vs_bruteforce(case):
+    n, edges = CASES[case]
+    got = measures_for_graph(n, edges)
+    want = _brute_measures(n, edges)
+    for k, v in want.items():
+        assert got[k] == v, (k, got[k], v)
+
+
+def test_blocks_and_bridges():
+    # triangle + tail: 1 block (the triangle), 2 bridges (2-3, 3-4)
+    got = measures_for_graph(5, [(0, 1), (1, 2), (2, 0), (2, 3), (3, 4)])
+    assert got["n_blocks"] == 1 and got["n_bridges"] == 2
+    # parallel edges form a block, not a bridge
+    got = measures_for_graph(2, [(0, 1), (0, 1)])
+    assert got["n_blocks"] == 1 and got["n_bridges"] == 0
+    # path: all bridges
+    got = measures_for_graph(4, [(0, 1), (1, 2), (2, 3)])
+    assert got["n_blocks"] == 0 and got["n_bridges"] == 3
+
+
+def test_spanning_trees():
+    assert measures_for_graph(3, [(0, 1), (1, 2), (2, 0)])["spanning_trees"] == 3
+    assert measures_for_graph(4, [(0, 1), (1, 2), (2, 3)])["spanning_trees"] == 1
+    # K4 has 16 spanning trees (Cayley)
+    k4 = list(itertools.combinations(range(4), 2))
+    assert measures_for_graph(4, k4)["spanning_trees"] == 16
+    assert measures_for_graph(4, [(0, 1), (2, 3)])["spanning_trees"] == 0
+
+
+def test_hivtrees_are_trees_distributed():
+    """The reference's HIV corpora are trees — run the kernel as the real
+    groupby(graph_id).map_groups Dataset pipeline."""
+    t = read_aids(HIV5)
+    measures = graph_measures(
+        rd.from_arrow(t["gdb_vertices"]), rd.from_arrow(t["gdb_edges"])
+    ).to_pandas()
+    assert len(measures) == 5
+    assert measures["is_tree"].all()
+    assert measures["connected"].all()
+    assert (measures["n_bridges"] == measures["m"]).all()
+    # gf-style filter: graphs with n >= 40, project id+value
+    big = filter_graphs(
+        graph_measures(
+            rd.from_arrow(t["gdb_vertices"]), rd.from_arrow(t["gdb_edges"])
+        ),
+        "n", ">=", 40, projection="id+value",
+    ).to_pandas()
+    want = measures[measures["n"] >= 40][["graph_id", "n"]]
+    assert sorted(big["graph_id"]) == sorted(want["graph_id"])
+
+
+def _random_tree(rng, n, n_labels=3):
+    """Random labeled tree via random parent attachment."""
+    edges = []
+    for v in range(1, n):
+        p = int(rng.integers(0, v))
+        edges.append((p, v, str(rng.integers(0, n_labels))))
+    vlabels = {v: str(rng.integers(0, n_labels)) for v in range(n)}
+    return vlabels, edges
+
+
+def test_cstring_isomorphism_invariance():
+    rng = np.random.default_rng(5)
+    for trial in range(20):
+        n = int(rng.integers(2, 12))
+        vlabels, edges = _random_tree(rng, n)
+        base = canonical_tree_string(vlabels, edges)
+        assert base is not None and base.endswith(" ")
+        # random relabeling of vertex ids must not change the cstring
+        perm = rng.permutation(n)
+        vl2 = {int(perm[v]): lab for v, lab in vlabels.items()}
+        e2 = [(int(perm[v]), int(perm[w]), el) for v, w, el in edges]
+        rng.shuffle(e2)
+        assert canonical_tree_string(vl2, e2) == base
+
+
+def test_cstring_distinguishes_labels():
+    a = canonical_tree_string({0: "a", 1: "b"}, [(0, 1, "x")])
+    b = canonical_tree_string({0: "a", 1: "b"}, [(0, 1, "y")])
+    c = canonical_tree_string({0: "a", 1: "c"}, [(0, 1, "x")])
+    assert len({a, b, c}) == 3
+
+
+def test_cstring_non_tree_none():
+    assert canonical_tree_string({0: "a", 1: "b", 2: "c"},
+                                 [(0, 1, "x"), (1, 2, "x"), (2, 0, "x")]) is None
+    assert canonical_tree_string({0: "a", 1: "b", 2: "c"}, [(0, 1, "x")]) is None
+
+
+def test_cstring_docs_example_shape():
+    # "2 ( 1 2 ) ( 1 6 ) " from fileformat.md: star with center 2
+    s = canonical_tree_string(
+        {0: "2", 1: "2", 2: "6"}, [(0, 1, "1"), (0, 2, "1")]
+    )
+    assert s == "2 ( 1 2 ) ( 1 6 ) "
+
+
+def test_cstring_roundtrip():
+    rng = np.random.default_rng(9)
+    for _ in range(10):
+        n = int(rng.integers(1, 10))
+        vlabels, edges = _random_tree(rng, n)
+        s = canonical_tree_string(vlabels, edges)
+        v2, e2 = parse_cstring(s)
+        assert canonical_tree_string(v2, e2) == s
