@@ -33,6 +33,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from graphminingtools_ray.pipelines import (
         embeddings_q,
         graph_queries,
+        mining,
         relational,
         text_q,
     )
@@ -55,6 +56,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "connected_components": graph_queries.components_query,
         "pagerank": graph_queries.pagerank_query,
         "wl_relabel_1": graph_queries.wl_relabel_query,
+        "egonet_edges": graph_queries.egonet_query,
+        # levelwise mining level 1 (lwm_initAndCollect semantics)
+        "frequent_vertex_labels": mining.frequent_vertex_labels,
+        "frequent_edge_triples": mining.frequent_edge_triples,
         # documents: dedup family + text analysis
         "dedup_exact": text_q.dedup_exact,
         "doc_stats": text_q.doc_stats,
@@ -179,6 +184,42 @@ def oracle_sql() -> dict[str, str]:
                    md5(CAST(e.dst AS VARCHAR) || '|' ||
                        array_to_string(list_sort(list(CAST(e.src AS VARCHAR))), ',')) AS label
             FROM e GROUP BY e.dst
+        """,
+        "egonet_edges": f"""
+            WITH {_OP},
+            e0 AS (SELECT a.p AS src, b.p AS dst FROM op a
+                   JOIN op b ON a.o = b.o AND a.p < b.p
+                   GROUP BY 1, 2 HAVING COUNT(*) >= 3),
+            {_E_SYM},
+            memb AS (SELECT src AS v, dst AS nb FROM e
+                     UNION SELECT DISTINCT src, src FROM e)
+            SELECT ma.nb AS ego, e0.src, e0.dst
+            FROM e0
+            JOIN memb ma ON ma.v = e0.src
+            JOIN memb mb ON mb.v = e0.dst AND mb.nb = ma.nb
+        """,
+        "frequent_vertex_labels": """
+            WITH nb AS (SELECT COUNT(DISTINCT l_orderkey) AS ng FROM lineitem),
+            v AS (SELECT DISTINCT l_orderkey, p_brand
+                  FROM lineitem JOIN part ON l_partkey = p_partkey)
+            SELECT p_brand AS label, COUNT(*) AS support
+            FROM v GROUP BY 1
+            HAVING COUNT(*) >= (SELECT FLOOR(0.10 * ng) FROM nb)
+        """,
+        "frequent_edge_triples": """
+            WITH nb AS (SELECT COUNT(DISTINCT l_orderkey) AS ng FROM lineitem),
+            pl AS (SELECT l_orderkey, l_linenumber, l_returnflag, p_brand
+                   FROM lineitem JOIN part ON l_partkey = p_partkey),
+            seq AS (SELECT l_orderkey, p_brand, l_returnflag,
+                           lag(p_brand) OVER (PARTITION BY l_orderkey
+                                              ORDER BY l_linenumber) AS prev_brand
+                    FROM pl),
+            ed AS (SELECT DISTINCT l_orderkey,
+                          LEAST(prev_brand, p_brand) || '|' || l_returnflag || '|'
+                          || GREATEST(prev_brand, p_brand) AS triple
+                   FROM seq WHERE prev_brand IS NOT NULL)
+            SELECT triple, COUNT(*) AS support FROM ed GROUP BY 1
+            HAVING COUNT(*) >= (SELECT FLOOR(0.05 * ng) FROM nb)
         """,
         "dedup_exact": """
             SELECT md5(text) AS text_md5, MIN(doc_id) AS keeper_doc_id,

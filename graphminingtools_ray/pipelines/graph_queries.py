@@ -77,6 +77,16 @@ def pagerank_query(sf_dir: str):
     )
 
 
+def egonet_query(sf_dir: str, min_weight: int = 3):
+    """ngen over the weight>=3 co-purchase subgraph: every closed
+    1-neighborhood induced subgraph's edge list (reference ``ngen``,
+    neighborhoodGenerator.c)."""
+    from ..graph.ngen import egonet_edges
+
+    edges = copurchase_edges(sf_dir).filter(expr=f"weight >= {min_weight}")
+    return egonet_edges(edges)
+
+
 def wl_relabel_query(sf_dir: str):
     ids, labels, _ = wl_relabel(
         symmetrize(copurchase_edges(sf_dir).drop_columns(["weight"])), iterations=1
