@@ -36,6 +36,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         mining,
         relational,
         text_q,
+        trees,
     )
 
     configure()
@@ -73,7 +74,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_features": text_q.media_features,
         # embeddings: similarity search + near-dup
         "ann_topk": embeddings_q.ann_topk,
+        "ann_topk_lsh": embeddings_q.ann_topk_lsh,
         "embedding_near_dup": embeddings_q.embedding_near_dup,
+        # canonical tree strings (cstring executable semantics)
+        "order_tree_cstrings": trees.order_tree_cstrings,
     }
 
 

@@ -118,11 +118,162 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
     }
 
 
+BENCH_CORPUS = "/tmp/graft_bench_corpus.parquet"
+
+
+def ensure_bench_corpus() -> str:
+    """Deterministic north-star-shaped corpus for the scaling measurement
+    (input_hint schema; FIXTURES.md §1 'bench' scale, enlarged so per-row
+    CPU work dominates the fixed operator overhead). Generated once, cached;
+    both parallelism levels read the SAME parquet file."""
+    if not os.path.exists(BENCH_CORPUS):
+        from graphminingtools_ray.sources.corpus import CorpusSpec, write_corpus_parquet
+
+        spec = CorpusSpec(
+            n_repos=6000,
+            files_per_repo=60,
+            n_packages=600,
+            commits_per_repo=4,
+            imports_per_file=20,
+        )
+        tmp = BENCH_CORPUS + ".tmp"
+        write_corpus_parquet(tmp, seed=42, spec=spec)
+        os.rename(tmp, BENCH_CORPUS)
+    return BENCH_CORPUS
+
+
+def run_ingest_scaling(num_cpus: int) -> dict:
+    """The north-star pipeline, timed end-to-end: corpus parquet →
+    sha256/parse → per-doc features (minhash signature, winnowing
+    fingerprints, language id, quality) → import+co-commit edge derivation →
+    PageRank to 1e-6 over the symmetrized simple graph."""
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=num_cpus,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from graphminingtools_ray.context import configure
+
+    configure()
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from graphminingtools_ray.algos.pagerank import pagerank
+    from graphminingtools_ray.algos.triangles import simple_undirected
+    from graphminingtools_ray.graph.build import corpus_ingest, symmetrize
+    from graphminingtools_ray.stages.dedup import (
+        MinHasher,
+        WinnowFingerprint,
+        _token_hashes,
+    )
+    from graphminingtools_ray.stages.text import LangIdHeuristic, QualityScore
+
+    path = ensure_bench_corpus()
+
+    # warm-up (untimed): spin up the worker pool + page cache — a persistent
+    # cluster's workers are warm; we measure pipeline throughput, not
+    # process cold-start
+    rd.read_parquet(path, columns=["repo"]).map_batches(
+        lambda t: t, batch_format="pyarrow"
+    ).count()
+
+    timings: dict[str, float] = {}
+
+    class DocFeatures:
+        """Actor-pool stage: all per-doc CPU features in one pass over
+        content (token hashes computed once, shared by minhash + winnow)."""
+
+        def __init__(self):
+            self.mh = MinHasher()
+            self.wf = WinnowFingerprint(k=3)  # reuse 3-gram hashes
+            self.lid = LangIdHeuristic()
+            self.q = QualityScore()
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            import hashlib
+
+            texts = batch["content"].to_pylist()
+            sha, sig0, nfp = [], [], []
+            for t in texts:
+                sha.append(hashlib.sha256(t.encode()).hexdigest())
+                h = _token_hashes(t, 3)
+                sig = self.mh.signature_from_hashes(h)
+                sig0.append(int(sig[0] >> np.uint64(1)))
+                if len(h) == 0:
+                    nfp.append(0)
+                elif len(h) <= self.wf.window:
+                    nfp.append(1)
+                else:
+                    sw = np.lib.stride_tricks.sliding_window_view(h, self.wf.window)
+                    nfp.append(len(np.unique(sw.min(axis=1))))
+            pdf = pd.DataFrame({"doc_id": np.arange(len(texts)), "text": texts})
+            lang = self.lid(pdf)["lang_pred"]
+            qual = self.q(pdf)["quality"]
+            return pa.table(
+                {
+                    "sha256": pa.array(sha, pa.string()),
+                    "minhash0": pa.array(sig0, pa.int64()),
+                    "n_fingerprints": pa.array(nfp, pa.int64()),
+                    "lang_pred": pa.array(lang.tolist(), pa.string()),
+                    "quality": pa.array(qual.to_numpy(np.float64)),
+                }
+            )
+
+    t0 = time.perf_counter()
+    corpus = rd.read_parquet(path)
+    # leave headroom for the read stage — an actor pool that reserves every
+    # CPU starves upstream operators and the pipeline serializes
+    pool = max(1, num_cpus - 2)
+    n_docs = corpus.map_batches(
+        DocFeatures, batch_format="pyarrow", batch_size=2048, concurrency=pool
+    ).count()
+    timings["doc_features"] = round(time.perf_counter() - t0, 3)
+
+    t0 = time.perf_counter()
+    out = corpus_ingest(rd.read_parquet(path), include_copath=False)
+    edges = out["edges"].materialize()
+    n_edges = edges.count()
+    timings["edge_derivation"] = round(time.perf_counter() - t0, 3)
+
+    t0 = time.perf_counter()
+    sym = symmetrize(simple_undirected(edges))
+    _, _, pr_info = pagerank(sym, tol=1e-6, max_iter=40)
+    timings["pagerank"] = round(time.perf_counter() - t0, 3)
+
+    ray.shutdown()
+    supersteps = pr_info.get("supersteps", [])
+    eps = sorted(s["edges_per_sec"] for s in supersteps) if supersteps else [0.0]
+    return {
+        "metric": "north-star ingest pipeline seconds (corpus → sha256/features "
+        "→ edges → PageRank@1e-6)",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": BENCH_CORPUS,
+        "num_cpus": num_cpus,
+        "n_docs": n_docs,
+        "n_edges": n_edges,
+        "pagerank": {
+            "iterations": pr_info.get("iterations"),
+            "converged": pr_info.get("converged"),
+            "median_edges_per_sec_per_superstep": round(eps[len(eps) // 2], 1),
+        },
+    }
+
+
 def run_scaling(sf_dir: str, lo: int = 8, hi: int = 32) -> dict:
+    ensure_bench_corpus()  # generate once, before either subprocess runs
+
     def one(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SF_DIR=sf_dir)
         out = subprocess.run(
-            [sys.executable, os.path.abspath(__file__)],
+            [sys.executable, os.path.abspath(__file__), "--ingest"],
             env=env,
             capture_output=True,
             text=True,
@@ -159,8 +310,12 @@ def run_scaling(sf_dir: str, lo: int = 8, hi: int = 32) -> dict:
 
 if __name__ == "__main__":
     sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
     if "--scaling" in sys.argv:
-        print(json.dumps(run_scaling(sf_dir)))
+        lo = int(os.environ.get("GRAFT_SCALING_LO", "8"))
+        hi = int(os.environ.get("GRAFT_SCALING_HI", "32"))
+        print(json.dumps(run_scaling(sf_dir, lo=lo, hi=hi)))
+    elif "--ingest" in sys.argv:
+        print(json.dumps(run_ingest_scaling(num_cpus)))
     else:
-        num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
         print(json.dumps(run_benchmarks(sf_dir, num_cpus)))

@@ -133,7 +133,7 @@ def triangle_counts(edges: rd.Dataset, num_buckets: int = 32):
         return pa.table({"vertex_id": vid, "partial": cnt.astype(np.int64)})
 
     partials = bucketed_group_combine(
-        oriented, ["center"], wedge_probe, num_buckets=num_buckets
+        oriented, ["center"], wedge_probe, num_buckets=num_buckets, spread=True
     )
 
     counts = np.zeros(n, dtype=np.int64)

@@ -67,19 +67,25 @@ def bucketed_group_combine(
     keys: list[str],
     combine,
     num_buckets: int = 32,
+    spread: bool = False,
 ) -> rd.Dataset:
     """Hash-partitioned exchange on ``keys`` + vectorized per-bucket combine.
 
     ``combine(table: pa.Table) -> pa.Table`` sees ALL rows of its bucket
     (with the ``_bucket`` column dropped) and must aggregate per key itself
     — vectorized (np.unique / bincount / pandas groupby), never per-row.
+
+    ``spread=True`` inserts a repartition so the combine runs one task per
+    bucket even when the input arrived as a handful of blocks — use for
+    combines with real per-bucket compute (wedge expansion, pair blowup);
+    skip for cheap combines (superstep partial sums) where the extra
+    all-to-all costs more than it buys.
     """
     bucketed = ds.map_batches(
         lambda t: add_bucket(t, keys, num_buckets), batch_format="pyarrow"
     )
-    # parallelism of the combine = block count after the sort; guarantee one
-    # task per bucket even when the input arrived as a handful of blocks
-    bucketed = bucketed.repartition(num_buckets)
+    if spread:
+        bucketed = bucketed.repartition(num_buckets)
 
     def per_bucket(t: pa.Table) -> pa.Table:
         return combine(t.drop_columns(["_bucket"]))

@@ -195,7 +195,7 @@ def keyed_self_pairs(
         )
 
     pairs = bucketed_group_combine(
-        ds, keys, expand_bucket, num_buckets=num_buckets
+        ds, keys, expand_bucket, num_buckets=num_buckets, spread=True
     )
     return bucketed_group_combine(
         pairs,
@@ -281,6 +281,7 @@ def corpus_ingest(
     cap: int = 64,
     include_copath: bool = True,
     check_collisions: bool = False,
+    max_targets_per_module: int = 32,
 ) -> dict[str, rd.Dataset]:
     """Corpus table → ``{"files", "vertices", "edges"}`` datasets.
 
@@ -311,13 +312,24 @@ def corpus_ingest(
     # one row per FILE (vertex): the corpus is commit-grained; graph semantics
     # are file-grained. Deterministic pick = lexicographically max commit
     # (defines which content version wins if a file changed across commits).
-    distinct_files = (
-        parsed.groupby("vertex_id")
-        .map_groups(
-            lambda g: g.sort_values("commit").tail(1), batch_format="pandas"
-        )
-        .materialize()
+    # Hash-bucketed exchange on vertex_id + one vectorized pandas pass per
+    # bucket (a per-group map over millions of file-groups would crawl).
+    from ..functions.bucketing import (
+        bucketed_group_combine,
+        count_distinct_rows,
+        sum_by_int_keys,
     )
+
+    def pick_latest(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        df = df.sort_values(["vertex_id", "commit"], kind="stable")
+        return pa.Table.from_pandas(
+            df.groupby("vertex_id", sort=False).tail(1), preserve_index=False
+        )
+
+    distinct_files = bucketed_group_combine(
+        parsed, ["vertex_id"], pick_latest
+    ).materialize()
 
     vertices = distinct_files.select_columns(["vertex_id", "repo", "path"])
 
@@ -335,8 +347,12 @@ def corpus_ingest(
     # --- import edges (broadcast small side) -------------------------------
     defs = distinct_files.select_columns(["module_key", "vertex_id"])
     defs_tbl = defs.to_pandas()
+    # hub cap: a module key defined in thousands of files (the stdio.h
+    # effect) would fan every import of it into thousands of edges; keep the
+    # deterministic first `max_targets_per_module` sorted target ids
+    # (truncation semantics, like the pair-expansion cap)
     def_map: dict[str, np.ndarray] = {
-        k: np.sort(g["vertex_id"].to_numpy())
+        k: np.sort(g["vertex_id"].to_numpy())[:max_targets_per_module]
         for k, g in defs_tbl.groupby("module_key")
         if k
     }
@@ -363,11 +379,18 @@ def corpus_ingest(
         m = a != b
         return pa.table({"src": a[m], "dst": b[m]})
 
-    imports = (
-        distinct_files.select_columns(["vertex_id", "imports"])
-        .map_batches(import_pairs, batch_format="pyarrow")
-        .groupby(["src", "dst"])
-        .aggregate(Count(alias_name="weight"))
+    def import_pairs_counted(batch: pa.Table) -> pa.Table:
+        # batch-local combiner before the (src, dst) exchange
+        t = import_pairs(batch)
+        return count_distinct_rows(["src", "dst"], "partial")(t)
+
+    imports = bucketed_group_combine(
+        distinct_files.select_columns(["vertex_id", "imports"]).map_batches(
+            import_pairs_counted, batch_format="pyarrow"
+        ),
+        ["src", "dst"],
+        sum_by_int_keys(["src", "dst"], "partial", out_value="weight"),
+        spread=True,
     )
     import_edges = imports.map_batches(
         lambda t: t.append_column("kind", pa.array(["import"] * t.num_rows)),

@@ -84,6 +84,74 @@ def ann_topk(sf_dir: str, n_queries: int = 16, k: int = 5):
     )
 
 
+def ann_topk_lsh(
+    sf_dir: str, n_queries: int = 16, k: int = 5, n_planes: int = 8, seed: int = 23
+):
+    """Approximate top-k via random-hyperplane LSH (the documented scale
+    path): vectors bucket by the sign pattern of ``X @ H``; each query
+    searches its own bucket plus all 1-bit-flip neighbor buckets. Recall vs
+    the brute-force baseline is asserted in tests, not 100% by design."""
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    q_pdf = ds.sort("vec_id").limit(n_queries).to_pandas()
+    q_ids = q_pdf["vec_id"].to_numpy(np.int64)
+    q_mat = np.stack(q_pdf["embedding"].to_numpy()).astype(np.float64)
+    dim = q_mat.shape[1]
+    rng = np.random.default_rng(np.random.PCG64(seed))
+    planes = rng.standard_normal((dim, n_planes))
+
+    def bucket_of(mat: np.ndarray) -> np.ndarray:
+        bits = (mat @ planes) > 0
+        return (bits @ (1 << np.arange(n_planes))).astype(np.int64)
+
+    q_buckets = bucket_of(q_mat)
+    # probe set per query: own bucket + 1-bit flips (multi-probe LSH)
+    probe = {
+        int(b) ^ f
+        for b in q_buckets
+        for f in [0] + [1 << i for i in range(n_planes)]
+    }
+    qn = _normalize(q_mat)
+    ref = ray.put((q_ids, qn, q_buckets, probe))
+
+    def batch_topk(batch: pa.Table) -> pa.Table:
+        _q_ids, _qn, _qb, _probe = ray.get(ref)
+        ids, mat = _emb_to_numpy(batch)
+        vb = bucket_of(mat)
+        m = np.isin(vb, np.fromiter(_probe, np.int64))
+        ids, mat = ids[m], mat[m]
+        if len(ids) == 0:
+            return pa.table(
+                {"qid": np.empty(0, np.int64), "neighbor_id": np.empty(0, np.int64),
+                 "cos": np.empty(0, np.float64)}
+            )
+        sims = _normalize(mat) @ _qn.T
+        kk = min(k + 1, len(ids))
+        top = np.argpartition(-sims, kk - 1, axis=0)[:kk]
+        qcol, ncol, scol = [], [], []
+        for qi in range(len(_q_ids)):
+            cand = top[:, qi]
+            qcol.append(np.full(len(cand), _q_ids[qi], dtype=np.int64))
+            ncol.append(ids[cand])
+            scol.append(sims[cand, qi])
+        return pa.table(
+            {"qid": np.concatenate(qcol), "neighbor_id": np.concatenate(ncol),
+             "cos": np.concatenate(scol)}
+        )
+
+    cand = ds.map_batches(batch_topk, batch_format="pyarrow").to_pandas()
+    cand = cand[cand["qid"] != cand["neighbor_id"]]
+    cand = cand.sort_values(["qid", "cos", "neighbor_id"], ascending=[True, False, True])
+    out = cand.groupby("qid", sort=True).head(k).copy()
+    out["rank"] = out.groupby("qid").cumcount() + 1
+    return pd.DataFrame(
+        {
+            "qid": out["qid"].to_numpy(np.int64),
+            "neighbor_id": out["neighbor_id"].to_numpy(np.int64),
+            "rank": out["rank"].to_numpy(np.int64),
+        }
+    )
+
+
 def embedding_near_dup(sf_dir: str, threshold: float = 0.3):
     """Blocked embedding near-dup: candidate pairs restricted to equal
     ``label`` (the blocking key), cosine > threshold, a < b. The blocked

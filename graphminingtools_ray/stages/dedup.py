@@ -65,13 +65,15 @@ class MinHasher:
 
     def signature(self, text: str) -> np.ndarray:
         h = _token_hashes(text, self.shingle_n)
+        return self.signature_from_hashes(h)
+
+    def signature_from_hashes(self, h: np.ndarray) -> np.ndarray:
         if len(h) == 0:
             return np.zeros(self.num_perm, dtype=np.uint64)
-        # (K, S) permuted values in python-int space to avoid overflow;
-        # object math is fine at K*S ≤ a few thousand per doc
-        vals = (h[None, :].astype(object) * self.a[:, None].astype(object)
-                + self.b[:, None].astype(object)) % _MERSENNE
-        return vals.min(axis=1).astype(np.uint64)
+        # multiply-add in uint64 with natural wraparound (the standard
+        # vectorized min-wise permutation family; avoids 128-bit mod-prime)
+        vals = h[None, :] * self.a[:, None] + self.b[:, None]  # (K, S) u64
+        return vals.min(axis=1)
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         """Explode each doc into `bands` rows: (doc_id, band_id, band_hash)."""

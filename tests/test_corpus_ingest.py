@@ -78,6 +78,7 @@ def _brute_force_edges(corpus, cap=64):
         m = PATH_RE.match(p)
         if m:
             defs.setdefault(f"{m.group(1)}.{m.group(2)}", []).append(vid[k])
+    defs = {k: sorted(v)[:32] for k, v in defs.items()}  # max_targets_per_module
 
     imports = Counter()
     for k, (_, r, p, t) in by_vertex.items():
