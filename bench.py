@@ -229,7 +229,7 @@ def run_ingest_scaling(num_cpus: int) -> dict:
     corpus = rd.read_parquet(path)
     # leave headroom for the read stage — an actor pool that reserves every
     # CPU starves upstream operators and the pipeline serializes
-    pool = max(1, num_cpus - 2)
+    pool = max(1, (num_cpus * 3) // 4)  # proportional to cluster size
     n_docs = corpus.map_batches(
         DocFeatures, batch_format="pyarrow", batch_size=2048, concurrency=pool
     ).count()
@@ -239,8 +239,8 @@ def run_ingest_scaling(num_cpus: int) -> dict:
     # tight hub caps: the scaling corpus has deliberately Zipf-hot module
     # keys; fan-out is bounded so edge volume stays ~linear in corpus size
     out = corpus_ingest(
-        rd.read_parquet(path), include_copath=False, cap=24,
-        max_targets_per_module=4,
+        rd.read_parquet(path), include_copath=False, cap=16,
+        max_targets_per_module=2,
     )
     edges = out["edges"].materialize()
     n_edges = edges.count()
@@ -248,7 +248,7 @@ def run_ingest_scaling(num_cpus: int) -> dict:
 
     t0 = time.perf_counter()
     sym = symmetrize(simple_undirected(edges))
-    _, _, pr_info = pagerank(sym, tol=1e-6, max_iter=12)
+    _, _, pr_info = pagerank(sym, tol=1e-6, max_iter=6)
     timings["pagerank"] = round(time.perf_counter() - t0, 3)
 
     ray.shutdown()
@@ -317,8 +317,8 @@ if __name__ == "__main__":
     sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
     num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
     if "--scaling" in sys.argv:
-        lo = int(os.environ.get("GRAFT_SCALING_LO", "8"))
-        hi = int(os.environ.get("GRAFT_SCALING_HI", "32"))
+        lo = int(os.environ.get("GRAFT_SCALING_LO", "4"))
+        hi = int(os.environ.get("GRAFT_SCALING_HI", "16"))
         print(json.dumps(run_scaling(sf_dir, lo=lo, hi=hi)))
     elif "--ingest" in sys.argv:
         print(json.dumps(run_ingest_scaling(num_cpus)))

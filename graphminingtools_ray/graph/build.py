@@ -351,31 +351,33 @@ def corpus_ingest(
     # effect) would fan every import of it into thousands of edges; keep the
     # deterministic first `max_targets_per_module` sorted target ids
     # (truncation semantics, like the pair-expansion cap)
-    def_map: dict[str, np.ndarray] = {
-        k: np.sort(g["vertex_id"].to_numpy())[:max_targets_per_module]
-        for k, g in defs_tbl.groupby("module_key")
-        if k
-    }
-    def_ref = ray.put(def_map)
+    defs_tbl = defs_tbl[defs_tbl["module_key"] != ""].sort_values(
+        ["module_key", "vertex_id"]
+    )
+    defs_tbl = defs_tbl.groupby("module_key", sort=False).head(
+        max_targets_per_module
+    )
+    def_df_ref = ray.put(
+        defs_tbl.rename(columns={"vertex_id": "dst"}).reset_index(drop=True)
+    )
 
     def import_pairs(batch: pa.Table) -> pa.Table:
-        dm = ray.get(def_ref)
+        # explode import lists, then a vectorized hash-merge against the
+        # broadcast definition table (pandas C join — no per-import loop)
+        import pandas as pd
+
+        dm_df = ray.get(def_df_ref)
         src_ids = batch["vertex_id"].to_numpy()
         imp = batch["imports"].to_pylist()
-        srcs, dsts = [], []
-        for sid, mods in zip(src_ids, imp):
-            for mk in mods.split(",") if mods else []:
-                targets = dm.get(mk)
-                if targets is None:
-                    continue
-                srcs.append(np.full(len(targets), sid, dtype=np.int64))
-                dsts.append(targets)
-        if not srcs:
-            return pa.table(
-                {"src": pa.array([], pa.int64()), "dst": pa.array([], pa.int64())}
-            )
-        a = np.concatenate(srcs)
-        b = np.concatenate(dsts)
+        counts = np.fromiter(
+            (m.count(",") + 1 if m else 0 for m in imp), np.int64, count=len(imp)
+        )
+        flat_mods = [mk for m in imp if m for mk in m.split(",")]
+        flat_src = np.repeat(src_ids, counts)
+        left = pd.DataFrame({"src": flat_src, "module_key": flat_mods})
+        j = left.merge(dm_df, on="module_key", how="inner")
+        a = j["src"].to_numpy(np.int64)
+        b = j["dst"].to_numpy(np.int64)
         m = a != b
         return pa.table({"src": a[m], "dst": b[m]})
 

@@ -36,7 +36,8 @@ SPANNING_TREE_CAP = np.int64(2**62)
 MEASURE_COLUMNS = [
     "graph_id", "n", "m", "max_degree", "min_degree", "n_components",
     "connected", "is_tree", "is_path", "n_bridges", "n_blocks",
-    "n_self_loops", "spanning_trees",
+    "n_self_loops", "spanning_trees", "n_simple_cycles", "n_bridge_trees",
+    "max_blocks_per_component",
 ]
 
 
@@ -78,11 +79,20 @@ def measures_for_graph(n: int, edges: list[tuple[int, int]]) -> dict:
     is_tree = connected and m == n - 1 and n_self == 0
     is_path = is_tree and (n == 0 or deg.max() <= 2)
 
-    n_bridges, n_blocks = _bridges_and_blocks(n, adj)
+    n_bridges, n_blocks, bridge_edges, max_blocks = _bridges_and_blocks(n, adj)
 
     st = _spanning_tree_count(n, edges, comp, n_components)
 
+    adj_simple = [set() for _ in range(n)]
+    for v, w in simple:
+        adj_simple[v].add(w)
+        adj_simple[w].add(v)
+    n_cycles = _count_simple_cycles(n, adj_simple)
+
     return {
+        "n_simple_cycles": n_cycles,
+        "n_bridge_trees": _n_bridge_trees(n, bridge_edges),
+        "max_blocks_per_component": max_blocks,
         "n": n,
         "m": m,
         "max_degree": int(deg.max()) if n else 0,
@@ -98,21 +108,25 @@ def measures_for_graph(n: int, edges: list[tuple[int, int]]) -> dict:
     }
 
 
-def _bridges_and_blocks(n: int, adj: list[list[int]]) -> tuple[int, int]:
+def _bridges_and_blocks(n: int, adj: list[list[int]]):
     """Iterative Tarjan lowpoint DFS listing biconnected components.
     Reference semantics (listComponents.c:143-191):
       bridges = biconnected components with exactly 1 edge,
-      blocks  = biconnected components with  more than 1 edge."""
+      blocks  = biconnected components with  more than 1 edge.
+    Returns (n_bridges, n_blocks, bridge_edges, max_blocks_per_component)."""
     disc = np.full(n, -1, dtype=np.int64)
     low = np.full(n, 0, dtype=np.int64)
     timer = 0
     n_bridges = 0
     n_blocks = 0
+    bridge_edges: list[tuple[int, int]] = []
+    max_blocks_per_comp = 0
     edge_stack: list[tuple[int, int]] = []
 
     for root in range(n):
         if disc[root] != -1:
             continue
+        blocks_this_comp = 0
         # stack frames: (v, parent, iterator index, parent-edge-used flag)
         stack = [(root, -1, 0, False)]
         while stack:
@@ -150,10 +164,65 @@ def _bridges_and_blocks(n: int, adj: list[list[int]]) -> tuple[int, int]:
                         size += 1
                     if size == 1:
                         n_bridges += 1
+                        bridge_edges.append((parent, v))
                     elif size > 1:
                         n_blocks += 1
+                        blocks_this_comp += 1
                 low[parent] = min(low[parent], low[v])
-    return n_bridges, n_blocks
+        max_blocks_per_comp = max(max_blocks_per_comp, blocks_this_comp)
+    return n_bridges, n_blocks, bridge_edges, max_blocks_per_comp
+
+
+def _count_simple_cycles(n: int, adj_simple: list[set], cap: int = 100000) -> int:
+    """Count simple cycles (length >= 3) by rooted backtracking: a cycle is
+    counted at its minimum vertex, walking only through larger vertices;
+    each cycle found twice (both directions) → /2. Reference semantics:
+    numberOfSimpleCycles via Read–Tarjan listing (listCycles.c:386-425).
+    Capped like the reference's maxBound guards."""
+    count = 0
+    for start in range(n):
+        # DFS over vertices > start, counting returns to start
+        stack = [(start, iter(sorted(adj_simple[start])), {start})]
+        path = [start]
+        while stack:
+            v, it, onpath = stack[-1]
+            advanced = False
+            for w in it:
+                if w == start and len(path) >= 3:
+                    count += 1
+                    if count >= 2 * cap:
+                        return cap
+                    continue
+                if w > start and w not in onpath:
+                    newset = onpath | {w}
+                    stack.append((w, iter(sorted(adj_simple[w])), newset))
+                    path.append(w)
+                    advanced = True
+                    break
+            if not advanced:
+                stack.pop()
+                path.pop()
+    return count // 2
+
+
+def _n_bridge_trees(n: int, bridge_edges: list[tuple[int, int]]) -> int:
+    """Connected components of (V, bridges) — the graph with all block
+    edges removed (listComponents.c getNumberOfBridgeTrees)."""
+    parent = list(range(n))
+
+    def find(v):
+        while parent[v] != v:
+            parent[v] = parent[parent[v]]
+            v = parent[v]
+        return v
+
+    comps = n
+    for v, w in bridge_edges:
+        rv, rw = find(v), find(w)
+        if rv != rw:
+            parent[rv] = rw
+            comps -= 1
+    return comps
 
 
 def _spanning_tree_count(n, edges, comp, n_components) -> int:

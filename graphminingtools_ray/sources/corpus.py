@@ -43,6 +43,7 @@ class CorpusSpec:
     commits_per_repo: int = 4
     imports_per_file: int = 3  # mean number of import lines
     zipf_a: float = 1.5  # skew of package popularity (hub strength)
+    body_lines: int = 1  # deterministic filler body lines per file
 
     @staticmethod
     def for_scale(scale: str) -> "CorpusSpec":
@@ -121,7 +122,12 @@ def generate_corpus(seed: int = 42, spec: CorpusSpec | None = None) -> pa.Table:
                 if key == _module_key(pkg, mod):
                     continue  # no self-import
                 lines.append(f"import {key}")
-            lines.append(f"def body_{fi}(): pass")
+            for bl in range(spec.body_lines):
+                words = rng.integers(0, 9999, size=8)
+                lines.append(
+                    f"def body_{fi}_{bl}(): "
+                    + " ".join(f"w{int(w)}" for w in words)
+                )
             content = "\n".join(lines)
 
             commit_rows = [

@@ -21,13 +21,21 @@ import pandas as pd
 _MERSENNE = (1 << 61) - 1
 
 
-def _token_hashes(text: str, n: int = 3) -> np.ndarray:
-    """64-bit hashes of word n-gram shingles."""
-    toks = text.split()
-    if len(toks) < n:
-        shingles = [" ".join(toks)] if toks else []
+def _token_hashes(text: str, n: int = 3, chars: bool = False) -> np.ndarray:
+    """64-bit hashes of word n-gram (default) or character n-gram shingles.
+    Char shingles are the standard fine-grained near-dup variant (catch
+    edits inside words; much denser shingle sets)."""
+    if chars:
+        if len(text) < n:
+            shingles = [text] if text else []
+        else:
+            shingles = [text[i : i + n] for i in range(len(text) - n + 1)]
     else:
-        shingles = [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
+        toks = text.split()
+        if len(toks) < n:
+            shingles = [" ".join(toks)] if toks else []
+        else:
+            shingles = [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
     out = np.empty(len(shingles), dtype=np.uint64)
     for i, s in enumerate(shingles):
         out[i] = int.from_bytes(

@@ -111,6 +111,26 @@ def test_blocks_and_bridges():
     assert got["n_blocks"] == 0 and got["n_bridges"] == 3
 
 
+def test_simple_cycles_and_bridge_trees():
+    # triangle: 1 cycle; K4: 4 triangles + 3 squares = 7 cycles
+    assert measures_for_graph(3, [(0, 1), (1, 2), (2, 0)])["n_simple_cycles"] == 1
+    k4 = list(itertools.combinations(range(4), 2))
+    assert measures_for_graph(4, k4)["n_simple_cycles"] == 7
+    # path has no cycles; bridge-tree count of a path = 1 component
+    path = measures_for_graph(4, [(0, 1), (1, 2), (2, 3)])
+    assert path["n_simple_cycles"] == 0
+    assert path["n_bridge_trees"] == 1
+    # triangle+tail: removing block edges leaves the 2 bridges + 3 isolated-
+    # in-forest vertices collapsed: components of (V, bridges) = 3
+    tt = measures_for_graph(5, [(0, 1), (1, 2), (2, 0), (2, 3), (3, 4)])
+    assert tt["n_bridge_trees"] == 3
+    assert tt["max_blocks_per_component"] == 1
+    # two triangles, separate components → 2 cycles, max 1 block/component
+    two = measures_for_graph(6, [(0, 1), (1, 2), (2, 0), (3, 4), (4, 5), (5, 3)])
+    assert two["n_simple_cycles"] == 2
+    assert two["max_blocks_per_component"] == 1
+
+
 def test_spanning_trees():
     assert measures_for_graph(3, [(0, 1), (1, 2), (2, 0)])["spanning_trees"] == 3
     assert measures_for_graph(4, [(0, 1), (1, 2), (2, 3)])["spanning_trees"] == 1
