@@ -61,6 +61,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # levelwise mining level 1 (lwm_initAndCollect semantics)
         "frequent_vertex_labels": mining.frequent_vertex_labels,
         "frequent_edge_triples": mining.frequent_edge_triples,
+        "frequent_wedge_patterns": mining.frequent_wedge_patterns,
         # documents: dedup family + text analysis
         "dedup_exact": text_q.dedup_exact,
         "doc_stats": text_q.doc_stats,
@@ -224,6 +225,33 @@ def oracle_sql() -> dict[str, str]:
                    FROM seq WHERE prev_brand IS NOT NULL)
             SELECT triple, COUNT(*) AS support FROM ed GROUP BY 1
             HAVING COUNT(*) >= (SELECT FLOOR(0.05 * ng) FROM nb)
+        """,
+        "frequent_wedge_patterns": """
+            WITH nb AS (SELECT COUNT(DISTINCT l_orderkey) AS ng FROM lineitem),
+            pl AS (SELECT l_orderkey, l_linenumber, l_returnflag, l_partkey, p_brand
+                   FROM lineitem JOIN part ON l_partkey = p_partkey),
+            seq AS (SELECT l_orderkey, l_partkey, p_brand, l_returnflag,
+                           lag(l_partkey) OVER w AS prev_pk,
+                           lag(p_brand) OVER w AS prev_brand
+                    FROM pl WINDOW w AS (PARTITION BY l_orderkey ORDER BY l_linenumber)),
+            ed AS (SELECT DISTINCT l_orderkey AS o, prev_pk AS va, l_partkey AS vb,
+                          prev_brand AS ba, p_brand AS bb, l_returnflag AS le
+                   FROM seq WHERE prev_pk IS NOT NULL AND prev_pk <> l_partkey),
+            half AS (SELECT o, va AS v, ba AS bv, vb AS other, bb AS bo, le FROM ed
+                     UNION ALL
+                     SELECT o, vb AS v, bb AS bv, va AS other, ba AS bo, le FROM ed),
+            wedge AS (SELECT DISTINCT h1.o,
+                             h1.bv || '(' ||
+                             LEAST(h1.le || ':' || h1.bo, h2.le || ':' || h2.bo)
+                             || ',' ||
+                             GREATEST(h1.le || ':' || h1.bo, h2.le || ':' || h2.bo)
+                             || ')' AS pattern
+                      FROM half h1 JOIN half h2
+                        ON h1.o = h2.o AND h1.v = h2.v
+                       AND (h1.other < h2.other OR
+                            (h1.other = h2.other AND h1.le < h2.le)))
+            SELECT pattern, COUNT(*) AS support FROM wedge GROUP BY 1
+            HAVING COUNT(*) >= (SELECT FLOOR(0.03 * ng) FROM nb)
         """,
         "dedup_exact": """
             SELECT md5(text) AS text_md5, MIN(doc_id) AS keeper_doc_id,

