@@ -118,7 +118,7 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
     }
 
 
-BENCH_CORPUS = "/tmp/graft_bench_corpus.parquet"
+BENCH_CORPUS = "/tmp/graft_bench_corpus_v2.parquet"
 
 
 def ensure_bench_corpus() -> str:
@@ -134,7 +134,8 @@ def ensure_bench_corpus() -> str:
             files_per_repo=60,
             n_packages=600,
             commits_per_repo=4,
-            imports_per_file=20,
+            imports_per_file=5,
+            body_lines=6,
         )
         tmp = BENCH_CORPUS + ".tmp"
         write_corpus_parquet(tmp, seed=42, spec=spec)

@@ -101,6 +101,70 @@ def edges_digest(blocks: rd.Dataset) -> str:
     return hashlib.blake2b(f"{n}:{total}".encode(), digest_size=16).hexdigest()
 
 
+def block_summary(blocks: rd.Dataset, weighted: bool = False):
+    """ONE pass over the adjacency blocks collecting everything the
+    superstep loop needs: sorted vertex ids, out-degrees (or out-weight
+    sums), total edge count, and the order-independent content digest.
+    Replaces three separate scans (setup latency matters when supersteps
+    are sub-second)."""
+    MASK = (1 << 64) - 1
+
+    def summarize(batch: pa.Table) -> pa.Table:
+        keys, degs = [], []
+        mix_total, n_edges = 0, 0
+        for srcs, src_index, dst_unique, dst_index, w in _iter_block_rows(batch):
+            weights = w if weighted else None
+            acc = np.bincount(src_index, weights=weights, minlength=len(srcs))
+            keys.append(srcs)
+            degs.append(acc.astype(np.float64))
+            keys.append(dst_unique)
+            degs.append(np.zeros(len(dst_unique)))
+            s = srcs[src_index].astype(np.uint64)
+            d = dst_unique[dst_index].astype(np.uint64)
+            m = (s * np.uint64(0x9E3779B97F4A7C15)
+                 + d * np.uint64(0xC2B2AE3D27D4EB4F))
+            mix_total = (mix_total + int(m.sum())) & MASK
+            n_edges += len(s)
+        if not keys:
+            return pa.table(
+                {"vertex_id": np.empty(0, np.int64),
+                 "deg": np.empty(0, np.float64),
+                 "mix": pa.array([], pa.uint64()), "n": pa.array([], pa.int64())}
+            )
+        k = np.concatenate(keys)
+        d_ = np.concatenate(degs)
+        pad = np.zeros(len(k), dtype=np.uint64)
+        padn = np.zeros(len(k), dtype=np.int64)
+        pad[0] = np.uint64(mix_total)
+        padn[0] = n_edges
+        return pa.table({"vertex_id": k, "deg": d_, "mix": pad, "n": padn})
+
+    ids_parts, rows = [], []
+    for b in blocks.map_batches(summarize, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        rows.append(
+            (
+                b["vertex_id"].to_numpy(),
+                b["deg"].to_numpy(),
+                int(b["mix"].to_numpy().sum(dtype=np.uint64) & np.uint64(MASK)),
+                int(b["n"].to_numpy().sum()),
+            )
+        )
+    if not rows:
+        return (np.empty(0, np.int64), np.empty(0, np.float64), 0,
+                hashlib.blake2b(b"0:0", digest_size=16).hexdigest())
+    ids = np.unique(np.concatenate([r[0] for r in rows]))
+    deg = np.zeros(len(ids), dtype=np.float64)
+    mix, n_edges = 0, 0
+    for k, d_, m, n in rows:
+        np.add.at(deg, np.searchsorted(ids, k), d_)
+        mix = (mix + m) & MASK
+        n_edges += n
+    digest = hashlib.blake2b(f"{n_edges}:{mix}".encode(), digest_size=16).hexdigest()
+    return ids, deg, n_edges, digest
+
+
 def broadcast_state(ids: np.ndarray, values: np.ndarray):
     """One superstep's broadcast: (ids_ref, values_ref). Tasks ray.get these
     (zero-copy shared memory on a node) and look vertices up via searchsorted."""

@@ -27,7 +27,7 @@ import ray.data as rd
 from ..functions.bucketing import bucketed_group_combine, min_by_int_key
 from ..graph.csr import build_csr_blocks, unpack_block
 from ..state.checkpoint import CheckpointManager
-from .common import broadcast_state, collect_vertex_ids, edges_digest
+from .common import block_summary, broadcast_state
 
 
 def _make_min_fn(ids_ref, labels_ref):
@@ -63,7 +63,7 @@ def connected_components(
     """-> (vertex_ids, component_ids, info). ``edges_symmetric`` must contain
     both half-edges (see ``graph.symmetrize``)."""
     blocks = build_csr_blocks(edges_symmetric)
-    ids = collect_vertex_ids(blocks)
+    ids, _, _, digest = block_summary(blocks)
     if all_vertex_ids is not None:
         ids = np.union1d(ids, np.asarray(all_vertex_ids, dtype=np.int64))
     n = len(ids)
@@ -76,7 +76,7 @@ def connected_components(
     resumed_from = None
     if checkpoint_dir is not None:
         mgr = CheckpointManager(
-            checkpoint_dir, edges_digest(blocks), num_partitions=num_state_partitions
+            checkpoint_dir, digest, num_partitions=num_state_partitions
         )
         latest = mgr.load_latest()
         if latest is not None:

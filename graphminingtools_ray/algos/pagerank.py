@@ -29,7 +29,7 @@ import ray.data as rd
 from ..functions.bucketing import bucketed_group_combine, sum_by_int_key
 from ..graph.csr import build_csr_blocks, unpack_block
 from ..state.checkpoint import CheckpointManager
-from .common import broadcast_state, collect_vertex_ids, edges_digest, out_degrees
+from .common import block_summary, broadcast_state
 
 
 def _make_contrib_fn(ids_ref, coef_ref, weighted: bool):
@@ -73,20 +73,12 @@ def pagerank(
     resume provenance — the BENCH/BASELINE headline numbers come from here.
     """
     blocks = build_csr_blocks(edges)
-    ids = collect_vertex_ids(blocks)
+    # single setup pass: ids + out-degrees + edge count + lineage digest
+    ids, outdeg, n_edges, digest = block_summary(blocks, weighted=weighted)
     n = len(ids)
     if n == 0:
         return ids, np.empty(0, np.float64), {"iterations": 0, "supersteps": []}
-    outdeg = out_degrees(blocks, ids, weighted=weighted)
     dangling = outdeg == 0.0
-    n_edges = int(
-        sum(
-            b["n_edges"].to_numpy().sum()
-            for b in blocks.select_columns(["n_edges"]).iter_batches(
-                batch_format="pyarrow"
-            )
-        )
-    )
 
     mgr = None
     start_iter = 0
@@ -94,7 +86,7 @@ def pagerank(
     resumed_from = None
     if checkpoint_dir is not None:
         mgr = CheckpointManager(
-            checkpoint_dir, edges_digest(blocks), num_partitions=num_state_partitions
+            checkpoint_dir, digest, num_partitions=num_state_partitions
         )
         latest = mgr.load_latest()
         if latest is not None:

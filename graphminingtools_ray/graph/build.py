@@ -21,6 +21,7 @@ from __future__ import annotations
 import re
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray
@@ -320,15 +321,42 @@ def corpus_ingest(
         sum_by_int_keys,
     )
 
-    def pick_latest(t: pa.Table) -> pa.Table:
-        df = t.to_pandas()
-        df = df.sort_values(["vertex_id", "commit"], kind="stable")
-        return pa.Table.from_pandas(
-            df.groupby("vertex_id", sort=False).tail(1), preserve_index=False
+    # the exchange only ships the slim (vertex_id, commit) pair — never the
+    # wide string columns; winners broadcast back as a filter (winner set is
+    # file-scale; at 10^12 files this broadcast becomes a bucketed join on
+    # vertex_id — same seam)
+    def max_commit(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {"vertex_id": t["vertex_id"].to_numpy(),
+             "commit": t["commit"].to_pylist()}
+        )
+        g = df.groupby("vertex_id", sort=False)["commit"].max()
+        return pa.table(
+            {"vertex_id": g.index.to_numpy(np.int64),
+             "commit": pa.array(g.tolist(), pa.string())}
         )
 
-    distinct_files = bucketed_group_combine(
-        parsed, ["vertex_id"], pick_latest
+    winners_pdf = bucketed_group_combine(
+        parsed.select_columns(["vertex_id", "commit"]).map_batches(
+            max_commit, batch_format="pyarrow"  # batch-local combiner
+        ),
+        ["vertex_id"],
+        max_commit,
+    ).to_pandas()
+    winner_map = dict(zip(winners_pdf["vertex_id"], winners_pdf["commit"]))
+    winner_ref = ray.put(winner_map)
+
+    def keep_winner(t: pa.Table) -> pa.Table:
+        wm = ray.get(winner_ref)
+        vid = t["vertex_id"].to_numpy()
+        com = t["commit"].to_pylist()
+        mask = np.fromiter(
+            (wm.get(int(v)) == c for v, c in zip(vid, com)), bool, count=len(vid)
+        )
+        return t.filter(pa.array(mask))
+
+    distinct_files = parsed.map_batches(
+        keep_winner, batch_format="pyarrow"
     ).materialize()
 
     vertices = distinct_files.select_columns(["vertex_id", "repo", "path"])
