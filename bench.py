@@ -118,7 +118,7 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
     }
 
 
-BENCH_CORPUS = "/tmp/graft_bench_corpus_v2.parquet"
+BENCH_CORPUS = "/tmp/graft_bench_corpus_v3.parquet"
 
 
 def ensure_bench_corpus() -> str:
@@ -130,12 +130,12 @@ def ensure_bench_corpus() -> str:
         from graphminingtools_ray.sources.corpus import CorpusSpec, write_corpus_parquet
 
         spec = CorpusSpec(
-            n_repos=6000,
-            files_per_repo=60,
-            n_packages=600,
-            commits_per_repo=4,
+            n_repos=2000,
+            files_per_repo=40,
+            n_packages=300,
+            commits_per_repo=3,
             imports_per_file=5,
-            body_lines=6,
+            body_lines=25,
         )
         tmp = BENCH_CORPUS + ".tmp"
         write_corpus_parquet(tmp, seed=42, spec=spec)
@@ -186,7 +186,7 @@ def run_ingest_scaling(num_cpus: int) -> dict:
 
     timings: dict[str, float] = {}
 
-    mh = MinHasher()
+    mh = MinHasher(num_perm=128, bands=32)
     wf = WinnowFingerprint(k=3)
     lid = LangIdHeuristic()
     q = QualityScore()

@@ -42,7 +42,7 @@ def collect_vertex_ids(blocks: rd.Dataset) -> np.ndarray:
 
     parts = []
     for b in blocks.map_batches(uniq, batch_format="pyarrow").iter_batches(
-        batch_format="pyarrow"
+        batch_size=None, batch_format="pyarrow"
     ):
         parts.append(b["vertex_id"].to_numpy())
     if not parts:
@@ -67,7 +67,7 @@ def out_degrees(blocks: rd.Dataset, ids: np.ndarray, weighted: bool = False) -> 
 
     deg = np.zeros(len(ids), dtype=np.float64)
     for b in blocks.map_batches(partial, batch_format="pyarrow").iter_batches(
-        batch_format="pyarrow"
+        batch_size=None, batch_format="pyarrow"
     ):
         srcs = b["src"].to_numpy()
         d = b["deg"].to_numpy()
@@ -94,7 +94,7 @@ def edges_digest(blocks: rd.Dataset) -> str:
 
     total, n = 0, 0
     for b in blocks.map_batches(mix, batch_format="pyarrow").iter_batches(
-        batch_format="pyarrow"
+        batch_size=None, batch_format="pyarrow"
     ):
         total = (total + int(b["mix"].to_numpy().sum())) & MASK
         n += int(b["n"].to_numpy().sum())
@@ -141,7 +141,7 @@ def block_summary(blocks: rd.Dataset, weighted: bool = False):
 
     ids_parts, rows = [], []
     for b in blocks.map_batches(summarize, batch_format="pyarrow").iter_batches(
-        batch_format="pyarrow"
+        batch_size=None, batch_format="pyarrow"
     ):
         rows.append(
             (

@@ -104,7 +104,7 @@ def connected_components(
             msgs, ["dst"], min_by_int_key("dst", "partial", "dst", "incoming")
         )
         new_labels = labels.copy()
-        for b in agg.iter_batches(batch_format="pyarrow"):
+        for b in agg.iter_batches(batch_size=None, batch_format="pyarrow"):
             idx = np.searchsorted(ids, b["dst"].to_numpy())
             np.minimum.at(new_labels, idx, b["incoming"].to_numpy())
         changed = int(np.count_nonzero(new_labels != labels))

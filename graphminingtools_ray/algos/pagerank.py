@@ -120,7 +120,7 @@ def pagerank(
             contribs, ["dst"], sum_by_int_key("dst", "partial", "dst", "contrib")
         )
         incoming = np.zeros(n, dtype=np.float64)
-        for b in agg.iter_batches(batch_format="pyarrow"):
+        for b in agg.iter_batches(batch_size=None, batch_format="pyarrow"):
             idx = np.searchsorted(ids, b["dst"].to_numpy())
             incoming[idx] = b["contrib"].to_numpy()
         dangling_mass = float(rank[dangling].sum())

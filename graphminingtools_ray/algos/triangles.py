@@ -66,7 +66,7 @@ def triangle_counts(edges: rd.Dataset, num_buckets: int = 32):
     # vertex ids + degrees (vertex-scale, driver-held by design — see
     # algos.common scale contract)
     ids_parts = []
-    for b in simple.iter_batches(batch_format="pyarrow"):
+    for b in simple.iter_batches(batch_size=None, batch_format="pyarrow"):
         ids_parts.append(
             np.unique(np.concatenate([b["src"].to_numpy(), b["dst"].to_numpy()]))
         )
@@ -76,7 +76,7 @@ def triangle_counts(edges: rd.Dataset, num_buckets: int = 32):
     n = len(ids)
     deg = np.zeros(n, dtype=np.int64)
     edge_keys_parts = []
-    for b in simple.iter_batches(batch_format="pyarrow"):
+    for b in simple.iter_batches(batch_size=None, batch_format="pyarrow"):
         ui = np.searchsorted(ids, b["src"].to_numpy())
         vi = np.searchsorted(ids, b["dst"].to_numpy())
         np.add.at(deg, ui, 1)
@@ -137,7 +137,7 @@ def triangle_counts(edges: rd.Dataset, num_buckets: int = 32):
     )
 
     counts = np.zeros(n, dtype=np.int64)
-    for b in partials.iter_batches(batch_format="pyarrow"):
+    for b in partials.iter_batches(batch_size=None, batch_format="pyarrow"):
         idx = np.searchsorted(ids, b["vertex_id"].to_numpy())
         np.add.at(counts, idx, b["partial"].to_numpy())
     total = int(counts.sum()) // 3

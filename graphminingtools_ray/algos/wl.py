@@ -127,7 +127,7 @@ def wl_relabel(
 
         new_labels = np.empty(n, dtype=object)
         seen = np.zeros(n, dtype=bool)
-        for b in sigs.iter_batches(batch_format="pyarrow"):
+        for b in sigs.iter_batches(batch_size=None, batch_format="pyarrow"):
             idx = np.searchsorted(ids, b["vertex_id"].to_numpy())
             new_labels[idx] = np.array(b["label"].to_pylist(), dtype=object)
             seen[idx] = True

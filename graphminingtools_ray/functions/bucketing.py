@@ -75,17 +75,17 @@ def bucketed_group_combine(
     (with the ``_bucket`` column dropped) and must aggregate per key itself
     — vectorized (np.unique / bincount / pandas groupby), never per-row.
 
-    ``spread=True`` inserts a repartition so the combine runs one task per
-    bucket even when the input arrived as a handful of blocks — use for
-    combines with real per-bucket compute (wedge expansion, pair blowup);
-    skip for cheap combines (superstep partial sums) where the extra
-    all-to-all costs more than it buys.
+    The repartition pins the combine at ONE task per bucket: without it the
+    sort inherits the upstream block count, and a many-block input turns the
+    combine into hundreds of scheduling-latency-bound micro-tasks (measured:
+    268 tasks / 5.6 s for a 300 k-row exchange), while a few-block input
+    serializes the combine. (``spread`` kept for call-site compatibility;
+    both paths now repartition.)
     """
     bucketed = ds.map_batches(
         lambda t: add_bucket(t, keys, num_buckets), batch_format="pyarrow"
     )
-    if spread:
-        bucketed = bucketed.repartition(num_buckets)
+    bucketed = bucketed.repartition(num_buckets)
 
     def per_bucket(t: pa.Table) -> pa.Table:
         return combine(t.drop_columns(["_bucket"]))

@@ -149,7 +149,7 @@ def _pairs_from_sorted_key_items(
 
 def keyed_self_pairs(
     ds: rd.Dataset, key: str | list[str], item: str, cap: int = 64,
-    num_buckets: int = 32,
+    num_buckets: int = 32, final_sum: bool = True,
 ) -> rd.Dataset:
     """(key, item) rows → unordered distinct-per-key pairs (src < dst) with
     ``weight`` = number of keys in which the pair co-occurred.
@@ -198,6 +198,8 @@ def keyed_self_pairs(
     pairs = bucketed_group_combine(
         ds, keys, expand_bucket, num_buckets=num_buckets, spread=True
     )
+    if not final_sum:
+        return pairs  # (src, dst, partial) — caller owns the final exchange
     return bucketed_group_combine(
         pairs,
         ["src", "dst"],
@@ -321,28 +323,41 @@ def corpus_ingest(
         sum_by_int_keys,
     )
 
-    # the exchange only ships the slim (vertex_id, commit) pair — never the
-    # wide string columns; winners broadcast back as a filter (winner set is
-    # file-scale; at 10^12 files this broadcast becomes a bucketed join on
-    # vertex_id — same seam)
-    def max_commit(t: pa.Table) -> pa.Table:
-        df = pd.DataFrame(
-            {"vertex_id": t["vertex_id"].to_numpy(),
-             "commit": t["commit"].to_pylist()}
+    # winner (vertex → max commit) is a dimension-table build: per-batch
+    # partial max over the slim 2-col projection, final max on the driver
+    # (file-scale — the documented broadcast-side seam; at 10^12 files this
+    # becomes a bucketed join on vertex_id)
+    def max_commit(vid: np.ndarray, commits: list) -> pd.DataFrame:
+        # dictionary-encode the commit strings so the per-group max runs on
+        # int codes (np.unique returns SORTED uniques, so code order ==
+        # string order); a pandas object-max over many groups is python-speed
+        uniq, codes = np.unique(np.asarray(commits, dtype=object), return_inverse=True)
+        g = (
+            pd.DataFrame({"vertex_id": vid, "code": codes})
+            .groupby("vertex_id", sort=False)["code"]
+            .max()
         )
-        g = df.groupby("vertex_id", sort=False)["commit"].max()
-        return pa.table(
-            {"vertex_id": g.index.to_numpy(np.int64),
-             "commit": pa.array(g.tolist(), pa.string())}
+        return pd.DataFrame(
+            {"vertex_id": g.index.to_numpy(np.int64), "commit": uniq[g.to_numpy()]}
         )
 
-    winners_pdf = bucketed_group_combine(
-        parsed.select_columns(["vertex_id", "commit"]).map_batches(
-            max_commit, batch_format="pyarrow"  # batch-local combiner
-        ),
-        ["vertex_id"],
-        max_commit,
-    ).to_pandas()
+    def max_commit_batch(t: pa.Table) -> pa.Table:
+        out = max_commit(t["vertex_id"].to_numpy(), t["commit"].to_pylist())
+        return pa.table(
+            {"vertex_id": out["vertex_id"].to_numpy(np.int64),
+             "commit": pa.array(out["commit"].tolist(), pa.string())}
+        )
+
+    partial_frames = [
+        b.to_pandas()
+        for b in parsed.select_columns(["vertex_id", "commit"])
+        .map_batches(max_commit_batch, batch_format="pyarrow")
+        .iter_batches(batch_size=None, batch_format="pyarrow")
+    ]
+    allp = pd.concat(partial_frames, ignore_index=True)
+    winners_pdf = max_commit(
+        allp["vertex_id"].to_numpy(), allp["commit"].tolist()
+    )
     winner_map = dict(zip(winners_pdf["vertex_id"], winners_pdf["commit"]))
     winner_ref = ray.put(winner_map)
 
@@ -414,15 +429,9 @@ def corpus_ingest(
         t = import_pairs(batch)
         return count_distinct_rows(["src", "dst"], "partial")(t)
 
-    imports = bucketed_group_combine(
-        distinct_files.select_columns(["vertex_id", "imports"]).map_batches(
-            import_pairs_counted, batch_format="pyarrow"
-        ),
-        ["src", "dst"],
-        sum_by_int_keys(["src", "dst"], "partial", out_value="weight"),
-        spread=True,
-    )
-    import_edges = imports.map_batches(
+    import_partials = distinct_files.select_columns(
+        ["vertex_id", "imports"]
+    ).map_batches(import_pairs_counted, batch_format="pyarrow").map_batches(
         lambda t: t.append_column("kind", pa.array(["import"] * t.num_rows)),
         batch_format="pyarrow",
     )
@@ -439,20 +448,22 @@ def corpus_ingest(
         ),
         batch_format="pyarrow",
     )
-    cocommit = keyed_self_pairs(cc_in, "ckey", "vertex_id", cap=cap)
-    cocommit_edges = cocommit.map_batches(
+    cocommit_partials = keyed_self_pairs(
+        cc_in, "ckey", "vertex_id", cap=cap, final_sum=False
+    ).map_batches(
         lambda t: t.append_column("kind", pa.array(["cocommit"] * t.num_rows)),
         batch_format="pyarrow",
     )
 
-    parts = [import_edges, cocommit_edges]
+    parts = [import_partials, cocommit_partials]
 
     # --- shared-path edges -------------------------------------------------
     if include_copath:
         cp_in = parsed.select_columns(["path", "vertex_id"])
-        copath = keyed_self_pairs(cp_in, "path", "vertex_id", cap=cap)
         parts.append(
-            copath.map_batches(
+            keyed_self_pairs(
+                cp_in, "path", "vertex_id", cap=cap, final_sum=False
+            ).map_batches(
                 lambda t: t.append_column(
                     "kind", pa.array(["copath"] * t.num_rows)
                 ),
@@ -460,5 +471,28 @@ def corpus_ingest(
             )
         )
 
-    edges = parts[0].union(*parts[1:])
+    # ONE final weight-sum exchange for all edge kinds together
+    def sum_per_kind(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "src": t["src"].to_numpy(),
+                "dst": t["dst"].to_numpy(),
+                "kind": t["kind"].to_pylist(),
+                "partial": t["partial"].to_numpy(),
+            }
+        )
+        g = df.groupby(["src", "dst", "kind"], sort=False)["partial"].sum()
+        out = g.reset_index()
+        return pa.table(
+            {
+                "src": out["src"].to_numpy(np.int64),
+                "dst": out["dst"].to_numpy(np.int64),
+                "weight": out["partial"].to_numpy(np.int64),
+                "kind": pa.array(out["kind"].tolist(), pa.string()),
+            }
+        )
+
+    edges = bucketed_group_combine(
+        parts[0].union(*parts[1:]), ["src", "dst"], sum_per_kind
+    )
     return {"files": files, "vertices": vertices, "edges": edges}

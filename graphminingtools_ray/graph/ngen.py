@@ -29,7 +29,7 @@ def egonet_edges(edges: rd.Dataset, num_buckets: int = 32) -> rd.Dataset:
     # closed-neighborhood sets, broadcast (driver-held adjacency; the scale
     # path is a double bucketed join on src/dst membership — see docstring)
     adj: dict[int, set] = {}
-    for b in simple.iter_batches(batch_format="pyarrow"):
+    for b in simple.iter_batches(batch_size=None, batch_format="pyarrow"):
         for u, v in zip(b["src"].to_numpy(), b["dst"].to_numpy()):
             adj.setdefault(int(u), {int(u)}).add(int(v))
             adj.setdefault(int(v), {int(v)}).add(int(u))
