@@ -75,17 +75,18 @@ def bucketed_group_combine(
     (with the ``_bucket`` column dropped) and must aggregate per key itself
     — vectorized (np.unique / bincount / pandas groupby), never per-row.
 
-    The repartition pins the combine at ONE task per bucket: without it the
-    sort inherits the upstream block count, and a many-block input turns the
-    combine into hundreds of scheduling-latency-bound micro-tasks (measured:
-    268 tasks / 5.6 s for a 300 k-row exchange), while a few-block input
-    serializes the combine. (``spread`` kept for call-site compatibility;
-    both paths now repartition.)
+    ``spread=True`` inserts a repartition so the combine runs one task per
+    bucket even when the input arrived as a handful of blocks — use it for
+    combines with real per-bucket compute (wedge expansion, pair blowup).
+    Each repartition is an extra all-to-all BARRIER (~2-3 s fixed), so cheap
+    combines (superstep partial sums, distinct, weight sums) skip it; their
+    parallelism follows the upstream block count through the sort.
     """
     bucketed = ds.map_batches(
         lambda t: add_bucket(t, keys, num_buckets), batch_format="pyarrow"
     )
-    bucketed = bucketed.repartition(num_buckets)
+    if spread:
+        bucketed = bucketed.repartition(num_buckets)
 
     def per_bucket(t: pa.Table) -> pa.Table:
         return combine(t.drop_columns(["_bucket"]))

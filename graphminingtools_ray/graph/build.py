@@ -305,11 +305,24 @@ def corpus_ingest(
     ``module_key`` — the call site is factored so only ``_import_edges``
     changes.
     """
-    parsed = corpus.map_batches(_IngestBatch(), batch_format="pyarrow")
-    parsed = parsed.materialize()  # reused by 4 consumers below; corpus-scale
-
-    files = parsed.select_columns(
+    # ``files`` (per-commit sha256 rows) parses the FULL corpus — built
+    # lazily; the edge path below parses only the winning file versions and
+    # reads only the slim columns it needs (prune at the read).
+    files = corpus.map_batches(_IngestBatch(), batch_format="pyarrow").select_columns(
         ["repo", "path", "commit", "lang", "sha256", "vertex_id"]
+    )
+
+    def slim_ids(t: pa.Table) -> pa.Table:
+        repo = t["repo"].to_pylist()
+        path = t["path"].to_pylist()
+        vid = stable_id64([f"{r}:{p}" for r, p in zip(repo, path)])
+        return pa.table(
+            {"vertex_id": pa.array(vid), "repo": t["repo"], "path": t["path"],
+             "commit": t["commit"]}
+        )
+
+    slim = corpus.select_columns(["repo", "path", "commit"]).map_batches(
+        slim_ids, batch_format="pyarrow"
     )
 
     # one row per FILE (vertex): the corpus is commit-grained; graph semantics
@@ -350,7 +363,7 @@ def corpus_ingest(
 
     partial_frames = [
         b.to_pandas()
-        for b in parsed.select_columns(["vertex_id", "commit"])
+        for b in slim.select_columns(["vertex_id", "commit"])
         .map_batches(max_commit_batch, batch_format="pyarrow")
         .iter_batches(batch_size=None, batch_format="pyarrow")
     ]
@@ -361,24 +374,28 @@ def corpus_ingest(
     winner_map = dict(zip(winners_pdf["vertex_id"], winners_pdf["commit"]))
     winner_ref = ray.put(winner_map)
 
-    def keep_winner(t: pa.Table) -> pa.Table:
+    def keep_winner_and_parse(t: pa.Table) -> pa.Table:
+        # filter BEFORE parsing: content is only tokenized for the winning
+        # version of each file
         wm = ray.get(winner_ref)
-        vid = t["vertex_id"].to_numpy()
+        repo = t["repo"].to_pylist()
+        path = t["path"].to_pylist()
         com = t["commit"].to_pylist()
+        vid = stable_id64([f"{r}:{p}" for r, p in zip(repo, path)])
         mask = np.fromiter(
             (wm.get(int(v)) == c for v, c in zip(vid, com)), bool, count=len(vid)
         )
-        return t.filter(pa.array(mask))
+        return _IngestBatch()(t.filter(pa.array(mask)))
 
-    distinct_files = parsed.map_batches(
-        keep_winner, batch_format="pyarrow"
+    distinct_files = corpus.map_batches(
+        keep_winner_and_parse, batch_format="pyarrow"
     ).materialize()
 
     vertices = distinct_files.select_columns(["vertex_id", "repo", "path"])
 
     if check_collisions:
         n_distinct_keys = (
-            parsed.groupby(["repo", "path"]).aggregate(Count(alias_name="_c")).count()
+            slim.groupby(["repo", "path"]).aggregate(Count(alias_name="_c")).count()
         )
         n_distinct_ids = distinct_files.count()
         if n_distinct_keys != n_distinct_ids:
@@ -436,8 +453,8 @@ def corpus_ingest(
         batch_format="pyarrow",
     )
 
-    # --- co-commit edges ---------------------------------------------------
-    cc_in = parsed.map_batches(
+    # --- co-commit edges (from the slim projection — no content read) ------
+    cc_in = slim.map_batches(
         lambda t: pa.table(
             {
                 "ckey": pc.binary_join_element_wise(
@@ -459,7 +476,7 @@ def corpus_ingest(
 
     # --- shared-path edges -------------------------------------------------
     if include_copath:
-        cp_in = parsed.select_columns(["path", "vertex_id"])
+        cp_in = slim.select_columns(["path", "vertex_id"])
         parts.append(
             keyed_self_pairs(
                 cp_in, "path", "vertex_id", cap=cap, final_sum=False
