@@ -26,7 +26,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray
 import ray.data as rd
-from ray.data.aggregate import Count, Unique
+from ray.data.aggregate import Count
 
 from ..functions.hashing import sha256_hex, stable_id64
 
@@ -149,7 +149,7 @@ def _pairs_from_sorted_key_items(
 
 def keyed_self_pairs(
     ds: rd.Dataset, key: str | list[str], item: str, cap: int = 64,
-    num_buckets: int = 32, final_sum: bool = True,
+    num_buckets: int = 32, final_sum: bool = True, spread: bool = False,
 ) -> rd.Dataset:
     """(key, item) rows → unordered distinct-per-key pairs (src < dst) with
     ``weight`` = number of keys in which the pair co-occurred.
@@ -196,7 +196,7 @@ def keyed_self_pairs(
         )
 
     pairs = bucketed_group_combine(
-        ds, keys, expand_bucket, num_buckets=num_buckets, spread=True
+        ds, keys, expand_bucket, num_buckets=num_buckets, spread=spread
     )
     if not final_sum:
         return pairs  # (src, dst, partial) — caller owns the final exchange
