@@ -37,7 +37,7 @@ MEASURE_COLUMNS = [
     "graph_id", "n", "m", "max_degree", "min_degree", "n_components",
     "connected", "is_tree", "is_path", "n_bridges", "n_blocks",
     "n_self_loops", "spanning_trees", "n_simple_cycles", "n_bridge_trees",
-    "max_blocks_per_component",
+    "max_blocks_per_component", "is_cactus",
 ]
 
 
@@ -79,7 +79,12 @@ def measures_for_graph(n: int, edges: list[tuple[int, int]]) -> dict:
     is_tree = connected and m == n - 1 and n_self == 0
     is_path = is_tree and (n == 0 or deg.max() <= 2)
 
-    n_bridges, n_blocks, bridge_edges, max_blocks = _bridges_and_blocks(n, adj)
+    n_bridges, n_blocks, bridge_edges, max_blocks, non_cycle_blocks = (
+        _bridges_and_blocks(n, adj)
+    )
+    # cactus: connected, and every biconnected block is a simple cycle or a
+    # bridge (reference isCactus, outerplanar.c:39-69)
+    is_cactus = bool(connected and non_cycle_blocks == 0 and n_self == 0 and n > 0)
 
     st = _spanning_tree_count(n, edges, comp, n_components)
 
@@ -90,6 +95,7 @@ def measures_for_graph(n: int, edges: list[tuple[int, int]]) -> dict:
     n_cycles = _count_simple_cycles(n, adj_simple)
 
     return {
+        "is_cactus": is_cactus,
         "n_simple_cycles": n_cycles,
         "n_bridge_trees": _n_bridge_trees(n, bridge_edges),
         "max_blocks_per_component": max_blocks,
@@ -119,6 +125,7 @@ def _bridges_and_blocks(n: int, adj: list[list[int]]):
     timer = 0
     n_bridges = 0
     n_blocks = 0
+    non_cycle_blocks = 0
     bridge_edges: list[tuple[int, int]] = []
     max_blocks_per_comp = 0
     edge_stack: list[tuple[int, int]] = []
@@ -156,11 +163,14 @@ def _bridges_and_blocks(n: int, adj: list[list[int]]):
             if parent != -1:
                 if low[v] >= disc[parent]:
                     size = 0
+                    block_verts = set()
                     while edge_stack and edge_stack[-1] != (parent, v):
-                        edge_stack.pop()
+                        e = edge_stack.pop()
+                        block_verts.update(e)
                         size += 1
                     if edge_stack:
-                        edge_stack.pop()
+                        e = edge_stack.pop()
+                        block_verts.update(e)
                         size += 1
                     if size == 1:
                         n_bridges += 1
@@ -168,9 +178,12 @@ def _bridges_and_blocks(n: int, adj: list[list[int]]):
                     elif size > 1:
                         n_blocks += 1
                         blocks_this_comp += 1
+                        # a block is a simple cycle iff |E| == |V|
+                        if size != len(block_verts):
+                            non_cycle_blocks += 1
                 low[parent] = min(low[parent], low[v])
         max_blocks_per_comp = max(max_blocks_per_comp, blocks_this_comp)
-    return n_bridges, n_blocks, bridge_edges, max_blocks_per_comp
+    return n_bridges, n_blocks, bridge_edges, max_blocks_per_comp, non_cycle_blocks
 
 
 def _count_simple_cycles(n: int, adj_simple: list[set], cap: int = 100000) -> int:

@@ -131,6 +131,24 @@ def test_simple_cycles_and_bridge_trees():
     assert two["max_blocks_per_component"] == 1
 
 
+def test_is_cactus():
+    assert measures_for_graph(3, [(0, 1), (1, 2), (2, 0)])["is_cactus"]  # triangle
+    assert measures_for_graph(4, [(0, 1), (1, 2), (2, 3)])["is_cactus"]  # path/tree
+    # triangle + tail
+    assert measures_for_graph(5, [(0, 1), (1, 2), (2, 0), (2, 3), (3, 4)])["is_cactus"]
+    # two triangles sharing a vertex
+    assert measures_for_graph(
+        5, [(0, 1), (1, 2), (2, 0), (2, 3), (3, 4), (4, 2)]
+    )["is_cactus"]
+    # two triangles sharing an EDGE → one block with 5 edges / 4 vertices
+    assert not measures_for_graph(
+        4, [(0, 1), (1, 2), (2, 0), (1, 3), (3, 2)]
+    )["is_cactus"]
+    k4 = list(itertools.combinations(range(4), 2))
+    assert not measures_for_graph(4, k4)["is_cactus"]
+    assert not measures_for_graph(4, [(0, 1), (2, 3)])["is_cactus"]  # disconnected
+
+
 def test_spanning_trees():
     assert measures_for_graph(3, [(0, 1), (1, 2), (2, 0)])["spanning_trees"] == 3
     assert measures_for_graph(4, [(0, 1), (1, 2), (2, 3)])["spanning_trees"] == 1
