@@ -295,9 +295,15 @@ def run_scaling(sf_dir: str, lo: int = 8, hi: int = 32) -> dict:
     eff = speedup / (hi / lo)
     pr_lo = r_lo["pagerank"]["median_edges_per_sec_per_superstep"]
     pr_hi = r_hi["pagerank"]["median_edges_per_sec_per_superstep"]
+    stage_eff = {
+        k: round(r_lo["queries"][k] / r_hi["queries"][k] / (hi / lo), 3)
+        for k in r_lo["queries"]
+    }
     return {
-        "metric": "scaling efficiency (num_cpus 8 vs 32, fresh processes, same input)",
+        "metric": f"scaling efficiency (num_cpus {lo} vs {hi}, fresh processes, "
+        "same input; per-stage breakdown in stage_efficiency)",
         "value": round(eff, 3),
+        "stage_efficiency": stage_eff,
         "unit": "efficiency",
         "sf": sf_dir,
         "sec_lo": r_lo["value"],
