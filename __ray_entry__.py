@@ -18,6 +18,15 @@ from typing import Any
 SF1 = "/root/testdata/sf0.001"
 
 
+def _levelwise_paths(sf_dir: str):
+    """Full BFS levelwise mining loop (lwg shape): frequent labeled path
+    patterns up to 3 edges with apriori pruning. Not SQL-expressible
+    (iterative candidate generation) — pytest brute-force oracle instead."""
+    from graphminingtools_ray.pipelines.levelwise import levelwise_path_mining
+
+    return levelwise_path_mining(sf_dir, max_len=3)
+
+
 def entry() -> Any:
     """Flagship pipeline at sf0.001: derive the co-purchase link graph from
     the lineitem table and run PageRank over it to convergence."""
@@ -62,6 +71,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "frequent_vertex_labels": mining.frequent_vertex_labels,
         "frequent_edge_triples": mining.frequent_edge_triples,
         "frequent_wedge_patterns": mining.frequent_wedge_patterns,
+        "levelwise_paths": _levelwise_paths,
         # documents: dedup family + text analysis
         "dedup_exact": text_q.dedup_exact,
         "doc_stats": text_q.doc_stats,
@@ -224,7 +234,7 @@ def oracle_sql() -> dict[str, str]:
                           || GREATEST(prev_brand, p_brand) AS triple
                    FROM seq WHERE prev_brand IS NOT NULL)
             SELECT triple, COUNT(*) AS support FROM ed GROUP BY 1
-            HAVING COUNT(*) >= (SELECT FLOOR(0.05 * ng) FROM nb)
+            HAVING COUNT(*) >= (SELECT FLOOR(0.004 * ng) FROM nb)
         """,
         "frequent_wedge_patterns": """
             WITH nb AS (SELECT COUNT(DISTINCT l_orderkey) AS ng FROM lineitem),
@@ -251,7 +261,7 @@ def oracle_sql() -> dict[str, str]:
                        AND (h1.other < h2.other OR
                             (h1.other = h2.other AND h1.le < h2.le)))
             SELECT pattern, COUNT(*) AS support FROM wedge GROUP BY 1
-            HAVING COUNT(*) >= (SELECT FLOOR(0.03 * ng) FROM nb)
+            HAVING COUNT(*) >= (SELECT FLOOR(0.002 * ng) FROM nb)
         """,
         "dedup_exact": """
             SELECT md5(text) AS text_md5, MIN(doc_id) AS keeper_doc_id,

@@ -129,7 +129,7 @@ def order_graph_edges_full(sf_dir: str) -> rd.Dataset:
     return bucketed_group_combine(li, ["l_orderkey"], pair_consecutive)
 
 
-def frequent_wedge_patterns(sf_dir: str, min_support_frac: float = 0.03):
+def frequent_wedge_patterns(sf_dir: str, min_support_frac: float = 0.002):
     """Level-2 levelwise mining: frequent 2-edge path (wedge) patterns.
 
     A wedge at center vertex v = an unordered pair of DISTINCT incident
@@ -256,7 +256,7 @@ def frequent_vertex_labels(sf_dir: str, min_support_frac: float = 0.10):
     return out
 
 
-def frequent_edge_triples(sf_dir: str, min_support_frac: float = 0.05):
+def frequent_edge_triples(sf_dir: str, min_support_frac: float = 0.004):
     """Canonical edge label triples occurring in >= floor(frac * n_graphs)
     graphs; triple serialized ``la|le|lb``."""
     threshold = int(np.floor(min_support_frac * _n_graphs(sf_dir)))
