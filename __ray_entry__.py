@@ -223,11 +223,11 @@ def oracle_sql() -> dict[str, str]:
         """,
         "frequent_edge_triples": """
             WITH nb AS (SELECT COUNT(DISTINCT l_orderkey) AS ng FROM lineitem),
-            pl AS (SELECT l_orderkey, l_linenumber, l_returnflag, p_brand
+            pl AS (SELECT l_orderkey, l_linenumber, l_partkey, l_returnflag, p_brand
                    FROM lineitem JOIN part ON l_partkey = p_partkey),
             seq AS (SELECT l_orderkey, p_brand, l_returnflag,
                            lag(p_brand) OVER (PARTITION BY l_orderkey
-                                              ORDER BY l_linenumber) AS prev_brand
+                                              ORDER BY l_linenumber, l_partkey, l_returnflag) AS prev_brand
                     FROM pl),
             ed AS (SELECT DISTINCT l_orderkey,
                           LEAST(prev_brand, p_brand) || '|' || l_returnflag || '|'
@@ -243,7 +243,7 @@ def oracle_sql() -> dict[str, str]:
             seq AS (SELECT l_orderkey, l_partkey, p_brand, l_returnflag,
                            lag(l_partkey) OVER w AS prev_pk,
                            lag(p_brand) OVER w AS prev_brand
-                    FROM pl WINDOW w AS (PARTITION BY l_orderkey ORDER BY l_linenumber)),
+                    FROM pl WINDOW w AS (PARTITION BY l_orderkey ORDER BY l_linenumber, l_partkey, l_returnflag)),
             ed AS (SELECT DISTINCT l_orderkey AS o, prev_pk AS va, l_partkey AS vb,
                           prev_brand AS ba, p_brand AS bb, l_returnflag AS le
                    FROM seq WHERE prev_pk IS NOT NULL AND prev_pk <> l_partkey),
@@ -261,7 +261,7 @@ def oracle_sql() -> dict[str, str]:
                        AND (h1.other < h2.other OR
                             (h1.other = h2.other AND h1.le < h2.le)))
             SELECT pattern, COUNT(*) AS support FROM wedge GROUP BY 1
-            HAVING COUNT(*) >= (SELECT FLOOR(0.002 * ng) FROM nb)
+            HAVING COUNT(*) >= 3
         """,
         "dedup_exact": """
             SELECT md5(text) AS text_md5, MIN(doc_id) AS keeper_doc_id,

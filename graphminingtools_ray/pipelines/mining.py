@@ -54,7 +54,10 @@ def order_graph_edges(sf_dir: str) -> rd.Dataset:
         ln = t["l_linenumber"].to_numpy()
         pk = t["l_partkey"].to_numpy()
         rf = np.asarray(t["l_returnflag"].to_pylist(), dtype=object)
-        order = np.lexsort((ln, ok))
+        # full deterministic order: (order, linenumber, partkey, returnflag)
+        # — (order, linenumber) alone is NOT unique in this data, and the
+        # SQL oracle's window must sort identically
+        order = np.lexsort((rf, pk, ln, ok))
         ok, ln, pk, rf = ok[order], ln[order], pk[order], rf[order]
         same = ok[1:] == ok[:-1]  # consecutive rows of the same order
         brands = np.asarray([_bm[int(p)] for p in pk], dtype=object)
@@ -110,7 +113,7 @@ def order_graph_edges_full(sf_dir: str) -> rd.Dataset:
                 "pk": t["l_partkey"].to_numpy(),
                 "rf": t["l_returnflag"].to_pylist(),
             }
-        ).sort_values(["o", "ln"])
+        ).sort_values(["o", "ln", "pk", "rf"])
         same = df["o"].to_numpy()[1:] == df["o"].to_numpy()[:-1]
         va = df["pk"].to_numpy()[:-1][same]
         vb = df["pk"].to_numpy()[1:][same]
@@ -129,7 +132,7 @@ def order_graph_edges_full(sf_dir: str) -> rd.Dataset:
     return bucketed_group_combine(li, ["l_orderkey"], pair_consecutive)
 
 
-def frequent_wedge_patterns(sf_dir: str, min_support_frac: float = 0.002):
+def frequent_wedge_patterns(sf_dir: str, min_support: int = 3):
     """Level-2 levelwise mining: frequent 2-edge path (wedge) patterns.
 
     A wedge at center vertex v = an unordered pair of DISTINCT incident
@@ -138,8 +141,10 @@ def frequent_wedge_patterns(sf_dir: str, min_support_frac: float = 0.002):
     of the far endpoint — the engine's analog of the reference's size-3 tree
     patterns with canonical-string identity (treeEnumeration/apriori,
     ``lwm_miningAndExtension.c:56-158``). Support = number of graphs
-    containing the pattern; HAVING >= floor(frac * n_graphs)."""
-    threshold = int(np.floor(min_support_frac * _n_graphs(sf_dir)))
+    containing the pattern; HAVING >= an absolute min_support (the wedge
+    pattern space is large, so fractional thresholds empty out at small
+    scales)."""
+    threshold = min_support
     edges = order_graph_edges_full(sf_dir)
 
     def wedges_per_bucket(t: pa.Table) -> pa.Table:

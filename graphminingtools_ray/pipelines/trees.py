@@ -41,7 +41,7 @@ def order_tree_cstrings(sf_dir: str):
                 "pk": t["l_partkey"].to_numpy(),
                 "rf": t["l_returnflag"].to_pylist(),
             }
-        ).sort_values(["o", "ln"])
+        ).sort_values(["o", "ln", "pk", "rf"])
         out: dict[str, int] = {}
         for _, g in df.groupby("o", sort=False):
             pks = g["pk"].tolist()

@@ -30,7 +30,7 @@ def _brute_force(sf, max_len, frac):
                     JOIN read_parquet('{sf}/part.parquet') p ON l_partkey = p_partkey),
         seq AS (SELECT l_orderkey, l_partkey, p_brand, l_returnflag,
                        lag(l_partkey) OVER w AS pk0, lag(p_brand) OVER w AS b0
-                FROM pl WINDOW w AS (PARTITION BY l_orderkey ORDER BY l_linenumber))
+                FROM pl WINDOW w AS (PARTITION BY l_orderkey ORDER BY l_linenumber, l_partkey, l_returnflag))
         SELECT l_orderkey, pk0, l_partkey, b0, p_brand, l_returnflag
         FROM seq WHERE pk0 IS NOT NULL AND pk0 <> l_partkey
     """).fetchall()
