@@ -264,14 +264,17 @@ def oracle_sql() -> dict[str, str]:
             HAVING COUNT(*) >= 3
         """,
         "dedup_exact": """
-            SELECT md5(text) AS text_md5, MIN(doc_id) AS keeper_doc_id,
+            SELECT md5(COALESCE(text, '')) AS text_md5,
+                   MIN(doc_id) AS keeper_doc_id,
                    COUNT(*) AS n_copies
             FROM documents GROUP BY 1
         """,
         "doc_stats": r"""
-            SELECT doc_id, length(text)::BIGINT AS n_chars_computed,
-                   CAST(CASE WHEN trim(text) = '' THEN 0
-                        ELSE length(string_split_regex(trim(text), '\s+')) END
+            SELECT doc_id,
+                   length(COALESCE(text, ''))::BIGINT AS n_chars_computed,
+                   CAST(CASE WHEN trim(COALESCE(text, '')) = '' THEN 0
+                        ELSE length(string_split_regex(
+                                 trim(COALESCE(text, '')), '\s+')) END
                         AS BIGINT) AS n_tokens
             FROM documents
         """,
@@ -280,8 +283,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "word_freq_topk": r"""
             SELECT token, COUNT(*) AS n
-            FROM (SELECT unnest(string_split_regex(trim(text), '\s+')) AS token
-                  FROM documents WHERE trim(text) <> '')
+            FROM (SELECT unnest(string_split_regex(
+                               trim(COALESCE(text, '')), '\s+')) AS token
+                  FROM documents WHERE trim(COALESCE(text, '')) <> '')
             GROUP BY token ORDER BY n DESC, token LIMIT 20
         """,
         "ann_topk": """

@@ -65,13 +65,20 @@ def out_degrees(blocks: rd.Dataset, ids: np.ndarray, weighted: bool = False) -> 
             return pa.table({"src": np.empty(0, np.int64), "deg": np.empty(0, np.float64)})
         return pa.table({"src": np.concatenate(keys), "deg": np.concatenate(accs)})
 
-    deg = np.zeros(len(ids), dtype=np.float64)
+    # collect partials, then accumulate in a CANONICAL (src, deg) order so the
+    # float sum is bit-identical regardless of Ray's batch arrival order
+    ks, ds = [], []
     for b in blocks.map_batches(partial, batch_format="pyarrow").iter_batches(
         batch_size=None, batch_format="pyarrow"
     ):
-        srcs = b["src"].to_numpy()
-        d = b["deg"].to_numpy()
-        np.add.at(deg, np.searchsorted(ids, srcs), d)
+        ks.append(b["src"].to_numpy())
+        ds.append(b["deg"].to_numpy())
+    deg = np.zeros(len(ids), dtype=np.float64)
+    if ks:
+        k_all = np.concatenate(ks)
+        d_all = np.concatenate(ds)
+        order = np.lexsort((d_all, k_all))
+        np.add.at(deg, np.searchsorted(ids, k_all[order]), d_all[order])
     return deg
 
 
@@ -157,8 +164,13 @@ def block_summary(blocks: rd.Dataset, weighted: bool = False):
     ids = np.unique(np.concatenate([r[0] for r in rows]))
     deg = np.zeros(len(ids), dtype=np.float64)
     mix, n_edges = 0, 0
-    for k, d_, m, n in rows:
-        np.add.at(deg, np.searchsorted(ids, k), d_)
+    # canonical (vertex, deg) accumulation order → bit-identical weighted
+    # degree sums independent of Ray's batch arrival order
+    k_all = np.concatenate([r[0] for r in rows])
+    d_all = np.concatenate([r[1] for r in rows])
+    order = np.lexsort((d_all, k_all))
+    np.add.at(deg, np.searchsorted(ids, k_all[order]), d_all[order])
+    for _, _, m, n in rows:
         mix = (mix + m) & MASK
         n_edges += n
     digest = hashlib.blake2b(f"{n_edges}:{mix}".encode(), digest_size=16).hexdigest()

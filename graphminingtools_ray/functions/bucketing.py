@@ -96,6 +96,17 @@ def bucketed_group_combine(
 
 # ---- ready-made combines ---------------------------------------------------
 
+def _grouped_sum(inv: np.ndarray, v: np.ndarray, n_groups: int) -> np.ndarray:
+    """Per-group sum that is EXACT for integer values: int64 accumulation via
+    np.add.at (a float64 bincount would silently lose precision past 2^53 —
+    real at 10^12-row scale). Floats keep the fast bincount path."""
+    if np.issubdtype(v.dtype, np.integer):
+        acc = np.zeros(n_groups, dtype=np.int64)
+        np.add.at(acc, inv, v.astype(np.int64))
+        return acc
+    return np.bincount(inv, weights=v.astype(np.float64), minlength=n_groups)
+
+
 def sum_by_int_keys(keys: list[str], value: str, out_value: str | None = None):
     """combine: Sum(value) grouped by int64 key column(s), vectorized."""
     out_value = out_value or value
@@ -109,10 +120,7 @@ def sum_by_int_keys(keys: list[str], value: str, out_value: str | None = None):
             packed = np.stack([t[k].to_numpy() for k in keys], axis=1)
             uk, inv = np.unique(packed, axis=0, return_inverse=True)
             out = {k: uk[:, i] for i, k in enumerate(keys)}
-        s = np.bincount(inv, weights=v.astype(np.float64), minlength=len(uk))
-        if np.issubdtype(v.dtype, np.integer):
-            s = np.rint(s).astype(np.int64)
-        out[out_value] = s
+        out[out_value] = _grouped_sum(inv, v, len(uk))
         return pa.table(out)
 
     return combine
@@ -128,10 +136,7 @@ def sum_by_int_key(key: str, value: str, out_key: str | None = None,
         k = t[key].to_numpy()
         v = t[value].to_numpy()
         uk, inv = np.unique(k, return_inverse=True)
-        s = np.bincount(inv, weights=v.astype(np.float64), minlength=len(uk))
-        if np.issubdtype(v.dtype, np.integer):
-            s = np.rint(s).astype(np.int64)
-        return pa.table({out_key: uk, out_value: s})
+        return pa.table({out_key: uk, out_value: _grouped_sum(inv, v, len(uk))})
 
     return combine
 

@@ -62,6 +62,17 @@ def pairs_within_lists(
     group_ids = np.repeat(np.arange(n_groups), sizes)
     order = np.lexsort((values, group_ids))
     values = values[order]
+    group_ids = group_ids[order]
+
+    # drop duplicate values within a group (distinct-pair semantics, matching
+    # _pairs_from_sorted_key_items): sorted (group, value) rows → keep-first
+    if len(values):
+        keep = np.ones(len(values), dtype=bool)
+        keep[1:] = (group_ids[1:] != group_ids[:-1]) | (values[1:] != values[:-1])
+        if not keep.all():
+            values = values[keep]
+            sizes = np.bincount(group_ids[keep], minlength=n_groups).astype(np.int64)
+            offsets = np.concatenate([[0], np.cumsum(sizes)])
 
     # apply cap: keep first `cap` of each (sorted) group
     if sizes.size and sizes.max() > cap:

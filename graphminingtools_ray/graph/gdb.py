@@ -238,31 +238,55 @@ def _n_bridge_trees(n: int, bridge_edges: list[tuple[int, int]]) -> int:
     return comps
 
 
+def _bareiss_det(M: list[list[int]]) -> int:
+    """Exact integer determinant via fraction-free Bareiss elimination
+    (public algorithm; all intermediate divisions are exact). Python ints so
+    no overflow — the per-order graphs this runs on are tiny."""
+    n = len(M)
+    if n == 0:
+        return 1
+    sign = 1
+    prev = 1
+    for k in range(n - 1):
+        if M[k][k] == 0:
+            for r in range(k + 1, n):
+                if M[r][k] != 0:
+                    M[k], M[r] = M[r], M[k]
+                    sign = -sign
+                    break
+            else:
+                return 0
+        for i in range(k + 1, n):
+            for j in range(k + 1, n):
+                M[i][j] = (M[i][j] * M[k][k] - M[i][k] * M[k][j]) // prev
+            M[i][k] = 0
+        prev = M[k][k]
+    return sign * M[n - 1][n - 1]
+
+
 def _spanning_tree_count(n, edges, comp, n_components) -> int:
     """Matrix-tree theorem per component; product across components of a
     disconnected graph is 0 spanning trees (whole graph), matching the
     'spanning tree of the graph' semantics; for connected graphs the count.
-    Capped at SPANNING_TREE_CAP (reference caps via maxBound)."""
+    EXACT (integer Bareiss determinant — no float64 2^53 cliff), capped at
+    SPANNING_TREE_CAP (reference caps via maxBound)."""
     if n == 0:
         return 1
     if n_components > 1:
         return 0
-    L = np.zeros((n, n), dtype=np.float64)
+    if n == 1:
+        return 1
+    L = [[0] * n for _ in range(n)]
     for v, w in edges:
         if v == w:
             continue
-        L[v, v] += 1
-        L[w, w] += 1
-        L[v, w] -= 1
-        L[w, v] -= 1
-    if n == 1:
-        return 1
-    (sign, logdet) = np.linalg.slogdet(L[1:, 1:])
-    if sign <= 0:
-        return 0
-    if logdet > np.log(float(SPANNING_TREE_CAP)):
-        return int(SPANNING_TREE_CAP)
-    return int(round(np.exp(logdet)))
+        L[v][v] += 1
+        L[w][w] += 1
+        L[v][w] -= 1
+        L[w][v] -= 1
+    minor = [row[1:] for row in L[1:]]
+    det = _bareiss_det(minor)
+    return int(min(det, int(SPANNING_TREE_CAP)))
 
 
 def _group_kernel(g: pd.DataFrame) -> pd.DataFrame:
