@@ -168,11 +168,7 @@ def run_ingest_scaling(num_cpus: int) -> dict:
     from graphminingtools_ray.algos.pagerank import pagerank
     from graphminingtools_ray.algos.triangles import simple_undirected
     from graphminingtools_ray.graph.build import corpus_ingest, symmetrize
-    from graphminingtools_ray.stages.dedup import (
-        MinHasher,
-        WinnowFingerprint,
-        _token_hashes,
-    )
+    from graphminingtools_ray.stages.dedup import MinHasher, WinnowFingerprint
     from graphminingtools_ray.stages.text import LangIdHeuristic, QualityScore
 
     path = ensure_bench_corpus()
@@ -192,35 +188,26 @@ def run_ingest_scaling(num_cpus: int) -> dict:
     q = QualityScore()
 
     def doc_features(batch: pa.Table) -> pa.Table:
-        """All per-doc CPU features in one pass over content (token hashes
-        computed once, shared by minhash + winnow). Stateless tasks: the
-        helpers above ship in the closure (cheap), so warm worker processes
-        from the warm-up op are reused — no actor-pool cold start inside the
-        timed region."""
+        """All per-doc CPU features, batch-vectorized (polars token hashing
+        + segmented-reduce minhash/winnow — no per-shingle Python loop).
+        Stateless tasks: the helpers above ship in the closure (cheap), so
+        warm worker processes from the warm-up op are reused — no actor-pool
+        cold start inside the timed region."""
         import hashlib
 
         texts = batch["content"].to_pylist()
-        sha, sig0, nfp = [], [], []
-        for t in texts:
-            sha.append(hashlib.sha256(t.encode()).hexdigest())
-            h = _token_hashes(t, 3)
-            sig = mh.signature_from_hashes(h)
-            sig0.append(int(sig[0] >> np.uint64(1)))
-            if len(h) == 0:
-                nfp.append(0)
-            elif len(h) <= wf.window:
-                nfp.append(1)
-            else:
-                sw = np.lib.stride_tricks.sliding_window_view(h, wf.window)
-                nfp.append(len(np.unique(sw.min(axis=1))))
+        sha = [hashlib.sha256(t.encode()).hexdigest() for t in texts]
+        sigs = mh.signatures_batch(texts)
+        sig0 = (sigs[:, 0] >> np.uint64(1)).astype(np.int64)
+        nfp, _ = wf.stats_batch(texts)
         pdf = pd.DataFrame({"doc_id": np.arange(len(texts)), "text": texts})
         lang = lid(pdf)["lang_pred"]
         qual = q(pdf)["quality"]
         return pa.table(
             {
                 "sha256": pa.array(sha, pa.string()),
-                "minhash0": pa.array(sig0, pa.int64()),
-                "n_fingerprints": pa.array(nfp, pa.int64()),
+                "minhash0": pa.array(sig0),
+                "n_fingerprints": pa.array(nfp),
                 "lang_pred": pa.array(lang.tolist(), pa.string()),
                 "quality": pa.array(qual.to_numpy(np.float64)),
             }

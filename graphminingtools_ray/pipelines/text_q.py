@@ -10,7 +10,7 @@ from ray.data.aggregate import Count, Min, Sum
 
 from ..functions.rounding import round_half_away
 from ..sources.tables import read_table
-from ..stages.dedup import ExactDedupKey, MinHasher, SimHasher, WinnowFingerprint, jaccard
+from ..stages.dedup import ExactDedupKey, MinHasher, SimHasher, WinnowFingerprint
 from ..stages.media import MediaFeatureStub
 from ..stages.text import LangIdHeuristic, QualityScore, TextStats
 
@@ -110,54 +110,131 @@ def word_freq_topk(sf_dir: str, k: int = 20):
     )
 
 
-def minhash_near_dup(sf_dir: str, threshold: float = 0.3):
+def minhash_near_dup(sf_dir: str, threshold: float = 0.3, bucket_cap: int = 256):
     """MinHash+LSH near-dup: signature → band buckets → candidate pairs →
     exact Jaccard verify (guide pattern; reference analog minhashing.c).
 
-    Returns (doc_a, doc_b, jaccard) for verified pairs. Deterministic."""
+    FULLY DISTRIBUTED (no driver-side candidate set): candidate pairs stay a
+    Dataset end-to-end —
+      1. band rows → bucketed exchange on (band_id, band_hash) → vectorized
+         per-bucket pair expansion (``bucket_cap`` bounds the quadratic
+         blowup of a degenerate all-identical LSH bucket: sorted doc ids,
+         first ``bucket_cap`` kept — deterministic truncation semantics);
+      2. pairs ⋈ texts on doc_a (bucketed exchange; pair dedup happens here —
+         all pairs sharing doc_a land in one bucket);
+      3. (pairs+text_a) ⋈ texts on doc_b + batch-vectorized exact Jaccard,
+         threshold filter inside the bucket.
+    Only the verified survivors (tiny) reach the driver. Deterministic.
+
+    Returns (doc_a, doc_b, jaccard) for verified pairs, sorted."""
+    from ..functions.bucketing import bucketed_group_combine
+    from ..graph.build import _pairs_from_sorted_key_items
+    from ..stages.dedup import jaccard_pairs_vectorized
+
     docs = _docs(sf_dir)
     bands = docs.map_batches(MinHasher, batch_format="pandas", concurrency=2)
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = np.sort(g["doc_id"].unique())
-        if len(ids) < 2:
-            return pd.DataFrame({"doc_a": [], "doc_b": []})
-        a, b = np.triu_indices(len(ids), k=1)
-        return pd.DataFrame({"doc_a": ids[a], "doc_b": ids[b]})
-
-    cand = (
-        bands.groupby(["band_id", "band_hash"])
-        .map_groups(bucket_pairs, batch_format="pandas")
-    )
-    cand_pdf = cand.to_pandas().drop_duplicates()
-    if len(cand_pdf) == 0:
-        return pd.DataFrame({"doc_a": pd.Series([], dtype=np.int64),
-                             "doc_b": pd.Series([], dtype=np.int64),
-                             "jaccard": pd.Series([], dtype=np.float64)})
-    # verify: fetch texts for candidate docs only (small side), exact jaccard
-    need = set(cand_pdf["doc_a"]) | set(cand_pdf["doc_b"])
-    texts = (
-        docs.map_batches(
-            lambda b: b[b["doc_id"].isin(need)], batch_format="pandas"
+    def pair_gen(t: pa.Table) -> pa.Table:
+        packed = np.stack(
+            [t["band_id"].to_numpy(), t["band_hash"].to_numpy()], axis=1
         )
-        .to_pandas()
-        .set_index("doc_id")["text"]
+        _, inv = np.unique(packed, axis=0, return_inverse=True)
+        d = t["doc_id"].to_numpy()
+        order = np.lexsort((d, inv))
+        a, b = _pairs_from_sorted_key_items(inv[order], d[order], bucket_cap)
+        if len(a) == 0:
+            return pa.table(
+                {"doc_a": np.empty(0, np.int64), "doc_b": np.empty(0, np.int64)}
+            )
+        uniq = np.unique(np.stack([a, b], axis=1), axis=0)  # bucket-local dedup
+        return pa.table({"doc_a": uniq[:, 0], "doc_b": uniq[:, 1]})
+
+    cand = bucketed_group_combine(bands, ["band_id", "band_hash"], pair_gen)
+
+    # ---- verify: two bucketed text joins, vectorized jaccard ----
+    def tag_pairs(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "k": t["doc_a"],
+                "other": t["doc_b"],
+                "text": pa.array([None] * t.num_rows, pa.string()),
+                "is_pair": pa.array(np.ones(t.num_rows, np.int8)),
+            }
+        )
+
+    def tag_texts(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "k": t["doc_id"],
+                "other": pa.array(np.zeros(t.num_rows, np.int64)),
+                "text": t["text"],
+                "is_pair": pa.array(np.zeros(t.num_rows, np.int8)),
+            }
+        )
+
+    texts_tagged = docs.map_batches(
+        lambda t: tag_texts(t), batch_format="pyarrow"
     )
-    out = []
-    for r in cand_pdf.itertuples():
-        j = jaccard(texts.loc[r.doc_a], texts.loc[r.doc_b])
-        if j >= threshold:
-            out.append((int(r.doc_a), int(r.doc_b), j))
-    out.sort()
-    return pd.DataFrame(
-        {
-            "doc_a": pd.Series([a for a, _, _ in out], dtype=np.int64),
-            "doc_b": pd.Series([b for _, b, _ in out], dtype=np.int64),
-            "jaccard": round_half_away([j for _, _, j in out], 4)
-            if out
-            else pd.Series([], dtype=np.float64),
-        }
+
+    def attach_a(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        pr = df[df["is_pair"] == 1]
+        tx = df[df["is_pair"] == 0][["k", "text"]]
+        # global pair dedup: every (doc_a, *) pair of this doc_a is in this
+        # bucket, so a bucket-local drop_duplicates is a global one
+        pr = pr.drop_duplicates(subset=["k", "other"])
+        j = pr.merge(tx, on="k", suffixes=("", "_r"))
+        # re-key on doc_b for the second join; carry text_a
+        return pa.table(
+            {
+                "k": j["other"].to_numpy(np.int64),
+                "other": j["k"].to_numpy(np.int64),
+                "text": pa.array(j["text_r"].tolist(), pa.string()),
+                "is_pair": pa.array(np.ones(len(j), np.int8)),
+            }
+        )
+
+    keyed_a = bucketed_group_combine(
+        cand.map_batches(tag_pairs, batch_format="pyarrow").union(texts_tagged),
+        ["k"],
+        attach_a,
     )
+
+    def attach_b_verify(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        pr = df[df["is_pair"] == 1]
+        tx = df[df["is_pair"] == 0][["k", "text"]]
+        j = pr.merge(tx, on="k", suffixes=("", "_r"))
+        if len(j) == 0:
+            return pa.table(
+                {"doc_a": np.empty(0, np.int64), "doc_b": np.empty(0, np.int64),
+                 "jaccard": np.empty(0, np.float64)}
+            )
+        jac = jaccard_pairs_vectorized(j["text"].tolist(), j["text_r"].tolist())
+        m = jac >= threshold
+        return pa.table(
+            {
+                "doc_a": j["other"].to_numpy(np.int64)[m],
+                "doc_b": j["k"].to_numpy(np.int64)[m],
+                "jaccard": jac[m],
+            }
+        )
+
+    verified = bucketed_group_combine(
+        keyed_a.union(texts_tagged), ["k"], attach_b_verify
+    )
+    out = verified.to_pandas()
+    if len(out) == 0:
+        return pd.DataFrame(
+            {"doc_a": pd.Series([], dtype=np.int64),
+             "doc_b": pd.Series([], dtype=np.int64),
+             "jaccard": pd.Series([], dtype=np.float64)}
+        )
+    out = out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+    out["doc_a"] = out["doc_a"].astype(np.int64)
+    out["doc_b"] = out["doc_b"].astype(np.int64)
+    out["jaccard"] = round_half_away(out["jaccard"], 4)
+    return out
 
 
 def simhash_fingerprints(sf_dir: str):

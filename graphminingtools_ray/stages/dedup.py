@@ -7,47 +7,135 @@ same ideas over documents: a canonical key column + ``groupby(key)`` for
 exact dedup; K-permutation MinHash signatures banded into LSH buckets +
 ``groupby(band)`` for near-dup candidates.
 
-All stages are deterministic (fixed seeds, blake2b hashing) so results are
-reproducible across runs and num_cpus settings.
+Hash family v2 (vectorized cutover): token hashes come from polars'
+vectorized 64-bit string hash (one Rust pass per batch) and shingle hashes
+from a uint64 polynomial combine of n consecutive token hashes — no
+per-shingle Python/hashlib loop anywhere (that loop was the single biggest
+CPU sink of the round-1 ingest bench). All stages remain deterministic
+(fixed seeds) so results are reproducible across runs and num_cpus settings.
 """
 
 from __future__ import annotations
-
-import hashlib
 
 import numpy as np
 import pandas as pd
 
 _MERSENNE = (1 << 61) - 1
+_C = np.uint64(0x100000001B3)  # FNV-1a prime: shingle polynomial multiplier
+_TOKEN_SEED = 2024  # hash-family version seed (v2)
+
+
+def _finalize_mix(x: np.ndarray) -> np.ndarray:
+    """xorshift-multiply finalizer (splitmix64 tail) — decorrelates the
+    polynomial-combined shingle hashes before they feed minhash/banding."""
+    x = x.astype(np.uint64, copy=True)
+    x ^= x >> np.uint64(30)
+    x *= np.uint64(0xBF58476D1CE4E5B9)
+    x ^= x >> np.uint64(27)
+    x *= np.uint64(0x94D049BB133111EB)
+    x ^= x >> np.uint64(31)
+    return x
+
+
+def flat_token_hashes(texts) -> tuple[np.ndarray, np.ndarray]:
+    """uint64 hash per whitespace token of each text, flattened across the
+    batch. Returns ``(flat, offsets)`` with ``len(offsets) == len(texts)+1``.
+    One vectorized polars pass: split → explode → hash."""
+    import polars as pl
+
+    s = pl.Series("t", list(texts), dtype=pl.Utf8).fill_null("")
+    toks = s.str.extract_all(r"\S+")
+    counts = toks.list.len().to_numpy().astype(np.int64)
+    flat = toks.explode().drop_nulls()
+    h = flat.hash(seed=_TOKEN_SEED).to_numpy().astype(np.uint64)
+    offsets = np.concatenate([[0], np.cumsum(counts)])
+    return h, offsets
+
+
+def _combine_window(h: np.ndarray, starts: np.ndarray, width: int) -> np.ndarray:
+    """Polynomial combine of ``width`` consecutive values beginning at each
+    start index (vectorized over starts)."""
+    r = h[starts].copy()
+    for j in range(1, width):
+        r = r * _C + h[starts + j]
+    return r
+
+
+def shingle_hashes_flat(
+    texts, n: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Word-n-gram shingle hashes per doc, flattened: ``(flat, offsets)``.
+
+    Windowing semantics (v1-compatible): 0 tokens → no shingles; 0 < cnt < n
+    → ONE shingle over all cnt tokens; else cnt-n+1 sliding windows of n.
+    Fully vectorized: the window combine is an n-step strided numpy pass over
+    the whole batch; short docs are handled per length class (< n classes).
+    """
+    h, offsets = flat_token_hashes(texts)
+    counts = np.diff(offsets)
+    out_counts = np.where(counts == 0, 0, np.where(counts < n, 1, counts - n + 1))
+    out_offsets = np.concatenate([[0], np.cumsum(out_counts)])
+    out = np.zeros(out_offsets[-1], dtype=np.uint64)
+    total = len(h)
+    if total:
+        doc_of = np.repeat(np.arange(len(counts)), counts)
+        pos_in_doc = np.arange(total) - np.repeat(offsets[:-1], counts)
+        cnt_rep = np.repeat(counts, counts)
+        # long docs: every position p with p <= cnt-n starts a window
+        if n == 1:
+            valid = np.ones(total, dtype=bool)
+            vals = h
+            vstart = np.arange(total)
+        else:
+            lim = total - n + 1
+            valid = (pos_in_doc[:lim] <= cnt_rep[:lim] - n) if lim > 0 else np.zeros(0, bool)
+            vstart = np.flatnonzero(valid)
+            vals = _combine_window(h, vstart, n) if len(vstart) else np.empty(0, np.uint64)
+            valid = np.zeros(total, dtype=bool)
+            valid[vstart] = True
+        if len(vstart):
+            out_idx = out_offsets[doc_of[vstart]] + pos_in_doc[vstart]
+            out[out_idx] = vals
+        # short non-empty docs (cnt < n): one shingle over all tokens,
+        # handled per length class (at most n-1 classes, each vectorized)
+        if n > 1:
+            for l in range(1, n):
+                docs_l = np.flatnonzero(counts == l)
+                if len(docs_l) == 0:
+                    continue
+                starts_l = offsets[:-1][docs_l]
+                out[out_offsets[docs_l]] = _combine_window(h, starts_l, l)
+    return _finalize_mix(out), out_offsets
+
+
+def _char_shingle_hashes(text: str, n: int) -> np.ndarray:
+    """Char-n-gram shingles of one text, via a vectorized rolling polynomial
+    over the codepoint array (the fine-grained near-dup variant)."""
+    if not text:
+        return np.empty(0, np.uint64)
+    cp = np.frombuffer(text.encode("utf-32-le"), dtype=np.uint32).astype(np.uint64)
+    cp = _finalize_mix(cp + np.uint64(_TOKEN_SEED))
+    if len(cp) < n:
+        starts = np.array([0], dtype=np.int64)
+        return _finalize_mix(_combine_window(cp, starts, len(cp)))
+    starts = np.arange(len(cp) - n + 1)
+    return _finalize_mix(_combine_window(cp, starts, n))
 
 
 def _token_hashes(text: str, n: int = 3, chars: bool = False) -> np.ndarray:
-    """64-bit hashes of word n-gram (default) or character n-gram shingles.
-    Char shingles are the standard fine-grained near-dup variant (catch
-    edits inside words; much denser shingle sets)."""
+    """Shingle hashes of ONE text (compat shim over the batch path)."""
     if chars:
-        if len(text) < n:
-            shingles = [text] if text else []
-        else:
-            shingles = [text[i : i + n] for i in range(len(text) - n + 1)]
-    else:
-        toks = text.split()
-        if len(toks) < n:
-            shingles = [" ".join(toks)] if toks else []
-        else:
-            shingles = [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
-    out = np.empty(len(shingles), dtype=np.uint64)
-    for i, s in enumerate(shingles):
-        out[i] = int.from_bytes(
-            hashlib.blake2b(s.encode(), digest_size=8).digest(), "little"
-        )
-    return out
+        return _char_shingle_hashes(text, n)
+    flat, _ = shingle_hashes_flat([text], n)
+    return flat
 
 
 class ExactDedupKey:
     """md5(text) canonical key per doc (SQL-verifiable: DuckDB ``md5``)."""
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        import hashlib
+
         keys = [
             hashlib.md5(t.encode()).hexdigest() for t in batch["text"].fillna("")
         ]
@@ -57,9 +145,10 @@ class ExactDedupKey:
 class MinHasher:
     """K-permutation MinHash over word-3-gram shingles, banded for LSH.
 
-    Emits per doc: ``sig`` (K uint64 minima) and ``(band_id, band_hash)``
-    rows for the bucket groupby. Permutations ``(a*h + b) mod p`` with a
-    fixed-seed RNG built once per actor.
+    Batch-vectorized: per permutation k, one multiply-add over ALL shingles
+    of the batch + a segmented ``np.minimum.reduceat`` per doc — K vectorized
+    passes total, no per-doc Python work. Permutations ``a*h + b`` in uint64
+    with natural wraparound (standard vectorized min-wise family).
     """
 
     def __init__(self, num_perm: int = 64, bands: int = 16, shingle_n: int = 3, seed: int = 17):
@@ -72,75 +161,137 @@ class MinHasher:
         self.shingle_n = shingle_n
 
     def signature(self, text: str) -> np.ndarray:
-        h = _token_hashes(text, self.shingle_n)
-        return self.signature_from_hashes(h)
+        return self.signatures_batch([text])[0]
 
     def signature_from_hashes(self, h: np.ndarray) -> np.ndarray:
         if len(h) == 0:
             return np.zeros(self.num_perm, dtype=np.uint64)
-        # multiply-add in uint64 with natural wraparound (the standard
-        # vectorized min-wise permutation family; avoids 128-bit mod-prime)
         vals = h[None, :] * self.a[:, None] + self.b[:, None]  # (K, S) u64
         return vals.min(axis=1)
 
+    def signatures_batch(self, texts) -> np.ndarray:
+        """(num_docs, num_perm) uint64 signatures; empty docs → all-zero."""
+        flat, offsets = shingle_hashes_flat(texts, self.shingle_n)
+        counts = np.diff(offsets)
+        sigs = np.zeros((len(counts), self.num_perm), dtype=np.uint64)
+        nonempty = np.flatnonzero(counts > 0)
+        if len(nonempty):
+            starts = offsets[:-1][nonempty]
+            for k in range(self.num_perm):
+                vals = flat * self.a[k] + self.b[k]
+                sigs[nonempty, k] = np.minimum.reduceat(vals, starts)
+        return sigs
+
+    def band_hashes(self, sigs: np.ndarray) -> np.ndarray:
+        """(num_docs, bands) int64-positive band bucket keys — polynomial
+        combine of each band's signature rows + finalizer mix."""
+        chunked = sigs.reshape(len(sigs), self.bands, self.rows)
+        bh = np.zeros((len(sigs), self.bands), dtype=np.uint64)
+        for r in range(self.rows):
+            bh = bh * _C + chunked[:, :, r]
+        return (_finalize_mix(bh.ravel()).reshape(bh.shape) >> np.uint64(1)).astype(
+            np.int64
+        )
+
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         """Explode each doc into `bands` rows: (doc_id, band_id, band_hash)."""
-        doc_ids, band_ids, band_hashes = [], [], []
-        for did, text in zip(batch["doc_id"], batch["text"].fillna("")):
-            sig = self.signature(text)
-            for b in range(self.bands):
-                chunk = sig[b * self.rows : (b + 1) * self.rows]
-                bh = hashlib.blake2b(chunk.tobytes(), digest_size=8).digest()
-                doc_ids.append(did)
-                band_ids.append(b)
-                band_hashes.append(int.from_bytes(bh, "little") >> 1)
+        texts = batch["text"].fillna("").tolist()
+        doc_ids = batch["doc_id"].to_numpy(np.int64)
+        bh = self.band_hashes(self.signatures_batch(texts))
         return pd.DataFrame(
             {
-                "doc_id": np.asarray(doc_ids, dtype=np.int64),
-                "band_id": np.asarray(band_ids, dtype=np.int64),
-                "band_hash": np.asarray(band_hashes, dtype=np.int64),
+                "doc_id": np.repeat(doc_ids, self.bands),
+                "band_id": np.tile(np.arange(self.bands, dtype=np.int64), len(texts)),
+                "band_hash": bh.ravel(),
             }
         )
 
 
 def jaccard(text_a: str, text_b: str, n: int = 3) -> float:
-    ha = set(_token_hashes(text_a, n).tolist())
-    hb = set(_token_hashes(text_b, n).tolist())
-    if not ha and not hb:
+    ha = np.unique(_token_hashes(text_a, n))
+    hb = np.unique(_token_hashes(text_b, n))
+    if len(ha) == 0 and len(hb) == 0:
         return 1.0
-    return len(ha & hb) / max(1, len(ha | hb))
+    inter = len(np.intersect1d(ha, hb, assume_unique=True))
+    union = len(ha) + len(hb) - inter
+    return inter / max(1, union)
+
+
+def jaccard_pairs_vectorized(
+    texts_a: list[str], texts_b: list[str], n: int = 3
+) -> np.ndarray:
+    """Exact shingle-set Jaccard for many (a, b) pairs — fully vectorized:
+    one batched hashing pass over all 2m texts, a global lexsort to dedupe
+    each doc's shingle set, and a second lexsort per pair to count the union
+    (|A∩B| = |A|+|B|-|A∪B|). No per-pair Python loop. Used by the
+    distributed near-dup verify stage."""
+    m = len(texts_a)
+    if m == 0:
+        return np.empty(0, np.float64)
+    flat, offsets = shingle_hashes_flat(list(texts_a) + list(texts_b), n)
+    counts = np.diff(offsets)
+    doc_of = np.repeat(np.arange(2 * m), counts)
+    order = np.lexsort((flat, doc_of))
+    d, v = doc_of[order], flat[order]
+    keep = np.ones(len(d), dtype=bool)
+    keep[1:] = (d[1:] != d[:-1]) | (v[1:] != v[:-1])
+    d, v = d[keep], v[keep]
+    set_sizes = np.bincount(d, minlength=2 * m)
+    pair = d % m
+    order2 = np.lexsort((v, pair))
+    p2, v2 = pair[order2], v[order2]
+    dk = np.ones(len(p2), dtype=bool)
+    dk[1:] = (p2[1:] != p2[:-1]) | (v2[1:] != v2[:-1])
+    union = np.bincount(p2[dk], minlength=m)
+    sa, sb = set_sizes[:m], set_sizes[m:]
+    inter = sa + sb - union
+    return np.where(
+        (sa == 0) & (sb == 0), 1.0, inter / np.maximum(1, union)
+    ).astype(np.float64)
 
 
 class SimHasher:
     """64-bit SimHash over token hashes: bit b of the fingerprint is the sign
-    of the sum of ±1 votes from each token's hash bit b."""
+    of the sum of ±1 votes from each token's hash bit b. Batch-vectorized:
+    one (T, 64) bit matrix per batch + segmented ``np.add.reduceat``."""
 
     def __init__(self, shingle_n: int = 1):
         self.shingle_n = shingle_n
         self.bit_masks = (np.uint64(1) << np.arange(64, dtype=np.uint64))
 
+    def fingerprints_batch(self, texts) -> np.ndarray:
+        flat, offsets = shingle_hashes_flat(texts, self.shingle_n)
+        counts = np.diff(offsets)
+        fps = np.zeros(len(counts), dtype=np.int64)
+        nonempty = np.flatnonzero(counts > 0)
+        if len(nonempty):
+            bits = (
+                (flat[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
+                & np.uint64(1)
+            ).astype(np.int64)
+            starts = offsets[:-1][nonempty]
+            votes = np.add.reduceat(bits, starts, axis=0)  # (D≠0, 64)
+            pos = votes * 2 > counts[nonempty, None]
+            fp = (pos.astype(np.uint64) << np.arange(64, dtype=np.uint64)[None, :]).sum(
+                axis=1, dtype=np.uint64
+            )
+            fps[nonempty] = (fp & np.uint64(0x7FFF_FFFF_FFFF_FFFF)).astype(np.int64)
+        return fps
+
     def fingerprint(self, text: str) -> int:
-        h = _token_hashes(text, self.shingle_n)
-        if len(h) == 0:
-            return 0
-        bits = (h[:, None] & self.bit_masks[None, :]) != 0  # (T, 64)
-        votes = bits.sum(axis=0) * 2 - len(h)  # ±1 votes summed
-        fp = np.uint64(0)
-        for b in np.flatnonzero(votes > 0):
-            fp |= self.bit_masks[b]
-        return int(fp) & 0x7FFF_FFFF_FFFF_FFFF  # keep int64-positive
+        return int(self.fingerprints_batch([text])[0])
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        fps = [self.fingerprint(t) for t in batch["text"].fillna("")]
-        return pd.DataFrame(
-            {"doc_id": batch["doc_id"], "simhash": np.asarray(fps, dtype=np.int64)}
-        )
+        fps = self.fingerprints_batch(batch["text"].fillna("").tolist())
+        return pd.DataFrame({"doc_id": batch["doc_id"], "simhash": fps})
 
 
 class WinnowFingerprint:
     """Winnowing document fingerprints (Schleimer et al., SIGMOD 2003 —
-    public algorithm): k-gram rolling hashes, min per sliding window of w,
-    deduplicated. Emits summary stats per doc (count + min fingerprint)."""
+    public algorithm): k-gram shingle hashes, min per sliding window of w,
+    deduplicated. Emits summary stats per doc (count + min fingerprint).
+    Batch-vectorized: one sliding_window_view over the flattened shingle
+    array + per-doc distinct counting via lexsort boundaries."""
 
     def __init__(self, k: int = 5, window: int = 4):
         self.k = k
@@ -155,16 +306,56 @@ class WinnowFingerprint:
         sw = np.lib.stride_tricks.sliding_window_view(h, self.window)
         return np.unique(sw.min(axis=1))
 
+    def stats_batch(self, texts) -> tuple[np.ndarray, np.ndarray]:
+        """(n_fingerprints, fp_min) per doc, vectorized across the batch."""
+        w = self.window
+        flat, offsets = shingle_hashes_flat(texts, self.k)
+        counts = np.diff(offsets)
+        D = len(counts)
+        n_fp = np.zeros(D, dtype=np.int64)
+        fp_min = np.zeros(D, dtype=np.int64)
+        total = len(flat)
+        if total == 0:
+            return n_fp, fp_min
+        sel_docs_parts, sel_vals_parts = [], []
+        # long docs: window minima at every in-doc window start
+        if total > w:
+            sw_min = np.lib.stride_tricks.sliding_window_view(flat, w).min(axis=1)
+            pos_in_doc = np.arange(total) - np.repeat(offsets[:-1], counts)
+            cnt_rep = np.repeat(counts, counts)
+            doc_of = np.repeat(np.arange(D), counts)
+            lim = total - w + 1
+            valid = pos_in_doc[:lim] <= cnt_rep[:lim] - w
+            # only docs with cnt > w take the sliding-window path
+            long_mask = cnt_rep[:lim] > w
+            valid &= long_mask
+            vstart = np.flatnonzero(valid)
+            sel_docs_parts.append(doc_of[vstart])
+            sel_vals_parts.append(sw_min[vstart])
+        # short non-empty docs (0 < cnt <= w): single min over the doc
+        short = np.flatnonzero((counts > 0) & (counts <= w))
+        if len(short):
+            mins = np.minimum.reduceat(flat, offsets[:-1][short])
+            sel_docs_parts.append(short)
+            sel_vals_parts.append(mins)
+        if not sel_docs_parts:
+            return n_fp, fp_min
+        sel_docs = np.concatenate(sel_docs_parts)
+        sel_vals = np.concatenate(sel_vals_parts)
+        order = np.lexsort((sel_vals, sel_docs))
+        sd, sv = sel_docs[order], sel_vals[order]
+        distinct = np.ones(len(sd), dtype=bool)
+        distinct[1:] = (sd[1:] != sd[:-1]) | (sv[1:] != sv[:-1])
+        np.add.at(n_fp, sd[distinct], 1)
+        first = np.ones(len(sd), dtype=bool)
+        first[1:] = sd[1:] != sd[:-1]
+        fp_min[sd[first]] = (
+            sv[first] & np.uint64(0x7FFF_FFFF_FFFF_FFFF)
+        ).astype(np.int64)
+        return n_fp, fp_min
+
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        n_fp, fp_min = [], []
-        for t in batch["text"].fillna(""):
-            fps = self.fingerprints(t)
-            n_fp.append(len(fps))
-            fp_min.append(int(fps.min()) & 0x7FFF_FFFF_FFFF_FFFF if len(fps) else 0)
+        n_fp, fp_min = self.stats_batch(batch["text"].fillna("").tolist())
         return pd.DataFrame(
-            {
-                "doc_id": batch["doc_id"],
-                "n_fingerprints": np.asarray(n_fp, dtype=np.int64),
-                "fp_min": np.asarray(fp_min, dtype=np.int64),
-            }
+            {"doc_id": batch["doc_id"], "n_fingerprints": n_fp, "fp_min": fp_min}
         )
