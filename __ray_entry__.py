@@ -27,6 +27,55 @@ def _levelwise_paths(sf_dir: str):
     return levelwise_path_mining(sf_dir, max_len=3)
 
 
+def _levelwise_trees(sf_dir: str):
+    """General-TREE levelwise mining (round 2 — the reference's flagship
+    ``lwg``): frequent labeled tree patterns up to 3 edges, candidate
+    generation + apriori + exact subtree-embedding support counting
+    (algos.subtree_iso). Not SQL-expressible (iterative candidate
+    generation) — pytest brute-force oracle instead
+    (tests/test_levelwise.py::test_levelwise_trees_matches_bruteforce)."""
+    from graphminingtools_ray.pipelines.levelwise import levelwise_tree_mining
+
+    return levelwise_tree_mining(sf_dir, max_edges=3, min_support=2)
+
+
+def _cyclic_pattern_features(sf_dir: str):
+    """cpk feature map (Horváth et al. cyclic pattern kernel; reference
+    cpk.c): per graph, canonical simple-cycle strings + bridge-forest tree
+    strings. Cycle enumeration is not SQL-expressible — rows-only; pytest
+    oracle in tests/test_patterns.py."""
+    from graphminingtools_ray.pipelines.patterns import cyclic_pattern_features
+
+    return cyclic_pattern_features(sf_dir)
+
+
+def _tree_pattern_features(sf_dir: str):
+    """gpe/tpk shape: frequent trees (levelwise miner) probed into every
+    graph with the subtree-embedding operator → sparse binary features.
+    Rows-only; pytest oracle via independent subgraph enumeration."""
+    from graphminingtools_ray.pipelines.patterns import tree_pattern_features
+
+    return tree_pattern_features(sf_dir, max_edges=2, min_support=3)
+
+
+def _gdb_blockchain_measures(sf_dir: str):
+    """Full gf measure table (incl. round-2 kernels: outerplanarity, block
+    degree/criticality, ST estimate, non-iso cycles/spanning trees) over a
+    deterministic cgen block-chain DB — the graph class those kernels exist
+    for. Input is generated (seeded), so sf_dir only scales the DB size.
+    Rows-only; per-kernel oracles in tests/test_gdb.py."""
+    from graphminingtools_ray.graph.gdb import graph_measures
+    from graphminingtools_ray.sources.generators import (
+        block_chain_db,
+        gdb_from_long,
+    )
+
+    n_graphs = 40 if "0.01" in sf_dir else 20
+    long_ds = block_chain_db(n_graphs, 3, 5, diagonal_prob=0.3, seed=13)
+    v, e = gdb_from_long(long_ds)
+    return graph_measures(v, e)
+
+
 def entry() -> Any:
     """Flagship pipeline at sf0.001: derive the co-purchase link graph from
     the lineitem table and run PageRank over it to convergence."""
@@ -72,6 +121,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "frequent_edge_triples": mining.frequent_edge_triples,
         "frequent_wedge_patterns": mining.frequent_wedge_patterns,
         "levelwise_paths": _levelwise_paths,
+        "levelwise_trees": _levelwise_trees,
+        "cyclic_pattern_features": _cyclic_pattern_features,
+        "tree_pattern_features": _tree_pattern_features,
+        "gdb_blockchain_measures": _gdb_blockchain_measures,
         # documents: dedup family + text analysis
         "dedup_exact": text_q.dedup_exact,
         "doc_stats": text_q.doc_stats,

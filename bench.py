@@ -58,13 +58,21 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
         pq.read_table(os.path.join(sf_dir, f"{t}.parquet"))
 
     # derive the co-purchase link graph ONCE; all four graph algorithms share
-    # the materialized edge table (the realistic pipeline shape)
+    # the materialized edge table (the realistic pipeline shape), and
+    # pagerank + WL share one partitioned graph build over the symmetric view
     edges = timed(
         "edge_derivation", lambda: copurchase_edges(sf_dir).materialize()
     )
     sym = symmetrize(edges.drop_columns(["weight"]))
+    from graphminingtools_ray.algos.partitioned import build_partitioned_graph
 
-    _, _, pr_info = timed("pagerank", lambda: pagerank(sym, tol=1e-6, max_iter=60))
+    sym_graph = timed(
+        "graph_partition_build", lambda: build_partitioned_graph(sym, P=8)
+    )
+
+    _, _, pr_info = timed(
+        "pagerank", lambda: pagerank(sym, tol=1e-6, max_iter=60, graph=sym_graph)
+    )
 
     def consume(res):
         # force full execution of lazy Datasets
@@ -80,8 +88,12 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
             symmetrize(edges.filter(expr="weight >= 2"))
         )[0].shape,
     )
-    timed("triangles", lambda: triangle_counts(edges)[2])
-    timed("wl_relabel_1", lambda: wl_relabel(sym, iterations=1)[0].shape)
+    # copurchase edges are already a distinct (src<dst) pair table
+    timed("triangles", lambda: triangle_counts(edges, assume_simple=True)[2])
+    timed(
+        "wl_relabel_1",
+        lambda: wl_relabel(sym, iterations=1, graph=sym_graph)[0].shape,
+    )
     timed("q1_pricing_summary", lambda: consume(relational.q1_pricing_summary(sf_dir)))
     timed("events_hourly", lambda: consume(relational.events_hourly(sf_dir)))
     timed("sessionize", lambda: consume(relational.sessionize(sf_dir)))

@@ -8,11 +8,13 @@ keeps isolated vertices as their own component, which we honor via the
 optional ``all_vertex_ids`` argument since edge tables cannot mention
 edge-less vertices).
 
-Same superstep harness as PageRank with Sum → Min: per block, partial min of
-incoming labels per dst (``np.minimum.at`` — the combiner), then
-``groupby(dst).aggregate(Min)``, then ``label' = min(label, incoming)``.
-Converges when no label changes (≤ diameter supersteps on the symmetrized
-edge view — pass edges through ``graph.symmetrize`` first).
+Same co-partitioned superstep harness as PageRank (algos.partitioned) with
+Sum → Min: per pinned src-part block, partial min of incoming labels per dst
+(``np.minimum.at`` — the combiner), ONE ``groupby(part(dst))`` exchange,
+per-partition update ``label' = min(label, incoming)`` + changed-count
+scalar. Converges when no label changes (≤ diameter supersteps on the
+symmetrized edge view — pass edges through ``graph.symmetrize`` first).
+All label math is exact int64, so determinism is structural.
 """
 
 from __future__ import annotations
@@ -24,97 +26,186 @@ import pyarrow as pa
 import ray
 import ray.data as rd
 
-from ..functions.bucketing import bucketed_group_combine, min_by_int_key
-from ..graph.csr import build_csr_blocks, unpack_block
-from ..state.checkpoint import CheckpointManager
-from .common import block_summary, broadcast_state
+from ..functions.bucketing import int_bucket
+from .partitioned import (
+    PartitionedCheckpoint,
+    build_partitioned_graph,
+    init_state,
+    index_state,
+    state_to_arrays,
+    state_to_dataset,
+    unpack_part_block,
+    _row_lists,
+)
+
+_SENTINEL = -1
+_IMAX = np.iinfo(np.int64).max
 
 
-def _make_min_fn(ids_ref, labels_ref):
+def _make_min_fn(handles_ref, P: int, local_closure_passes: int = 64):
     def step(batch: pa.Table) -> pa.Table:
-        ids = ray.get(ids_ref)
-        labels = ray.get(labels_ref)
-        keys, partials = [], []
+        h = ray.get(handles_ref)
+        cache: dict[int, tuple] = {}
+        parts_out, keys, partials = [], [], []
         for row in range(batch.num_rows):
-            srcs, src_index, dst_unique, dst_index, _ = unpack_block(batch, row)
-            per_edge = labels[np.searchsorted(ids, srcs)][src_index]
-            partial = np.full(len(dst_unique), np.iinfo(np.int64).max, dtype=np.int64)
-            np.minimum.at(partial, dst_index, per_edge)
+            part, srcs, src_index, dst_unique, dst_index, _ = unpack_part_block(
+                batch, row
+            )
+            if part not in cache:
+                sref, srow = h["static"][part]
+                (ids_p,) = _row_lists(ray.get(sref), srow, ["ids"])
+                vref, vrow = h["state"][part]
+                (labels_p,) = _row_lists(ray.get(vref), vrow, ["values"])
+                cache[part] = (ids_p, labels_p)
+            ids_p, labels_p = cache[part]
+            # BLOCK-LOCAL MIN CLOSURE: iterate min-propagation over this
+            # block's edges to a local fixpoint before emitting, so one
+            # global superstep hops an entire intra-partition chain (the
+            # block holds ALL out-edges of its partition's vertices, so
+            # in-partition paths close locally). Global superstep count
+            # drops from graph diameter to ~quotient-over-parts diameter.
+            # Deterministic: pure min-lattice ops.
+            local_ids = np.union1d(srcs, dst_unique)
+            lab = np.full(len(local_ids), _IMAX, dtype=np.int64)
+            pos_known = np.searchsorted(ids_p, local_ids)
+            pos_known = np.minimum(pos_known, len(ids_p) - 1)
+            known = ids_p[pos_known] == local_ids
+            lab[known] = labels_p[pos_known[known]]
+            # a vertex's own id is an upper bound on its component label
+            lab = np.minimum(lab, local_ids)
+            sp = np.searchsorted(local_ids, srcs)[src_index]
+            dp = np.searchsorted(local_ids, dst_unique)[dst_index]
+            for _ in range(local_closure_passes):
+                before = lab.copy()
+                np.minimum.at(lab, dp, lab[sp])
+                if np.array_equal(before, lab):
+                    break
+            # message per dst = its post-closure local label (min over all
+            # incoming paths seen by this block, incl. the dst's own bound)
+            partial = lab[np.searchsorted(local_ids, dst_unique)]
+            parts_out.append(int_bucket(dst_unique, P))
             keys.append(dst_unique)
             partials.append(partial)
         if not keys:
             return pa.table(
-                {"dst": np.empty(0, np.int64), "partial": np.empty(0, np.int64)}
+                {"part": np.empty(0, np.int64), "dst": np.empty(0, np.int64),
+                 "partial": np.empty(0, np.int64)}
             )
         return pa.table(
-            {"dst": np.concatenate(keys), "partial": np.concatenate(partials)}
+            {
+                "part": np.concatenate(parts_out),
+                "dst": np.concatenate(keys),
+                "partial": np.concatenate(partials),
+            }
         )
 
     return step
 
 
-def connected_components(
+def _make_update_fn(handles_ref, iteration, ckpt_tmp, digest):
+    def update(t: pa.Table) -> pa.Table:
+        h = ray.get(handles_ref)
+        part = int(t["part"][0].as_py())
+        sref, srow = h["static"][part]
+        (ids_p,) = _row_lists(ray.get(sref), srow, ["ids"])
+        vref, vrow = h["state"][part]
+        (labels_old,) = _row_lists(ray.get(vref), vrow, ["values"])
+        dst = t["dst"].to_numpy()
+        partial = t["partial"].to_numpy()
+        m = dst != _SENTINEL
+        dst, partial = dst[m], partial[m]
+        new_labels = labels_old.copy()
+        if len(dst):
+            np.minimum.at(
+                new_labels, np.searchsorted(ids_p, dst), partial
+            )
+        changed = int(np.count_nonzero(new_labels != labels_old))
+        if ckpt_tmp is not None:
+            PartitionedCheckpoint.write_shard(
+                ckpt_tmp, iteration, part, digest, ids_p, new_labels
+            )
+        return pa.table(
+            {
+                "part": pa.array([part], pa.int64()),
+                "values": pa.array([new_labels], pa.list_(pa.int64())),
+                "changed": pa.array([changed], pa.int64()),
+            }
+        )
+
+    return update
+
+
+def connected_components_partitioned(
     edges_symmetric: rd.Dataset,
     all_vertex_ids: np.ndarray | None = None,
     max_iter: int = 200,
     checkpoint_dir: str | None = None,
     num_state_partitions: int = 8,
 ):
-    """-> (vertex_ids, component_ids, info). ``edges_symmetric`` must contain
-    both half-edges (see ``graph.symmetrize``)."""
-    blocks = build_csr_blocks(edges_symmetric)
-    ids, _, _, digest = block_summary(blocks)
-    if all_vertex_ids is not None:
-        ids = np.union1d(ids, np.asarray(all_vertex_ids, dtype=np.int64))
-    n = len(ids)
-    if n == 0:
-        return ids, np.empty(0, np.int64), {"iterations": 0, "supersteps": []}
+    """Core loop. -> (state_ds, graph, info). State stays distributed."""
+    g = build_partitioned_graph(
+        edges_symmetric, P=num_state_partitions, extra_vertex_ids=all_vertex_ids
+    )
+    if g.n_vertices == 0:
+        return None, g, {"iterations": 0, "supersteps": []}
 
-    labels = ids.copy()
-    mgr = None
+    ckpt = (
+        PartitionedCheckpoint(checkpoint_dir, g.digest)
+        if checkpoint_dir is not None
+        else None
+    )
     start_iter = 0
     resumed_from = None
-    if checkpoint_dir is not None:
-        mgr = CheckpointManager(
-            checkpoint_dir, digest, num_partitions=num_state_partitions
-        )
-        latest = mgr.load_latest()
+    state_ds = state_index = None
+    if ckpt is not None:
+        latest = ckpt.latest_meta()
         if latest is not None:
-            it, ck_ids, ck_vals, meta = latest
-            if np.array_equal(ck_ids, ids):
-                labels = ck_vals.astype(np.int64)
-                start_iter = it + 1
-                resumed_from = it
-                if meta.get("converged"):
-                    return ids, labels, {
-                        "iterations": it + 1,
-                        "resumed_from": it,
-                        "supersteps": [],
-                    }
+            it, manifest = latest
+            meta = manifest.get("meta", {})
+            state_ds, state_index = ckpt.load_state(g, it, pa.int64())
+            start_iter = it + 1
+            resumed_from = it
+            if meta.get("converged"):
+                return state_ds, g, {
+                    "iterations": it + 1,
+                    "converged": True,
+                    "resumed_from": it,
+                    "supersteps": [],
+                }
+    if state_ds is None:
+        state_ds, state_index, _ = init_state(
+            g, lambda part, ids, outdeg: ids.copy(), pa.int64()
+        )
 
+    seed = g.seed_messages(pa.int64())
     supersteps = []
     converged = False
     for it in range(start_iter, max_iter):
         t0 = time.perf_counter()
-        ids_ref, lab_ref = broadcast_state(ids, labels)
-        msgs = blocks.map_batches(
-            _make_min_fn(ids_ref, lab_ref), batch_format="pyarrow"
+        handles_ref = ray.put({"static": g.static_index, "state": state_index})
+        msgs = g.blocks.map_batches(
+            _make_min_fn(handles_ref, g.P), batch_format="pyarrow"
         )
-        agg = bucketed_group_combine(
-            msgs, ["dst"], min_by_int_key("dst", "partial", "dst", "incoming")
+        tmp = ckpt.tmp_dir(it) if ckpt is not None else None
+        new_state = (
+            msgs.union(seed)
+            .groupby("part")
+            .map_groups(
+                _make_update_fn(handles_ref, it, tmp, g.digest),
+                batch_format="pyarrow",
+            )
+            .materialize()
         )
-        new_labels = labels.copy()
-        for b in agg.iter_batches(batch_size=None, batch_format="pyarrow"):
-            idx = np.searchsorted(ids, b["dst"].to_numpy())
-            np.minimum.at(new_labels, idx, b["incoming"].to_numpy())
-        changed = int(np.count_nonzero(new_labels != labels))
-        labels = new_labels
+        state_index, scalars = index_state(new_state, ["changed"])
+        state_ds = new_state
+        changed = sum(s["changed"] for s in scalars.values())
+        converged = changed == 0
         dt = time.perf_counter() - t0
         supersteps.append({"iteration": it, "seconds": dt, "changed": changed})
-        converged = changed == 0
-        if mgr is not None:
-            mgr.save(
-                it, ids, labels, meta={"changed": changed, "converged": converged}
+        if ckpt is not None:
+            ckpt.commit(
+                it, sorted(scalars),
+                meta={"changed": changed, "converged": converged},
             )
         if converged:
             break
@@ -125,4 +216,35 @@ def connected_components(
         "resumed_from": resumed_from,
         "supersteps": supersteps,
     }
-    return ids, labels, info
+    return state_ds, g, info
+
+
+def connected_components(
+    edges_symmetric: rd.Dataset,
+    all_vertex_ids: np.ndarray | None = None,
+    max_iter: int = 200,
+    checkpoint_dir: str | None = None,
+    num_state_partitions: int = 8,
+):
+    """-> (vertex_ids, component_ids, info) — numpy result delivery over the
+    distributed loop. ``edges_symmetric`` must contain both half-edges (see
+    ``graph.symmetrize``)."""
+    state_ds, g, info = connected_components_partitioned(
+        edges_symmetric, all_vertex_ids, max_iter, checkpoint_dir,
+        num_state_partitions,
+    )
+    if state_ds is None:
+        return np.empty(0, np.int64), np.empty(0, np.int64), info
+    ids, labels = state_to_arrays(state_ds, g)
+    return ids, labels.astype(np.int64), info
+
+
+def connected_components_dataset(edges_symmetric: rd.Dataset, **kw):
+    """Streaming result: Dataset of (vertex_id, component_id)."""
+    state_ds, g, info = connected_components_partitioned(edges_symmetric, **kw)
+    if state_ds is None:
+        return rd.from_arrow(
+            pa.table({"vertex_id": pa.array([], pa.int64()),
+                      "component_id": pa.array([], pa.int64())})
+        ), info
+    return state_to_dataset(state_ds, g, "component_id"), info

@@ -13,10 +13,13 @@ Signature string (identical on the engine and SQL sides):
 new label = md5 hex of the signature. Neighbor labels are a MULTISET over
 distinct neighbors (the edge view must be a simple symmetric graph).
 
-Implementation: per block, emit (dst, src_label) message rows (labels looked
-up from the broadcast state); ``groupby(dst).map_groups`` computes the
-signature per vertex. Vertices with no incoming edges hash the empty
-neighbor list.
+Round-2 co-partitioned implementation (algos.partitioned): label state lives
+as per-partition string rows in the object store; per pinned src-part block
+we emit (part(dst), dst, src_label) message rows, ONE ``groupby(part)``
+exchange, and the per-partition update builds every signature of its part in
+one pandas pass — including the empty-neighbor signature for isolated
+vertices, which the update sees because it walks the partition's full id
+list, not just message keys. Nothing vertex-scale on the driver.
 """
 
 from __future__ import annotations
@@ -29,113 +32,187 @@ import pyarrow as pa
 import ray
 import ray.data as rd
 
-from ..graph.csr import build_csr_blocks, unpack_block
-from .common import broadcast_state, collect_vertex_ids
+from ..functions.bucketing import int_bucket
+from .partitioned import (
+    build_partitioned_graph,
+    init_state,
+    index_state,
+    state_to_arrays,
+    state_to_dataset,
+    unpack_part_block,
+    _row_lists,
+)
+
+_SENTINEL = -1
 
 
 def wl_signature(own: str, neighbor_labels: list[str]) -> str:
     return f"{own}|{','.join(sorted(neighbor_labels))}"
 
 
-def _make_msg_fn(ids_ref, lab_ref):
+def _make_msg_fn(handles_ref, P: int):
     def emit(batch: pa.Table) -> pa.Table:
-        ids = ray.get(ids_ref)
-        labels = ray.get(lab_ref)  # numpy object array of str, aligned to ids
-        dsts, src_labels = [], []
+        h = ray.get(handles_ref)
+        cache: dict[int, tuple] = {}
+        parts_out, dsts, src_labels = [], [], []
         for row in range(batch.num_rows):
-            srcs, src_index, dst_unique, dst_index, _ = unpack_block(batch, row)
-            sl = labels[np.searchsorted(ids, srcs)][src_index]
-            dsts.append(dst_unique[dst_index])
+            part, srcs, src_index, dst_unique, dst_index, _ = unpack_part_block(
+                batch, row
+            )
+            if part not in cache:
+                sref, srow = h["static"][part]
+                (ids_p,) = _row_lists(ray.get(sref), srow, ["ids"])
+                vref, vrow = h["state"][part]
+                (labels_p,) = _row_lists(ray.get(vref), vrow, ["values"])
+                cache[part] = (ids_p, labels_p)
+            ids_p, labels_p = cache[part]
+            sl = labels_p[np.searchsorted(ids_p, srcs)][src_index]
+            d = dst_unique[dst_index]
+            parts_out.append(int_bucket(d, P))
+            dsts.append(d)
             src_labels.append(sl)
         if not dsts:
             return pa.table(
-                {"dst": np.empty(0, np.int64), "src_label": pa.array([], pa.string())}
+                {"part": np.empty(0, np.int64), "dst": np.empty(0, np.int64),
+                 "src_label": pa.array([], pa.string())}
             )
         return pa.table(
             {
+                "part": np.concatenate(parts_out),
                 "dst": np.concatenate(dsts),
-                "src_label": pa.array(np.concatenate(src_labels).tolist(), pa.string()),
+                "src_label": pa.array(
+                    np.concatenate(src_labels).tolist(), pa.string()
+                ),
             }
         )
 
     return emit
 
 
-def _make_sig_bucket(ids_ref, lab_ref):
-    """Per-bucket combine: signatures for EVERY dst in the bucket in one
-    pandas pass (sorted join + md5 per vertex) — no per-group dispatch."""
-
-    def combine(t: pa.Table) -> pa.Table:
-        import ray as _ray
-
-        ids = _ray.get(ids_ref)
-        labels = _ray.get(lab_ref)
+def _make_update_fn(handles_ref):
+    def update(t: pa.Table) -> pa.Table:
+        h = ray.get(handles_ref)
+        part = int(t["part"][0].as_py())
+        sref, srow = h["static"][part]
+        (ids_p,) = _row_lists(ray.get(sref), srow, ["ids"])
+        vref, vrow = h["state"][part]
+        (labels_old,) = _row_lists(ray.get(vref), vrow, ["values"])
+        dst = t["dst"].to_numpy()
+        m = dst != _SENTINEL
         df = pd.DataFrame(
-            {"dst": t["dst"].to_numpy(), "src_label": t["src_label"].to_pylist()}
+            {"dst": dst[m], "src_label": np.asarray(t["src_label"].to_pylist(), object)[m]}
         )
         df = df.sort_values(["dst", "src_label"], kind="stable")
         joined = df.groupby("dst", sort=True)["src_label"].agg(",".join)
-        own = labels[np.searchsorted(ids, joined.index.to_numpy())]
-        out_labels = [
+        neigh = np.full(len(ids_p), "", dtype=object)
+        if len(joined):
+            neigh[np.searchsorted(ids_p, joined.index.to_numpy())] = joined.to_numpy()
+        new_labels = [
             hashlib.md5(f"{o}|{ns}".encode()).hexdigest()
-            for o, ns in zip(own, joined.to_numpy())
+            for o, ns in zip(labels_old, neigh)
         ]
         return pa.table(
             {
-                "vertex_id": joined.index.to_numpy(),
-                "label": pa.array(out_labels, pa.string()),
+                "part": pa.array([part], pa.int64()),
+                "values": pa.array([new_labels], pa.list_(pa.string())),
             }
         )
 
-    return combine
+    return update
+
+
+def wl_relabel_partitioned(
+    edges_symmetric: rd.Dataset,
+    iterations: int = 1,
+    init_labels: tuple[np.ndarray, np.ndarray] | None = None,
+    num_state_partitions: int = 8,
+    graph=None,
+):
+    """Core loop. -> (state_ds, graph, info)."""
+    g = graph if graph is not None else build_partitioned_graph(
+        edges_symmetric, P=num_state_partitions
+    )
+    if g.n_vertices == 0:
+        return None, g, {"iterations": 0}
+
+    if init_labels is None:
+        make_values = lambda part, ids, outdeg: np.array(
+            [str(v) for v in ids], dtype=object
+        )
+    else:
+        init_ids = np.asarray(init_labels[0], dtype=np.int64)
+        init_vals = np.asarray(init_labels[1], dtype=object)
+        order = np.argsort(init_ids, kind="stable")
+        init_ids, init_vals = init_ids[order], init_vals[order]
+        iref = ray.put((init_ids, init_vals))
+
+        def make_values(part, ids, outdeg):
+            si, sv = ray.get(iref)
+            out = np.array([str(v) for v in ids], dtype=object)
+            pos = np.searchsorted(si, ids)
+            pos_ok = (pos < len(si))
+            hit = np.zeros(len(ids), dtype=bool)
+            hit[pos_ok] = si[pos[pos_ok]] == ids[pos_ok]
+            out[hit] = sv[pos[hit]]
+            return out
+
+    state_ds, state_index, _ = init_state(g, make_values, pa.string())
+
+    # seed with matching message schema (part, dst, src_label)
+    seed = rd.from_arrow(
+        pa.table(
+            {
+                "part": pa.array(g.parts, pa.int64()),
+                "dst": pa.array([_SENTINEL] * len(g.parts), pa.int64()),
+                "src_label": pa.array([""] * len(g.parts), pa.string()),
+            }
+        )
+    )
+
+    for _ in range(iterations):
+        handles_ref = ray.put({"static": g.static_index, "state": state_index})
+        msgs = g.blocks.map_batches(
+            _make_msg_fn(handles_ref, g.P), batch_format="pyarrow"
+        )
+        new_state = (
+            msgs.union(seed)
+            .groupby("part")
+            .map_groups(_make_update_fn(handles_ref), batch_format="pyarrow")
+            .materialize()
+        )
+        state_index, _ = index_state(new_state, [])
+        state_ds = new_state
+
+    return state_ds, g, {"iterations": iterations}
 
 
 def wl_relabel(
     edges_symmetric: rd.Dataset,
     iterations: int = 1,
     init_labels: tuple[np.ndarray, np.ndarray] | None = None,
+    graph=None,
 ):
     """-> (vertex_ids, labels: np.ndarray[object of str hex], info).
 
     ``init_labels`` is (ids, labels) aligned arrays; default initial label is
     ``str(vertex_id)`` (matches the SQL oracle's ``CAST(v AS VARCHAR)``).
+    numpy result delivery over the distributed loop.
     """
-    blocks = build_csr_blocks(edges_symmetric)
-    ids = collect_vertex_ids(blocks)
-    n = len(ids)
-    if n == 0:
-        return ids, np.empty(0, dtype=object), {"iterations": 0}
+    state_ds, g, info = wl_relabel_partitioned(
+        edges_symmetric, iterations, init_labels, graph=graph
+    )
+    if state_ds is None:
+        return np.empty(0, np.int64), np.empty(0, dtype=object), info
+    ids, labels = state_to_arrays(state_ds, g)
+    return ids, np.asarray(labels, dtype=object), info
 
-    if init_labels is None:
-        labels = np.array([str(v) for v in ids], dtype=object)
-    else:
-        init_ids, init_vals = init_labels
-        pos = np.searchsorted(ids, init_ids)
-        labels = np.array([str(v) for v in ids], dtype=object)
-        labels[pos] = np.asarray(init_vals, dtype=object)
 
-    for _ in range(iterations):
-        ids_ref, lab_ref = broadcast_state(ids, labels)
-        msgs = blocks.map_batches(_make_msg_fn(ids_ref, lab_ref), batch_format="pyarrow")
-        # hash-partitioned exchange keyed on dst; every dst's whole neighbor
-        # multiset lands in one bucket
-        from ..functions.bucketing import bucketed_group_combine
-
-        sigs = bucketed_group_combine(
-            msgs, ["dst"], _make_sig_bucket(ids_ref, lab_ref)
-        )
-
-        new_labels = np.empty(n, dtype=object)
-        seen = np.zeros(n, dtype=bool)
-        for b in sigs.iter_batches(batch_size=None, batch_format="pyarrow"):
-            idx = np.searchsorted(ids, b["vertex_id"].to_numpy())
-            new_labels[idx] = np.array(b["label"].to_pylist(), dtype=object)
-            seen[idx] = True
-        # isolated vertices: empty neighbor multiset
-        for i in np.flatnonzero(~seen):
-            new_labels[i] = hashlib.md5(
-                wl_signature(labels[i], []).encode()
-            ).hexdigest()
-        labels = new_labels
-
-    return ids, labels, {"iterations": iterations}
+def wl_relabel_dataset(edges_symmetric: rd.Dataset, **kw):
+    """Streaming result: Dataset of (vertex_id, label)."""
+    state_ds, g, info = wl_relabel_partitioned(edges_symmetric, **kw)
+    if state_ds is None:
+        return rd.from_arrow(
+            pa.table({"vertex_id": pa.array([], pa.int64()),
+                      "label": pa.array([], pa.string())})
+        ), info
+    return state_to_dataset(state_ds, g, "label"), info

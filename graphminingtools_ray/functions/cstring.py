@@ -86,6 +86,37 @@ def canonical_tree_string(
     )
 
 
+def canonical_cycle(vlabels: list[str], elabels: list[str]) -> str:
+    """Canonical string of a labeled simple cycle — reference semantics
+    (``cs_Cycle.c:94-174``): the cycle visits vertices v0..v_{k-1} with
+    edge i connecting v_i to v_{i+1 mod k}; the canonical form is the
+    lexicographic minimum of the interleaved label sequence over ALL
+    rotations and both directions. Length-only degenerate form on unlabeled
+    input (all labels equal) — which is why the gdb non-iso cycle measure
+    reduces to distinct lengths there."""
+    k = len(vlabels)
+    if k == 0 or len(elabels) != k:
+        raise ValueError("cycle needs k vertex labels and k edge labels")
+    best = None
+    for direction in (1, -1):
+        if direction == 1:
+            vs, es = vlabels, elabels
+        else:
+            # reversed walk v0, v_{k-1}, ..., v1: vs_rev[i] = v_{(k-1-i)%k}
+            # pairs with the edge INTO the next vertex: es_rev[i] = e_{(k-2-i)%k}
+            vs = [vlabels[(k - 1 - i) % k] for i in range(k)]
+            es = [elabels[(k - 2 - i) % k] for i in range(k)]
+        for r in range(k):
+            seq = []
+            for i in range(k):
+                seq.append(vs[(r + i) % k])
+                seq.append(es[(r + i) % k])
+            s = " ".join(seq)
+            if best is None or s < best:
+                best = s
+    return best
+
+
 def parse_cstring(s: str):
     """Inverse of the encoding: -> (vertices: {id: label}, edges list).
     Vertex ids are assigned in parse order starting at 0."""

@@ -24,7 +24,6 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
-import ray
 import ray.data as rd
 from ray.data.aggregate import Count
 
@@ -310,11 +309,13 @@ def corpus_ingest(
         * ``copath``  — same path string across repos (shared-path).
       Schema ``(src, dst, weight: int64, kind: string)``.
 
-    Broadcast note: the module-definition dictionary is ``ray.put`` once and
-    read per task (small side of the import join). At 10^12-file scale that
-    side no longer fits and this join switches to ``Dataset.join`` on
-    ``module_key`` — the call site is factored so only ``_import_edges``
-    changes.
+    Round-2 scale shape (no driver-held winner map, no broadcast definition
+    table): the per-file winning commit is decided INSIDE one hash-bucketed
+    exchange keyed on ``vertex_id`` (all commits of a file co-locate, the
+    max-commit filter and the content parse run bucket-locally), and the
+    import join is a bucketed join keyed on ``module_key`` (definitions and
+    import references meet in the same bucket; the per-module target cap is
+    applied there too, since a module's definitions all share its bucket).
     """
     # ``files`` (per-commit sha256 rows) parses the FULL corpus — built
     # lazily; the edge path below parses only the winning file versions and
@@ -339,67 +340,48 @@ def corpus_ingest(
     # one row per FILE (vertex): the corpus is commit-grained; graph semantics
     # are file-grained. Deterministic pick = lexicographically max commit
     # (defines which content version wins if a file changed across commits).
-    # Hash-bucketed exchange on vertex_id + one vectorized pandas pass per
-    # bucket (a per-group map over millions of file-groups would crawl).
+    # ONE hash-bucketed exchange keyed on vertex_id: all commit-versions of a
+    # file co-locate, the max-commit filter runs bucket-locally on dictionary
+    # codes, and only the winners' content is parsed (inside the same task) —
+    # no winner map ever exists on the driver or in a broadcast.
     from ..functions.bucketing import (
         bucketed_group_combine,
         count_distinct_rows,
         sum_by_int_keys,
     )
 
-    # winner (vertex → max commit) is a dimension-table build: per-batch
-    # partial max over the slim 2-col projection, final max on the driver
-    # (file-scale — the documented broadcast-side seam; at 10^12 files this
-    # becomes a bucketed join on vertex_id)
-    def max_commit(vid: np.ndarray, commits: list) -> pd.DataFrame:
-        # dictionary-encode the commit strings so the per-group max runs on
-        # int codes (np.unique returns SORTED uniques, so code order ==
-        # string order); a pandas object-max over many groups is python-speed
-        uniq, codes = np.unique(np.asarray(commits, dtype=object), return_inverse=True)
-        g = (
-            pd.DataFrame({"vertex_id": vid, "code": codes})
-            .groupby("vertex_id", sort=False)["code"]
-            .max()
-        )
-        return pd.DataFrame(
-            {"vertex_id": g.index.to_numpy(np.int64), "commit": uniq[g.to_numpy()]}
-        )
-
-    def max_commit_batch(t: pa.Table) -> pa.Table:
-        out = max_commit(t["vertex_id"].to_numpy(), t["commit"].to_pylist())
-        return pa.table(
-            {"vertex_id": out["vertex_id"].to_numpy(np.int64),
-             "commit": pa.array(out["commit"].tolist(), pa.string())}
-        )
-
-    partial_frames = [
-        b.to_pandas()
-        for b in slim.select_columns(["vertex_id", "commit"])
-        .map_batches(max_commit_batch, batch_format="pyarrow")
-        .iter_batches(batch_size=None, batch_format="pyarrow")
-    ]
-    allp = pd.concat(partial_frames, ignore_index=True)
-    winners_pdf = max_commit(
-        allp["vertex_id"].to_numpy(), allp["commit"].tolist()
-    )
-    winner_map = dict(zip(winners_pdf["vertex_id"], winners_pdf["commit"]))
-    winner_ref = ray.put(winner_map)
-
-    def keep_winner_and_parse(t: pa.Table) -> pa.Table:
-        # filter BEFORE parsing: content is only tokenized for the winning
-        # version of each file
-        wm = ray.get(winner_ref)
+    def add_vertex_id(t: pa.Table) -> pa.Table:
         repo = t["repo"].to_pylist()
         path = t["path"].to_pylist()
-        com = t["commit"].to_pylist()
         vid = stable_id64([f"{r}:{p}" for r, p in zip(repo, path)])
-        mask = np.fromiter(
-            (wm.get(int(v)) == c for v, c in zip(vid, com)), bool, count=len(vid)
-        )
-        return _IngestBatch()(t.filter(pa.array(mask)))
+        return t.append_column("vertex_id", pa.array(vid))
 
-    distinct_files = corpus.map_batches(
-        keep_winner_and_parse, batch_format="pyarrow"
+    def winner_parse(t: pa.Table) -> pa.Table:
+        vid = t["vertex_id"].to_numpy()
+        # commit strings → sorted dictionary codes; max code == max string
+        uniq, codes = np.unique(
+            np.asarray(t["commit"].to_pylist(), dtype=object), return_inverse=True
+        )
+        order = np.lexsort((codes, vid))
+        svid, scodes = vid[order], codes[order]
+        last = np.ones(len(svid), dtype=bool)
+        last[:-1] = svid[1:] != svid[:-1]  # last row of each vid run = max code
+        max_code = np.zeros(len(svid), dtype=np.int64)
+        # propagate each run's max code to all its rows
+        run_id = np.cumsum(np.concatenate([[0], (svid[1:] != svid[:-1]).astype(np.int64)]))
+        run_max = np.zeros(run_id[-1] + 1 if len(run_id) else 0, dtype=np.int64)
+        if len(run_id):
+            run_max[run_id[last]] = scodes[last]
+        winner_mask_sorted = scodes == run_max[run_id] if len(run_id) else np.zeros(0, bool)
+        mask = np.zeros(len(vid), dtype=bool)
+        mask[order] = winner_mask_sorted
+        return _IngestBatch()(t.drop_columns(["vertex_id"]).filter(pa.array(mask)))
+
+    distinct_files = bucketed_group_combine(
+        corpus.map_batches(add_vertex_id, batch_format="pyarrow"),
+        ["vertex_id"],
+        winner_parse,
+        spread=True,
     ).materialize()
 
     vertices = distinct_files.select_columns(["vertex_id", "repo", "path"])
@@ -415,51 +397,73 @@ def corpus_ingest(
                 f"keys -> {n_distinct_ids} distinct vertex ids"
             )
 
-    # --- import edges (broadcast small side) -------------------------------
-    defs = distinct_files.select_columns(["module_key", "vertex_id"])
-    defs_tbl = defs.to_pandas()
-    # hub cap: a module key defined in thousands of files (the stdio.h
-    # effect) would fan every import of it into thousands of edges; keep the
-    # deterministic first `max_targets_per_module` sorted target ids
-    # (truncation semantics, like the pair-expansion cap)
-    defs_tbl = defs_tbl[defs_tbl["module_key"] != ""].sort_values(
-        ["module_key", "vertex_id"]
-    )
-    defs_tbl = defs_tbl.groupby("module_key", sort=False).head(
-        max_targets_per_module
-    )
-    def_df_ref = ray.put(
-        defs_tbl.rename(columns={"vertex_id": "dst"}).reset_index(drop=True)
-    )
+    # --- import edges (bucketed join on module_key — no broadcast side) ----
+    # Definitions and import references meet in the hash bucket of their
+    # module_key; the hub cap (a module defined in thousands of files — the
+    # stdio.h effect) is applied inside the bucket, where ALL of a module's
+    # definitions live: deterministic first `max_targets_per_module` sorted
+    # target ids (truncation semantics, like the pair-expansion cap).
+    def def_rows(t: pa.Table) -> pa.Table:
+        keep = pc.not_equal(t["module_key"], "")
+        t = t.filter(keep)
+        return pa.table(
+            {
+                "module_key": t["module_key"],
+                "vid": t["vertex_id"],
+                "is_def": pa.array(np.ones(t.num_rows, np.int8)),
+            }
+        )
 
-    def import_pairs(batch: pa.Table) -> pa.Table:
-        # explode import lists, then a vectorized hash-merge against the
-        # broadcast definition table (pandas C join — no per-import loop)
-        import pandas as pd
-
-        dm_df = ray.get(def_df_ref)
-        src_ids = batch["vertex_id"].to_numpy()
-        imp = batch["imports"].to_pylist()
+    def import_rows(t: pa.Table) -> pa.Table:
+        src_ids = t["vertex_id"].to_numpy()
+        imp = t["imports"].to_pylist()
         counts = np.fromiter(
             (m.count(",") + 1 if m else 0 for m in imp), np.int64, count=len(imp)
         )
         flat_mods = [mk for m in imp if m for mk in m.split(",")]
         flat_src = np.repeat(src_ids, counts)
-        left = pd.DataFrame({"src": flat_src, "module_key": flat_mods})
-        j = left.merge(dm_df, on="module_key", how="inner")
+        return pa.table(
+            {
+                "module_key": pa.array(flat_mods, pa.string()),
+                "vid": pa.array(flat_src),
+                "is_def": pa.array(np.zeros(len(flat_src), np.int8)),
+            }
+        )
+
+    def join_imports(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "module_key": t["module_key"].to_pylist(),
+                "vid": t["vid"].to_numpy(),
+                "is_def": t["is_def"].to_numpy(zero_copy_only=False),
+            }
+        )
+        defs_b = df[df["is_def"] == 1][["module_key", "vid"]].rename(
+            columns={"vid": "dst"}
+        )
+        defs_b = defs_b.sort_values(["module_key", "dst"]).groupby(
+            "module_key", sort=False
+        ).head(max_targets_per_module)
+        refs_b = df[df["is_def"] == 0][["module_key", "vid"]].rename(
+            columns={"vid": "src"}
+        )
+        j = refs_b.merge(defs_b, on="module_key", how="inner")
         a = j["src"].to_numpy(np.int64)
         b = j["dst"].to_numpy(np.int64)
         m = a != b
-        return pa.table({"src": a[m], "dst": b[m]})
+        return count_distinct_rows(["src", "dst"], "partial")(
+            pa.table({"src": a[m], "dst": b[m]})
+        )
 
-    def import_pairs_counted(batch: pa.Table) -> pa.Table:
-        # batch-local combiner before the (src, dst) exchange
-        t = import_pairs(batch)
-        return count_distinct_rows(["src", "dst"], "partial")(t)
-
-    import_partials = distinct_files.select_columns(
+    defs_ds = distinct_files.select_columns(
+        ["module_key", "vertex_id"]
+    ).map_batches(def_rows, batch_format="pyarrow")
+    refs_ds = distinct_files.select_columns(
         ["vertex_id", "imports"]
-    ).map_batches(import_pairs_counted, batch_format="pyarrow").map_batches(
+    ).map_batches(import_rows, batch_format="pyarrow")
+    import_partials = bucketed_group_combine(
+        defs_ds.union(refs_ds), ["module_key"], join_imports
+    ).map_batches(
         lambda t: t.append_column("kind", pa.array(["import"] * t.num_rows)),
         batch_format="pyarrow",
     )

@@ -38,6 +38,9 @@ MEASURE_COLUMNS = [
     "connected", "is_tree", "is_path", "n_bridges", "n_blocks",
     "n_self_loops", "spanning_trees", "n_simple_cycles", "n_bridge_trees",
     "max_blocks_per_component", "is_cactus",
+    # round-2 kernel pack
+    "is_outerplanar", "max_block_degree", "n_articulation_points",
+    "spanning_tree_estimate", "n_noniso_cycles", "n_noniso_spanning_trees",
 ]
 
 
@@ -79,9 +82,8 @@ def measures_for_graph(n: int, edges: list[tuple[int, int]]) -> dict:
     is_tree = connected and m == n - 1 and n_self == 0
     is_path = is_tree and (n == 0 or deg.max() <= 2)
 
-    n_bridges, n_blocks, bridge_edges, max_blocks, non_cycle_blocks = (
-        _bridges_and_blocks(n, adj)
-    )
+    (n_bridges, n_blocks, bridge_edges, max_blocks, non_cycle_blocks,
+     bcc_edge_lists) = _bridges_and_blocks(n, adj)
     # cactus: connected, and every biconnected block is a simple cycle or a
     # bridge (reference isCactus, outerplanar.c:39-69)
     is_cactus = bool(connected and non_cycle_blocks == 0 and n_self == 0 and n > 0)
@@ -92,7 +94,18 @@ def measures_for_graph(n: int, edges: list[tuple[int, int]]) -> dict:
     for v, w in simple:
         adj_simple[v].add(w)
         adj_simple[w].add(v)
-    n_cycles = _count_simple_cycles(n, adj_simple)
+    n_cycles, cycle_lengths = _count_simple_cycles(n, adj_simple)
+
+    # round-2 kernels over the biconnected decomposition
+    block_deg = np.zeros(n, dtype=np.int64)
+    for bes in bcc_edge_lists:
+        for v in {x for e in bes for x in e}:
+            block_deg[v] += 1
+    max_block_degree = int(block_deg.max()) if n else 0
+    n_articulation = int(np.count_nonzero(block_deg > 1))
+    is_outerplanar = all(_block_outerplanar(bes) for bes in bcc_edge_lists)
+    st_estimate = _spanning_tree_estimate(bcc_edge_lists, n_components)
+    n_noniso_st = _noniso_spanning_trees(n, sorted(simple), st, connected)
 
     return {
         "is_cactus": is_cactus,
@@ -111,6 +124,12 @@ def measures_for_graph(n: int, edges: list[tuple[int, int]]) -> dict:
         "n_blocks": n_blocks,
         "n_self_loops": n_self,
         "spanning_trees": int(st),
+        "is_outerplanar": bool(is_outerplanar),
+        "max_block_degree": max_block_degree,
+        "n_articulation_points": n_articulation,
+        "spanning_tree_estimate": int(st_estimate),
+        "n_noniso_cycles": len(cycle_lengths),
+        "n_noniso_spanning_trees": int(n_noniso_st),
     }
 
 
@@ -119,7 +138,10 @@ def _bridges_and_blocks(n: int, adj: list[list[int]]):
     Reference semantics (listComponents.c:143-191):
       bridges = biconnected components with exactly 1 edge,
       blocks  = biconnected components with  more than 1 edge.
-    Returns (n_bridges, n_blocks, bridge_edges, max_blocks_per_component)."""
+    Returns (n_bridges, n_blocks, bridge_edges, max_blocks_per_component,
+    non_cycle_blocks, bcc_edge_lists) — the last item is the edge list of
+    EVERY biconnected component (bridges included), feeding the round-2
+    kernels (outerplanarity, block degree/criticality, ST estimate)."""
     disc = np.full(n, -1, dtype=np.int64)
     low = np.full(n, 0, dtype=np.int64)
     timer = 0
@@ -127,6 +149,7 @@ def _bridges_and_blocks(n: int, adj: list[list[int]]):
     n_blocks = 0
     non_cycle_blocks = 0
     bridge_edges: list[tuple[int, int]] = []
+    bcc_edge_lists: list[list[tuple[int, int]]] = []
     max_blocks_per_comp = 0
     edge_stack: list[tuple[int, int]] = []
 
@@ -164,35 +187,48 @@ def _bridges_and_blocks(n: int, adj: list[list[int]]):
                 if low[v] >= disc[parent]:
                     size = 0
                     block_verts = set()
+                    block_edges: list[tuple[int, int]] = []
                     while edge_stack and edge_stack[-1] != (parent, v):
                         e = edge_stack.pop()
                         block_verts.update(e)
+                        block_edges.append(e)
                         size += 1
                     if edge_stack:
                         e = edge_stack.pop()
                         block_verts.update(e)
+                        block_edges.append(e)
                         size += 1
                     if size == 1:
                         n_bridges += 1
                         bridge_edges.append((parent, v))
+                        bcc_edge_lists.append(block_edges)
                     elif size > 1:
                         n_blocks += 1
                         blocks_this_comp += 1
+                        bcc_edge_lists.append(block_edges)
                         # a block is a simple cycle iff |E| == |V|
                         if size != len(block_verts):
                             non_cycle_blocks += 1
                 low[parent] = min(low[parent], low[v])
         max_blocks_per_comp = max(max_blocks_per_comp, blocks_this_comp)
-    return n_bridges, n_blocks, bridge_edges, max_blocks_per_comp, non_cycle_blocks
+    return (n_bridges, n_blocks, bridge_edges, max_blocks_per_comp,
+            non_cycle_blocks, bcc_edge_lists)
 
 
-def _count_simple_cycles(n: int, adj_simple: list[set], cap: int = 100000) -> int:
+def _count_simple_cycles(n: int, adj_simple: list[set], cap: int = 100000):
     """Count simple cycles (length >= 3) by rooted backtracking: a cycle is
     counted at its minimum vertex, walking only through larger vertices;
     each cycle found twice (both directions) → /2. Reference semantics:
     numberOfSimpleCycles via Read–Tarjan listing (listCycles.c:386-425).
-    Capped like the reference's maxBound guards."""
+    Capped like the reference's maxBound guards.
+
+    Also returns the SET OF CYCLE LENGTHS seen — on an unlabeled graph the
+    canonical form of a simple cycle (min over rotations/reflections,
+    ``cs_Cycle.c:94-174``) collapses to its length, so distinct lengths =
+    non-isomorphic cycle count (``listCycles.c:57-119``); the labeled
+    canonical-cycle form lives in functions.cstring.canonical_cycle."""
     count = 0
+    lengths: set[int] = set()
     for start in range(n):
         # DFS over vertices > start, counting returns to start
         stack = [(start, iter(sorted(adj_simple[start])), {start})]
@@ -203,8 +239,9 @@ def _count_simple_cycles(n: int, adj_simple: list[set], cap: int = 100000) -> in
             for w in it:
                 if w == start and len(path) >= 3:
                     count += 1
+                    lengths.add(len(path))
                     if count >= 2 * cap:
-                        return cap
+                        return cap, lengths
                     continue
                 if w > start and w not in onpath:
                     newset = onpath | {w}
@@ -215,7 +252,130 @@ def _count_simple_cycles(n: int, adj_simple: list[set], cap: int = 100000) -> in
             if not advanced:
                 stack.pop()
                 path.pop()
-    return count // 2
+    return count // 2, lengths
+
+
+def _block_outerplanar(block_edges: list[tuple[int, int]]) -> bool:
+    """Exact outerplanarity of ONE biconnected component (reference scope
+    ``outerplanar.c:71-353``, Mitchell's recognition re-derived for the
+    engine's small per-transaction blocks): a biconnected graph with ≥3
+    vertices is outerplanar iff it has a Hamiltonian cycle (necessarily its
+    UNIQUE outer face) whose chords are pairwise non-crossing. Bridges /
+    single edges are trivially outerplanar. Exponential Hamilton search —
+    fine for the small blocks this engine's transactions have; correctness
+    does not depend on which Hamiltonian cycle is found (a crossing-free
+    chord set for ANY Hamiltonian cycle is an outerplanar embedding, and an
+    outerplanar biconnected graph has exactly one Hamiltonian cycle)."""
+    verts = sorted({x for e in block_edges for x in e})
+    nb = len(verts)
+    if nb <= 2:
+        return True
+    idx = {v: i for i, v in enumerate(verts)}
+    adj = [set() for _ in range(nb)]
+    eset = set()
+    for a, b in block_edges:
+        ia, ib = idx[a], idx[b]
+        if ia == ib:
+            continue
+        adj[ia].add(ib)
+        adj[ib].add(ia)
+        eset.add((min(ia, ib), max(ia, ib)))
+    # quick reject: outerplanar graphs have m <= 2n - 3
+    if len(eset) > 2 * nb - 3:
+        return False
+
+    # Hamiltonian cycle search from vertex 0
+    path = [0]
+    onpath = {0}
+
+    def ham(v: int) -> list[int] | None:
+        if len(path) == nb:
+            return list(path) if 0 in adj[v] else None
+        for w in sorted(adj[v]):
+            if w in onpath:
+                continue
+            path.append(w)
+            onpath.add(w)
+            got = ham(w)
+            if got is not None:
+                return got
+            path.pop()
+            onpath.discard(w)
+        return None
+
+    cyc = ham(0)
+    if cyc is None:
+        return False
+    pos = {v: i for i, v in enumerate(cyc)}
+    chords = []
+    for a, b in eset:
+        pa_, pb_ = pos[a], pos[b]
+        if abs(pa_ - pb_) in (1, nb - 1):
+            continue  # cycle edge
+        chords.append((min(pa_, pb_), max(pa_, pb_)))
+    for i in range(len(chords)):
+        a1, b1 = chords[i]
+        for j in range(i + 1, len(chords)):
+            a2, b2 = chords[j]
+            if (a1 < a2 < b1 < b2) or (a2 < a1 < b2 < b1):
+                return False  # crossing chords
+    return True
+
+
+def _spanning_tree_estimate(bcc_edge_lists, n_components: int) -> int:
+    """Cheap upper bound on the spanning-tree count (reference scope
+    ``upperBoundsForSpanningTrees.c``): the block-cut decomposition is
+    exact — #ST(G) = Π over biconnected components of #ST(block) — and each
+    block is bounded by C(m_b, n_b−1) (every spanning tree is an
+    (n_b−1)-subset of the block's edges). Disconnected graphs have 0
+    spanning trees, like the exact measure. Capped at SPANNING_TREE_CAP."""
+    from math import comb
+
+    if n_components > 1:
+        return 0
+    est = 1
+    for bes in bcc_edge_lists:
+        nb = len({x for e in bes for x in e})
+        est *= comb(len(bes), nb - 1)
+        if est >= int(SPANNING_TREE_CAP):
+            return int(SPANNING_TREE_CAP)
+    return int(est)
+
+
+def _noniso_spanning_trees(
+    n: int, simple_edges: list[tuple[int, int]], st_count: int,
+    connected: bool, enum_cap: int = 20000,
+) -> int:
+    """Number of pairwise non-isomorphic spanning trees
+    (``listSpanningTrees.c:439-463``: enumerate, canonicalize, dedupe).
+    Enumeration = (n−1)-edge subsets forming trees, identity = unlabeled
+    canonical tree string. Guarded by the EXACT spanning-tree count: when
+    enumeration would exceed ``enum_cap`` candidates, returns the cap
+    sentinel (the reference saturates at maxBound the same way)."""
+    from itertools import combinations
+
+    from ..functions.cstring import canonical_tree_string
+
+    if not connected or n == 0:
+        return 0
+    if n == 1:
+        return 1
+    m = len(simple_edges)
+    if st_count > enum_cap:
+        return enum_cap
+    from math import comb
+
+    if comb(m, n - 1) > 200000:
+        return enum_cap
+    seen = set()
+    verts = {v: "x" for e in simple_edges for v in e}
+    for sub in combinations(simple_edges, n - 1):
+        c = canonical_tree_string(
+            {v: "x" for v in verts}, [(a, b, "e") for a, b in sub]
+        )
+        if c is not None:
+            seen.add(c)
+    return len(seen)
 
 
 def _n_bridge_trees(n: int, bridge_edges: list[tuple[int, int]]) -> int:

@@ -64,3 +64,55 @@ def ingest_to_parquet(corpus_parquet: str, out_dir: str, **ingest_kwargs) -> dic
         shutil.rmtree(out_dir)
     os.rename(tmp, out_dir)
     return manifest
+
+
+def write_libsvm(
+    features: rd.Dataset,
+    out_dir: str,
+    label_col: str | None = None,
+    graph_col: str = "graph_id",
+    feature_col: str = "pattern_id",
+) -> int:
+    """Sparse libSVM-format sink — the reference's feature dump
+    (``/root/reference/intSet.h:24-27`` ``dumpIntSetSparseNoId``: one line
+    per graph, ``<label> <idx>:1 <idx>:1 ...`` with ascending indices;
+    indices are 1-based like the reference's pattern ids).
+
+    Distributed: one bucketed exchange keyed on the graph id groups each
+    graph's features; each bucket task writes its own ``part-<bucket>.svm``
+    file (resumable layout: rerun overwrites whole parts). Returns the
+    number of graphs written."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from ..functions.bucketing import bucketed_group_combine
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def write_bucket(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "g": t[graph_col].to_numpy(),
+                "f": t[feature_col].to_numpy(),
+                "y": t[label_col].to_numpy() if label_col else 0,
+            }
+        )
+        first_g = int(df["g"].min())
+        lines = []
+        for g, grp in df.sort_values(["g", "f"]).groupby("g", sort=True):
+            y = int(grp["y"].iloc[0]) if label_col else 0
+            feats = " ".join(f"{int(f) + 1}:1" for f in grp["f"].unique())
+            lines.append(f"{y} {feats}")
+        part = os.path.join(out_dir, f"part-{first_g}.svm")
+        with open(part, "w") as fh:
+            fh.write("\n".join(lines) + ("\n" if lines else ""))
+        return pa.table({"n_graphs": pa.array([df["g"].nunique()], pa.int64())})
+
+    total = 0
+    for b in (
+        bucketed_group_combine(features, [graph_col], write_bucket)
+        .iter_batches(batch_size=None, batch_format="pyarrow")
+    ):
+        total += int(b["n_graphs"].to_numpy().sum())
+    return total

@@ -129,9 +129,11 @@ def minhash_near_dup(sf_dir: str, threshold: float = 0.3, bucket_cap: int = 256)
     Returns (doc_a, doc_b, jaccard) for verified pairs, sorted."""
     from ..functions.bucketing import bucketed_group_combine
     from ..graph.build import _pairs_from_sorted_key_items
-    from ..stages.dedup import jaccard_pairs_vectorized
 
     docs = _docs(sf_dir)
+    # concurrency=2: the actor pool must never cover ALL session CPUs or it
+    # starves the downstream exchange operators (deadlock-ish stall on a
+    # 4-cpu test session)
     bands = docs.map_batches(MinHasher, batch_format="pandas", concurrency=2)
 
     def pair_gen(t: pa.Table) -> pa.Table:
@@ -151,77 +153,112 @@ def minhash_near_dup(sf_dir: str, threshold: float = 0.3, bucket_cap: int = 256)
 
     cand = bucketed_group_combine(bands, ["band_id", "band_hash"], pair_gen)
 
-    # ---- verify: two bucketed text joins, vectorized jaccard ----
+    # ---- verify: two bucketed joins carrying PRECOMPUTED sorted-unique
+    # shingle sets (list<uint64>, hashed once per doc) — no re-hashing of
+    # text inside the verify, and the heavy column shipped is the compact
+    # shingle array, not the raw text ----
+    from ..stages.dedup import jaccard_sorted_sets, shingle_sets_batch
+
+    SH_T = pa.list_(pa.uint64())
+
     def tag_pairs(t: pa.Table) -> pa.Table:
         return pa.table(
             {
                 "k": t["doc_a"],
                 "other": t["doc_b"],
-                "text": pa.array([None] * t.num_rows, pa.string()),
+                "sh": pa.array([None] * t.num_rows, SH_T),
                 "is_pair": pa.array(np.ones(t.num_rows, np.int8)),
             }
         )
 
-    def tag_texts(t: pa.Table) -> pa.Table:
+    def shingle_rows(t: pa.Table) -> pa.Table:
+        texts = [x if x is not None else "" for x in t["text"].to_pylist()]
+        sets = shingle_sets_batch(texts)
         return pa.table(
             {
                 "k": t["doc_id"],
                 "other": pa.array(np.zeros(t.num_rows, np.int64)),
-                "text": t["text"],
+                "sh": pa.array(sets, SH_T),
                 "is_pair": pa.array(np.zeros(t.num_rows, np.int8)),
             }
         )
 
-    texts_tagged = docs.map_batches(
-        lambda t: tag_texts(t), batch_format="pyarrow"
-    )
+    # materialized once: reused by BOTH attach exchanges (lazy Datasets
+    # re-execute per consumer; the shingle pass is worth caching)
+    shingles_tagged = docs.map_batches(
+        shingle_rows, batch_format="pyarrow"
+    ).materialize()
+
+    def _split(t: pa.Table):
+        is_pair = t["is_pair"].to_numpy(zero_copy_only=False) == 1
+        mask = pa.array(is_pair)
+        return t.filter(mask), t.filter(pa.compute.invert(mask))
+
+    def _sh_list(col) -> list:
+        arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        return [
+            v.values.to_numpy(zero_copy_only=False)
+            for v in arr
+        ]
 
     def attach_a(t: pa.Table) -> pa.Table:
-        df = t.to_pandas()
-        pr = df[df["is_pair"] == 1]
-        tx = df[df["is_pair"] == 0][["k", "text"]]
+        pr, tx = _split(t)
         # global pair dedup: every (doc_a, *) pair of this doc_a is in this
-        # bucket, so a bucket-local drop_duplicates is a global one
-        pr = pr.drop_duplicates(subset=["k", "other"])
-        j = pr.merge(tx, on="k", suffixes=("", "_r"))
-        # re-key on doc_b for the second join; carry text_a
+        # bucket, so a bucket-local dedup is a global one
+        pk = np.stack([pr["k"].to_numpy(), pr["other"].to_numpy()], axis=1)
+        uniqp = np.unique(pk, axis=0)
+        ka = uniqp[:, 0]
+        kb = uniqp[:, 1]
+        tk = tx["k"].to_numpy()
+        torder = np.argsort(tk, kind="stable")
+        tk_s = tk[torder]
+        sh_sets = _sh_list(tx["sh"])
+        pos = np.searchsorted(tk_s, ka)
+        sh_a = [sh_sets[torder[p]] for p in pos]  # every doc_a has a doc row
+        # re-key on doc_b for the second join; carry sh_a
         return pa.table(
             {
-                "k": j["other"].to_numpy(np.int64),
-                "other": j["k"].to_numpy(np.int64),
-                "text": pa.array(j["text_r"].tolist(), pa.string()),
-                "is_pair": pa.array(np.ones(len(j), np.int8)),
+                "k": kb,
+                "other": ka,
+                "sh": pa.array(sh_a, SH_T),
+                "is_pair": pa.array(np.ones(len(kb), np.int8)),
             }
         )
 
     keyed_a = bucketed_group_combine(
-        cand.map_batches(tag_pairs, batch_format="pyarrow").union(texts_tagged),
+        cand.map_batches(tag_pairs, batch_format="pyarrow").union(shingles_tagged),
         ["k"],
         attach_a,
     )
 
     def attach_b_verify(t: pa.Table) -> pa.Table:
-        df = t.to_pandas()
-        pr = df[df["is_pair"] == 1]
-        tx = df[df["is_pair"] == 0][["k", "text"]]
-        j = pr.merge(tx, on="k", suffixes=("", "_r"))
-        if len(j) == 0:
+        pr, tx = _split(t)
+        if pr.num_rows == 0:
             return pa.table(
                 {"doc_a": np.empty(0, np.int64), "doc_b": np.empty(0, np.int64),
                  "jaccard": np.empty(0, np.float64)}
             )
-        jac = jaccard_pairs_vectorized(j["text"].tolist(), j["text_r"].tolist())
+        kb = pr["k"].to_numpy()
+        ka = pr["other"].to_numpy()
+        sh_a = _sh_list(pr["sh"])
+        tk = tx["k"].to_numpy()
+        torder = np.argsort(tk, kind="stable")
+        tk_s = tk[torder]
+        sh_sets = _sh_list(tx["sh"])
+        pos = np.searchsorted(tk_s, kb)
+        sh_b = [sh_sets[torder[p]] for p in pos]
+        jac = jaccard_sorted_sets(sh_a, sh_b)
         m = jac >= threshold
         return pa.table(
             {
-                "doc_a": j["other"].to_numpy(np.int64)[m],
-                "doc_b": j["k"].to_numpy(np.int64)[m],
+                "doc_a": ka[m],
+                "doc_b": kb[m],
                 "jaccard": jac[m],
             }
         )
 
     verified = bucketed_group_combine(
-        keyed_a.union(texts_tagged), ["k"], attach_b_verify
+        keyed_a.union(shingles_tagged), ["k"], attach_b_verify
     )
     out = verified.to_pandas()
     if len(out) == 0:

@@ -110,3 +110,113 @@ def gdb_from_long(long_ds: rd.Dataset):
         batch_format="pyarrow",
     )
     return verts, edges
+
+
+def block_chain_db(
+    n_graphs: int,
+    n_blocks: int,
+    block_size: int,
+    diagonal_prob: float = 0.0,
+    seed: int = 42,
+) -> rd.Dataset:
+    """Chain-of-blocks cactus-like generator (reference
+    ``blockChainGenerator``, ``randomGraphGenerators.c:160-191``): each graph
+    is a chain of ``n_blocks`` biconnected blocks of ``block_size`` vertices,
+    consecutive blocks sharing one articulation vertex. A block is its
+    Hamiltonian cycle (consecutive vertices + closing edge) plus random
+    diagonals with probability ``diagonal_prob``. ``diagonal_prob=0`` yields
+    a chain of simple cycles — a cactus, and outerplanar — the fixture class
+    the cactus/outerplanarity kernels exist for."""
+
+    def gen(batch: pa.Table) -> pa.Table:
+        rows = []
+        bs = block_size
+        n_vertices = n_blocks * bs - n_blocks + 1
+        for gid in batch["id"].to_pylist():
+            rng = np.random.default_rng(np.random.PCG64(seed ^ (gid + 1)))
+            edges = []
+            for block_start in range(0, n_vertices - 1, bs - 1):
+                have_closing = False
+                for v in range(block_start, block_start + bs):
+                    for w in range(v + 1, block_start + bs):
+                        if (w - v == 1) or (rng.random() <= diagonal_prob):
+                            edges.append((v, w))
+                            if (v, w) == (block_start, block_start + bs - 1):
+                                have_closing = True
+                if not have_closing:
+                    edges.append((block_start, block_start + bs - 1))
+            rows.append((gid, n_vertices, edges))
+        return _tables_for_graphs(rows)
+
+    return rd.range(n_graphs).map_batches(gen, batch_format="pyarrow")
+
+
+def _torus_dist(pts: np.ndarray) -> np.ndarray:
+    """Pairwise wrap-around (unit torus) euclidean distances — reference
+    ``euclideanDistanceWrap`` (``randomGraphGenerators.c:329``)."""
+    d = np.abs(pts[:, None, :] - pts[None, :, :])
+    d = np.minimum(d, 1.0 - d)
+    return np.sqrt((d ** 2).sum(axis=2))
+
+
+def overlap_db(
+    n_graphs: int, n_vertices: int, d: float, seed: int = 42
+) -> rd.Dataset:
+    """Random geometric ("overlap") graphs (reference ``randomOverlapGraph``,
+    ``randomGraphGenerators.c:353-371``): vertices are uniform points on the
+    unit torus; edge iff wrap-around distance < ``d``. Vectorized pairwise
+    distance per graph."""
+
+    def gen(batch: pa.Table) -> pa.Table:
+        rows = []
+        for gid in batch["id"].to_pylist():
+            rng = np.random.default_rng(np.random.PCG64(seed ^ (gid + 1)))
+            pts = rng.random((n_vertices, 2))
+            dist = _torus_dist(pts)
+            iu = np.triu_indices(n_vertices, k=1)
+            mask = dist[iu] < d
+            edges = list(zip(iu[0][mask].tolist(), iu[1][mask].tolist()))
+            rows.append((gid, n_vertices, edges))
+        return _tables_for_graphs(rows)
+
+    return rd.range(n_graphs).map_batches(gen, batch_format="pyarrow")
+
+
+def clustered_overlap_db(
+    n_graphs: int,
+    n_vertices: int,
+    d: float,
+    n_clusters: int,
+    mu: float,
+    seed: int = 42,
+) -> rd.Dataset:
+    """Clustered geometric graphs (reference
+    ``randomClusteredOverlapGraphWithLabels``,
+    ``randomGraphGenerators.c:412-457``): ``n_clusters`` random centers on
+    the unit torus, members = center + gaussian(``mu``) noise mirrored into
+    the unit interval; edge iff wrap-around distance < ``d``. Vertex count
+    rounds down to a multiple of ``n_clusters`` exactly as the reference
+    does."""
+
+    def gen(batch: pa.Table) -> pa.Table:
+        per = n_vertices // n_clusters
+        n = per * n_clusters
+        rows = []
+        for gid in batch["id"].to_pylist():
+            rng = np.random.default_rng(np.random.PCG64(seed ^ (gid + 1)))
+            pts = np.empty((n, 2))
+            for c in range(n_clusters):
+                center = rng.random(2)
+                pts[c * per] = center
+                noise = rng.normal(0.0, mu, size=(per - 1, 2))
+                members = np.abs(center[None, :] + noise)
+                members = np.where(members > 1.0, 2.0 - members, members)
+                pts[c * per + 1: (c + 1) * per] = np.clip(members, 0.0, 1.0)
+            dist = _torus_dist(pts)
+            iu = np.triu_indices(n, k=1)
+            mask = dist[iu] < d
+            edges = list(zip(iu[0][mask].tolist(), iu[1][mask].tolist()))
+            rows.append((gid, n, edges))
+        return _tables_for_graphs(rows)
+
+    return rd.range(n_graphs).map_batches(gen, batch_format="pyarrow")

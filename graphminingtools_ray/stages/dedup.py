@@ -250,6 +250,49 @@ def jaccard_pairs_vectorized(
     ).astype(np.float64)
 
 
+def shingle_sets_batch(texts, n: int = 3) -> list[np.ndarray]:
+    """Per-doc SORTED UNIQUE shingle-hash arrays (the exact-Jaccard operand),
+    one vectorized hashing pass + one global lexsort for the dedup."""
+    flat, offsets = shingle_hashes_flat(texts, n)
+    counts = np.diff(offsets)
+    doc_of = np.repeat(np.arange(len(counts)), counts)
+    order = np.lexsort((flat, doc_of))
+    d, v = doc_of[order], flat[order]
+    keep = np.ones(len(d), dtype=bool)
+    keep[1:] = (d[1:] != d[:-1]) | (v[1:] != v[:-1])
+    d, v = d[keep], v[keep]
+    sizes = np.bincount(d, minlength=len(counts))
+    offs = np.concatenate([[0], np.cumsum(sizes)])
+    return [v[offs[i]: offs[i + 1]] for i in range(len(counts))]
+
+
+def jaccard_sorted_sets(sets_a: list[np.ndarray], sets_b: list[np.ndarray]) -> np.ndarray:
+    """Exact Jaccard for pairs of pre-sorted-unique uint64 arrays — the
+    union-count trick (|A∩B| = |A|+|B|-|A∪B|), fully vectorized across
+    pairs via one global lexsort."""
+    m = len(sets_a)
+    if m == 0:
+        return np.empty(0, np.float64)
+    sa = np.array([len(s) for s in sets_a], dtype=np.int64)
+    sb = np.array([len(s) for s in sets_b], dtype=np.int64)
+    vals = np.concatenate(
+        [np.concatenate(sets_a) if sa.sum() else np.empty(0, np.uint64),
+         np.concatenate(sets_b) if sb.sum() else np.empty(0, np.uint64)]
+    )
+    pair = np.concatenate(
+        [np.repeat(np.arange(m), sa), np.repeat(np.arange(m), sb)]
+    )
+    order = np.lexsort((vals, pair))
+    p2, v2 = pair[order], vals[order]
+    dk = np.ones(len(p2), dtype=bool)
+    dk[1:] = (p2[1:] != p2[:-1]) | (v2[1:] != v2[:-1])
+    union = np.bincount(p2[dk], minlength=m)
+    inter = sa + sb - union
+    return np.where(
+        (sa == 0) & (sb == 0), 1.0, inter / np.maximum(1, union)
+    ).astype(np.float64)
+
+
 class SimHasher:
     """64-bit SimHash over token hashes: bit b of the fingerprint is the sign
     of the sum of ±1 votes from each token's hash bit b. Batch-vectorized:

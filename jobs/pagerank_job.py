@@ -59,14 +59,14 @@ def main() -> int:
 
     kill_after = int(os.environ.get("GRAFT_KILL_AFTER_ITER", "-1"))
     if kill_after >= 0:
-        orig_save = pr_mod.CheckpointManager.save
+        orig_commit = pr_mod.PartitionedCheckpoint.commit
 
-        def killing_save(self, iteration, *a, **kw):
-            orig_save(self, iteration, *a, **kw)
+        def killing_commit(self, iteration, *a, **kw):
+            orig_commit(self, iteration, *a, **kw)
             if iteration >= kill_after:
                 os._exit(1)  # simulated crash AFTER the checkpoint landed
 
-        pr_mod.CheckpointManager.save = killing_save
+        pr_mod.PartitionedCheckpoint.commit = killing_commit
 
     edges = rd.read_parquet(args.edges)
     if args.symmetrize:

@@ -234,3 +234,155 @@ def test_cstring_roundtrip():
         s = canonical_tree_string(vlabels, edges)
         v2, e2 = parse_cstring(s)
         assert canonical_tree_string(v2, e2) == s
+
+
+# ---------------------------------------------------------------------------
+# round-2 kernel pack: outerplanarity, block degree/criticality, ST estimate,
+# non-isomorphic cycles / spanning trees, canonical cycle strings
+# ---------------------------------------------------------------------------
+
+import itertools
+import random
+
+from graphminingtools_ray.functions.cstring import canonical_cycle
+
+
+def test_canonical_cycle_rotation_reflection_invariant():
+    rng = random.Random(3)
+    for _ in range(200):
+        k = rng.randint(3, 7)
+        vl = [rng.choice("abc") for _ in range(k)]
+        el = [rng.choice("xy") for _ in range(k)]
+        base = canonical_cycle(vl, el)
+        r = rng.randrange(k)
+        assert canonical_cycle(vl[r:] + vl[:r], el[r:] + el[:r]) == base
+        vl_f = [vl[(0 - i) % k] for i in range(k)]
+        el_f = [el[(-1 - i) % k] for i in range(k)]
+        assert canonical_cycle(vl_f, el_f) == base
+
+
+def test_kernel_pack_known_graphs():
+    C5 = [(i, (i + 1) % 5) for i in range(5)]
+    K4 = list(itertools.combinations(range(4), 2))
+    K23 = [(0, 2), (0, 3), (0, 4), (1, 2), (1, 3), (1, 4)]
+    W4 = [(0, 1), (1, 2), (2, 3), (3, 0), (4, 0), (4, 1), (4, 2), (4, 3)]
+    fan = [(0, 1), (1, 2), (2, 3), (0, 4), (4, 1), (4, 2), (4, 3)]
+    tree = [(0, 1), (1, 2), (1, 3)]
+
+    assert measures_for_graph(5, C5)["is_outerplanar"]
+    assert not measures_for_graph(4, K4)["is_outerplanar"]
+    assert measures_for_graph(4, K4[:-1])["is_outerplanar"]
+    assert not measures_for_graph(5, K23)["is_outerplanar"]
+    assert not measures_for_graph(5, W4)["is_outerplanar"]
+    assert measures_for_graph(5, fan)["is_outerplanar"]
+
+    mt = measures_for_graph(4, tree)
+    assert mt["n_articulation_points"] == 1 and mt["max_block_degree"] == 3
+
+    mk4 = measures_for_graph(4, K4)
+    assert mk4["spanning_trees"] == 16
+    assert mk4["n_noniso_spanning_trees"] == 2  # path vs star on 4 vertices
+    assert mk4["spanning_tree_estimate"] >= mk4["spanning_trees"]
+    mc5 = measures_for_graph(5, C5)
+    assert mc5["spanning_trees"] == 5 and mc5["n_noniso_spanning_trees"] == 1
+    assert mc5["n_noniso_cycles"] == 1 and mc5["n_simple_cycles"] == 1
+
+
+def _has_minor(n, adj, H_edges, h):
+    """Brute-force H-minor test: partition a vertex subset into h connected
+    classes with every H-edge realized (exponential — oracle only)."""
+    for assign in itertools.product(range(-1, h), repeat=n):
+        classes = [set() for _ in range(h)]
+        for v, c in enumerate(assign):
+            if c >= 0:
+                classes[c].add(v)
+        if any(not c for c in classes):
+            continue
+        ok = True
+        for cl in classes:
+            start = next(iter(cl))
+            seen = {start}
+            st = [start]
+            while st:
+                v = st.pop()
+                for w in adj[v]:
+                    if w in cl and w not in seen:
+                        seen.add(w)
+                        st.append(w)
+            if seen != cl:
+                ok = False
+                break
+        if not ok:
+            continue
+        for a, b in H_edges:
+            if not any(w in classes[b] for v in classes[a] for w in adj[v]):
+                ok = False
+                break
+        if ok:
+            return True
+    return False
+
+
+def test_outerplanarity_matches_minor_oracle():
+    """is_outerplanar == (no K4 minor and no K2,3 minor) — the textbook
+    characterization, brute-forced on random small graphs."""
+    K4E = [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3)]
+    K23E = [(0, 2), (0, 3), (0, 4), (1, 2), (1, 3), (1, 4)]
+    rng = np.random.default_rng(9)
+    for trial in range(40):
+        n = int(rng.integers(3, 8))
+        edges = [
+            (i, j)
+            for i in range(n)
+            for j in range(i + 1, n)
+            if rng.random() < 0.45
+        ]
+        adj = [set() for _ in range(n)]
+        for a, b in edges:
+            adj[a].add(b)
+            adj[b].add(a)
+        got = measures_for_graph(n, edges)["is_outerplanar"]
+        want = not (_has_minor(n, adj, K4E, 4) or _has_minor(n, adj, K23E, 5))
+        assert got == want, (n, edges)
+
+
+def test_articulation_points_match_removal_oracle():
+    rng = np.random.default_rng(21)
+    for trial in range(30):
+        n = int(rng.integers(3, 9))
+        edges = [
+            (i, j)
+            for i in range(n)
+            for j in range(i + 1, n)
+            if rng.random() < 0.4
+        ]
+
+        def n_comps(nn, es, skip=None):
+            adj = [set() for _ in range(nn)]
+            for a, b in es:
+                if skip in (a, b):
+                    continue
+                adj[a].add(b)
+                adj[b].add(a)
+            seen = set()
+            c = 0
+            for s in range(nn):
+                if s == skip or s in seen:
+                    continue
+                c += 1
+                st = [s]
+                seen.add(s)
+                while st:
+                    v = st.pop()
+                    for w in adj[v]:
+                        if w not in seen:
+                            seen.add(w)
+                            st.append(w)
+            return c
+
+        base = n_comps(n, edges)
+        want = sum(
+            1 for v in range(n) if n_comps(n, edges, skip=v) > base
+        )
+        got = measures_for_graph(n, edges)["n_articulation_points"]
+        assert got == want, (n, edges, got, want)

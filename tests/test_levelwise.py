@@ -62,3 +62,128 @@ def test_levelwise_matches_bruteforce():
     want = _brute_force(SF, 3, 0.002)
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
     assert (got["level"] == 1).any()  # at least level 1 non-empty
+
+
+# ---------------------------------------------------------------------------
+# general-TREE levelwise mining (round 2) vs an unpruned brute-force oracle
+# ---------------------------------------------------------------------------
+
+from graphminingtools_ray.algos.subtree_iso import subtree_iso_trees, tree_in_graph
+from graphminingtools_ray.functions.cstring import canonical_tree_string
+from graphminingtools_ray.pipelines.levelwise import levelwise_tree_mining
+
+
+def _tree_subgraph_patterns(vertices, edges, max_k):
+    """All canonical strings of connected acyclic edge subsets of size
+    1..max_k (brute force: grow connected subsets from each minimum edge)."""
+    out = {k: set() for k in range(1, max_k + 1)}
+    m = len(edges)
+
+    def grow(used: list, vset: set, min_idx: int):
+        k = len(used)
+        if k >= 1:
+            sub_v = {v: vertices[v] for v in vset}
+            sub_e = [edges[i] for i in used]
+            c = canonical_tree_string(sub_v, sub_e)
+            if c is not None:
+                out[k].add(c)
+        if k == max_k:
+            return
+        for j in range(min_idx + 1, m):
+            if j in used:
+                continue
+            a, b, _ = edges[j]
+            ina, inb = a in vset, b in vset
+            if ina and inb:
+                continue  # would close a cycle
+            if not used or ina or inb:
+                new_v = vset | {a, b}
+                grow(used + [j], new_v, min_idx if used else j)
+
+    for i in range(m):
+        a, b, _ = edges[i]
+        grow([i], {a, b}, i)
+    # dedupe: subsets can be generated through multiple orders — sets handle it
+    return out
+
+
+def _tree_brute_force(sf, max_k, min_support):
+    con = duckdb.connect()
+    rows = con.execute(f"""
+        WITH pl AS (SELECT l_orderkey, l_linenumber, l_returnflag, l_partkey, p_brand
+                    FROM read_parquet('{sf}/lineitem.parquet') li
+                    JOIN read_parquet('{sf}/part.parquet') p ON l_partkey = p_partkey),
+        seq AS (SELECT l_orderkey, l_partkey, p_brand, l_returnflag,
+                       lag(l_partkey) OVER w AS pk0, lag(p_brand) OVER w AS b0
+                FROM pl WINDOW w AS (PARTITION BY l_orderkey ORDER BY l_linenumber, l_partkey, l_returnflag))
+        SELECT DISTINCT l_orderkey, pk0, l_partkey, b0, p_brand, l_returnflag
+        FROM seq WHERE pk0 IS NOT NULL AND pk0 <> l_partkey
+    """).fetchall()
+    per_graph: dict = {}
+    for o, va, vb, ba, bb, le in rows:
+        per_graph.setdefault(o, {"v": {}, "e": set()})
+        per_graph[o]["v"][va] = ba
+        per_graph[o]["v"][vb] = bb
+        per_graph[o]["e"].add((va, vb, le))
+    counts: dict = {}
+    for o, g in per_graph.items():
+        pats = _tree_subgraph_patterns(g["v"], sorted(g["e"]), max_k)
+        for lvl, ps in pats.items():
+            for p in ps:
+                counts[(lvl, p)] = counts.get((lvl, p), 0) + 1
+    return pd.DataFrame(
+        [(l, p, c) for (l, p), c in counts.items() if c >= min_support],
+        columns=["level", "pattern", "support"],
+    ).sort_values(["level", "pattern"]).reset_index(drop=True)
+
+
+def test_levelwise_trees_matches_bruteforce():
+    got = levelwise_tree_mining(SF, max_edges=3, min_support=2)
+    got = got.sort_values(["level", "pattern"]).reset_index(drop=True)
+    want = _tree_brute_force(SF, 3, 2)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    assert (got["level"] >= 2).any()  # genuinely beyond single edges
+
+
+def test_subtree_iso_dp_vs_backtracking():
+    """The rooted-DP tree-in-TREE operator and the backtracking
+    tree-in-GRAPH operator must agree whenever the host is a tree."""
+    rng = np.random.default_rng(11)
+    labels = ["a", "b", "c"]
+    elabels = ["x", "y"]
+    for trial in range(200):
+        # random labeled host tree (random attachment)
+        n = int(rng.integers(2, 9))
+        hv = {i: labels[rng.integers(0, len(labels))] for i in range(n)}
+        he = [
+            (int(rng.integers(0, i)), i, elabels[rng.integers(0, len(elabels))])
+            for i in range(1, n)
+        ]
+        # random pattern tree (sometimes a relabeled subtree of the host)
+        k = int(rng.integers(1, 5))
+        pv = {i: labels[rng.integers(0, len(labels))] for i in range(k + 1)}
+        pe = [
+            (int(rng.integers(0, i)), i, elabels[rng.integers(0, len(elabels))])
+            for i in range(1, k + 1)
+        ]
+        dp = subtree_iso_trees(pv, pe, hv, he)
+        bt = tree_in_graph(pv, pe, hv, he)
+        assert dp == bt, (trial, pv, pe, hv, he)
+
+
+def test_subtree_iso_positive_embeddings():
+    """Every connected edge subset of a tree must be found by both tests."""
+    rng = np.random.default_rng(5)
+    labels = ["a", "b"]
+    for trial in range(40):
+        n = int(rng.integers(3, 9))
+        hv = {i: labels[rng.integers(0, 2)] for i in range(n)}
+        he = [(int(rng.integers(0, i)), i, "e") for i in range(1, n)]
+        pats = _tree_subgraph_patterns(hv, he, 3)
+        from graphminingtools_ray.functions.cstring import parse_cstring
+
+        for lvl, ps in pats.items():
+            for p in ps:
+                pv, pe = parse_cstring(p)
+                assert subtree_iso_trees(pv, pe, hv, he), (p, hv, he)
+                assert tree_in_graph(pv, pe, hv, he), (p, hv, he)
