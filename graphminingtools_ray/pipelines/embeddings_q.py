@@ -36,13 +36,36 @@ def _emb_to_numpy(batch: pa.Table) -> tuple[np.ndarray, np.ndarray]:
     return ids, mat
 
 
+def _lowest_vec_ids(ds: rd.Dataset, n_queries: int) -> pd.DataFrame:
+    """The ``n_queries`` lowest-vec_id rows WITHOUT a global sort barrier:
+    per-batch partial bottom-n (combiner), driver merges only n×#blocks
+    rows. Replaces ``sort("vec_id").limit(n)`` — an all-to-all exchange to
+    pick 16 rows."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        ids = t["vec_id"].to_numpy()
+        kk = min(n_queries, len(ids))
+        if kk == 0:
+            return t
+        keep = np.argpartition(ids, kk - 1)[:kk]
+        return t.take(pa.array(np.sort(keep)))
+
+    parts = []
+    for b in ds.map_batches(partial, batch_format="pyarrow").iter_batches(
+        batch_size=None, batch_format="pyarrow"
+    ):
+        parts.append(b.to_pandas())
+    merged = pd.concat(parts, ignore_index=True).sort_values("vec_id")
+    return merged.head(n_queries).reset_index(drop=True)
+
+
 def ann_topk(sf_dir: str, n_queries: int = 16, k: int = 5):
     """For each of the ``n_queries`` lowest vec_ids: top-k cosine neighbors
     (self excluded), ranked by (cosine desc, vec_id asc).
     Returns (qid, neighbor_id, rank)."""
     ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
 
-    q_pdf = ds.sort("vec_id").limit(n_queries).to_pandas()
+    q_pdf = _lowest_vec_ids(ds, n_queries)
     q_ids = q_pdf["vec_id"].to_numpy(np.int64)
     q_mat = np.stack(q_pdf["embedding"].to_numpy()).astype(np.float64)
     qn = _normalize(q_mat)
@@ -92,7 +115,7 @@ def ann_topk_lsh(
     searches its own bucket plus all 1-bit-flip neighbor buckets. Recall vs
     the brute-force baseline is asserted in tests, not 100% by design."""
     ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    q_pdf = ds.sort("vec_id").limit(n_queries).to_pandas()
+    q_pdf = _lowest_vec_ids(ds, n_queries)
     q_ids = q_pdf["vec_id"].to_numpy(np.int64)
     q_mat = np.stack(q_pdf["embedding"].to_numpy()).astype(np.float64)
     dim = q_mat.shape[1]
@@ -152,22 +175,52 @@ def ann_topk_lsh(
     )
 
 
-def embedding_near_dup(sf_dir: str, threshold: float = 0.3):
+def embedding_near_dup(sf_dir: str, threshold: float = 0.3,
+                       chunk_rows: int = 2048):
     """Blocked embedding near-dup: candidate pairs restricted to equal
-    ``label`` (the blocking key), cosine > threshold, a < b. The blocked
-    groupby keeps the pair space linear in block sizes instead of O(n²)."""
+    ``label`` (the blocking key), cosine > threshold, a < b.
+
+    Hash-bucketed exchange keyed on label (replacing the per-key
+    ``map_groups`` path); within a bucket, each label block's pairwise
+    cosine runs in row CHUNKS of ``chunk_rows`` against the block, so a
+    skewed hot label bounds MEMORY at chunk×block instead of block² (the
+    O(block²) FLOPs are the semantics — exact all-pairs within a block —
+    but a hot key can no longer blow up a worker heap)."""
+    from ..functions.bucketing import bucketed_group_combine
+
     ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding", "label"])
 
-    def per_block(g: pd.DataFrame) -> pd.DataFrame:
-        ids = g["vec_id"].to_numpy(np.int64)
-        mat = np.stack(g["embedding"].to_numpy()).astype(np.float64)
-        sims = _normalize(mat) @ _normalize(mat).T
-        a, b = np.nonzero(np.triu(sims > threshold, k=1))
-        lo = np.minimum(ids[a], ids[b]).astype(np.int64)
-        hi = np.maximum(ids[a], ids[b]).astype(np.int64)
-        return pd.DataFrame({"vec_a": lo, "vec_b": hi})
+    def combine(t: pa.Table) -> pa.Table:
+        labels = np.asarray(t["label"].to_pylist(), dtype=object)
+        ids = t["vec_id"].to_numpy()
+        col = t["embedding"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        flat = col.values.to_numpy(zero_copy_only=False).astype(np.float64)
+        mat = _normalize(flat.reshape(len(ids), -1))
+        a_out, b_out = [], []
+        for lab in np.unique(labels):
+            m = labels == lab
+            bids = ids[m]
+            bmat = mat[m]
+            nb = len(bids)
+            for lo_ in range(0, nb, chunk_rows):
+                hi_ = min(lo_ + chunk_rows, nb)
+                sims = bmat[lo_:hi_] @ bmat.T  # (chunk, nb)
+                ai, bi = np.nonzero(sims > threshold)
+                ai = ai + lo_
+                keep = ai < bi  # upper triangle only
+                a_out.append(np.minimum(bids[ai[keep]], bids[bi[keep]]))
+                b_out.append(np.maximum(bids[ai[keep]], bids[bi[keep]]))
+        if not a_out:
+            return pa.table(
+                {"vec_a": np.empty(0, np.int64), "vec_b": np.empty(0, np.int64)}
+            )
+        return pa.table(
+            {"vec_a": np.concatenate(a_out), "vec_b": np.concatenate(b_out)}
+        )
 
-    out = ds.groupby("label").map_groups(per_block, batch_format="pandas").to_pandas()
+    out = bucketed_group_combine(ds, ["label"], combine).to_pandas()
     if len(out) == 0:
         return pd.DataFrame(
             {"vec_a": pd.Series([], dtype=np.int64), "vec_b": pd.Series([], dtype=np.int64)}

@@ -177,23 +177,37 @@ def events_hourly(sf_dir: str):
 
 def sessionize(sf_dir: str, gap_minutes: int = 30):
     """Session windows per user: a new session starts after a gap > 30 min.
-    Ordering contract: (ts, event_id) within user (SURVEY §2.9)."""
+    Ordering contract: (ts, event_id) within user (SURVEY §2.9).
+
+    Hash-bucketed exchange keyed on user + ONE vectorized pass per bucket
+    (lexsort → per-user segmented gap count) — replaces the per-key
+    ``map_groups`` path, which is ~20x slower and unbounded on a hot user."""
+    from ..functions.bucketing import bucketed_group_combine
+
     ds = read_table(sf_dir, "events", columns=["user_id", "event_id", "ts"])
     gap = np.timedelta64(gap_minutes * 60, "s")
 
-    def per_user(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"])
-        dt = g["ts"].diff().to_numpy()
-        n_sessions = 1 + int((dt[1:] > gap).sum())
-        return pd.DataFrame(
+    def combine(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy()
+        e = t["event_id"].to_numpy()
+        ts = t["ts"].to_numpy()  # datetime64
+        order = np.lexsort((e, ts, u))
+        u, ts = u[order], ts[order]
+        same_user = u[1:] == u[:-1]
+        new_session = same_user & ((ts[1:] - ts[:-1]) > gap)
+        uk, inv = np.unique(u, return_inverse=True)
+        n_events = np.bincount(inv, minlength=len(uk)).astype(np.int64)
+        extra = np.zeros(len(uk), dtype=np.int64)
+        np.add.at(extra, inv[1:][new_session], 1)
+        return pa.table(
             {
-                "user_id": [g["user_id"].iloc[0]],
-                "n_events": [len(g)],
-                "n_sessions": [n_sessions],
+                "user_id": uk,
+                "n_events": n_events,
+                "n_sessions": 1 + extra,
             }
         )
 
-    return ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+    return bucketed_group_combine(ds, ["user_id"], combine)
 
 
 def mktsegment_distinct(sf_dir: str):
