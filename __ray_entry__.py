@@ -58,6 +58,27 @@ def _tree_pattern_features(sf_dir: str):
     return tree_pattern_features(sf_dir, max_edges=2, min_support=3)
 
 
+def _poset_minhash_sketches(sf_dir: str):
+    """Min-hash sketches over the frequent-tree pattern poset (reference
+    minhashing.c: buildTreePosetFromGraphDB + permutation shrink +
+    fastMinHashForTrees): mine a downward-closed frequent-tree set, build
+    the poset + evaluation plan once (broadcast), sketch every per-order
+    graph with monotone propagation so only a fraction of patterns is ever
+    probed. Not SQL-expressible (lazy monotone DAG evaluation) — brute-force
+    pytest oracle in tests/test_poset_minhash.py."""
+    from graphminingtools_ray.pipelines.levelwise import levelwise_tree_mining
+    from graphminingtools_ray.pipelines.mining import order_graph_edges_full
+    from graphminingtools_ray.pipelines.poset_minhash import (
+        poset_minhash_sketches,
+    )
+
+    frequent = levelwise_tree_mining(sf_dir, max_edges=2, min_support=3)
+    patterns = sorted(set(frequent["pattern"].tolist()))
+    return poset_minhash_sketches(
+        order_graph_edges_full(sf_dir), patterns, sketch_size=4, seed=9
+    )
+
+
 def _gdb_blockchain_measures(sf_dir: str):
     """Full gf measure table (incl. round-2 kernels: outerplanarity, block
     degree/criticality, ST estimate, non-iso cycles/spanning trees) over a
@@ -125,6 +146,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cyclic_pattern_features": _cyclic_pattern_features,
         "tree_pattern_features": _tree_pattern_features,
         "gdb_blockchain_measures": _gdb_blockchain_measures,
+        "poset_minhash_sketches": _poset_minhash_sketches,
         # documents: dedup family + text analysis
         "dedup_exact": text_q.dedup_exact,
         "doc_stats": text_q.doc_stats,

@@ -41,6 +41,9 @@ MEASURE_COLUMNS = [
     # round-2 kernel pack
     "is_outerplanar", "max_block_degree", "n_articulation_points",
     "spanning_tree_estimate", "n_noniso_cycles", "n_noniso_spanning_trees",
+    # round-2b kernel pack: Hamiltonian-path / local-easiness family
+    "is_traceable_cactus", "is_weakly_traceable",
+    "min_local_easiness", "max_local_easiness",
 ]
 
 
@@ -107,6 +110,15 @@ def measures_for_graph(n: int, edges: list[tuple[int, int]]) -> dict:
     st_estimate = _spanning_tree_estimate(bcc_edge_lists, n_components)
     n_noniso_st = _noniso_spanning_trees(n, sorted(simple), st, connected)
 
+    trace_shape = _traceable_shape(block_deg, bcc_edge_lists)
+    is_traceable_cactus = bool(
+        is_cactus and (n <= 1 or trace_shape == 2)
+    )
+    # weakly traceable: connected AND the necessary criticality conditions
+    # hold (no block-adjacency check — may still be non-traceable)
+    is_weakly_traceable = bool(connected and (n <= 1 or trace_shape >= 1))
+    min_le, max_le = _local_easiness(n, bcc_edge_lists)
+
     return {
         "is_cactus": is_cactus,
         "n_simple_cycles": n_cycles,
@@ -130,6 +142,10 @@ def measures_for_graph(n: int, edges: list[tuple[int, int]]) -> dict:
         "spanning_tree_estimate": int(st_estimate),
         "n_noniso_cycles": len(cycle_lengths),
         "n_noniso_spanning_trees": int(n_noniso_st),
+        "is_traceable_cactus": is_traceable_cactus,
+        "is_weakly_traceable": is_weakly_traceable,
+        "min_local_easiness": int(min_le),
+        "max_local_easiness": int(max_le),
     }
 
 
@@ -376,6 +392,85 @@ def _noniso_spanning_trees(
         if c is not None:
             seen.add(c)
     return len(seen)
+
+
+def _traceable_shape(block_deg: np.ndarray, bcc_edge_lists) -> int:
+    """Hamiltonian-path structure tests on the block decomposition
+    (reference ``hp_cactus.c:23-113`` isThisCactusTraceable and
+    ``hp_cactus.c:126-174`` isWeaklyTraceableUnsafe). ``block_deg`` is the
+    per-vertex criticality (number of biconnected components containing the
+    vertex, ``listComponents.c computeCriticality``).
+
+    Returns 0 if the necessary conditions fail (some vertex criticality > 2,
+    or some multi-edge block has > 2 critical vertices), 1 if only the weak
+    conditions hold, 2 if additionally in every multi-edge block with exactly
+    two critical vertices those two are adjacent (the strong condition that
+    makes a connected CACTUS traceable)."""
+    if block_deg.size and int(block_deg.max()) > 2:
+        return 0
+    strong = 2
+    for bes in bcc_edge_lists:
+        if len(bes) <= 1:
+            continue
+        crit = {v for e in bes for v in e if block_deg[v] > 1}
+        if len(crit) > 2:
+            return 0
+        if len(crit) == 2:
+            a, b = sorted(crit)
+            if not any({x, y} == {a, b} for x, y in bes):
+                strong = 1  # weak conditions hold, strong adjacency fails
+    return strong
+
+
+def _local_easiness(
+    n: int, bcc_edge_lists, max_bound: int = 2**31 - 1
+) -> tuple[int, int]:
+    """Per-vertex local easiness = product of spanning-tree counts of the
+    multi-edge biconnected blocks containing the vertex (reference
+    ``localEasiness.c:10-58`` computeLocalEasinessExactly; bridges contribute
+    factor 1). Returns (min, max) over vertices with the reference's INT_MAX
+    sentinel semantics (``localEasiness.c:66-107``): a count above
+    ``max_bound`` poisons the vertex (max → -1; min skips it), and a final
+    value above INT_MAX reports -1."""
+    if n == 0:
+        return -1, -1
+    easiness = [1] * n
+    for bes in bcc_edge_lists:
+        if len(bes) <= 1:
+            continue
+        verts = sorted({v for e in bes for v in e})
+        idx = {v: i for i, v in enumerate(verts)}
+        nb = len(verts)
+        L = [[0] * nb for _ in range(nb)]
+        for a, b in bes:
+            ia, ib = idx[a], idx[b]
+            L[ia][ia] += 1
+            L[ib][ib] += 1
+            L[ia][ib] -= 1
+            L[ib][ia] -= 1
+        st = _bareiss_det([row[1:] for row in L[1:]])
+        for v in verts:
+            if st > max_bound:
+                easiness[v] = 0  # poisoned, like countSpanningTrees == -1
+            elif easiness[v] != 0:
+                easiness[v] *= st
+    int_max = 2**31 - 1
+    mx = -1
+    mn = -1
+    poisoned = False
+    for v in range(n):
+        if easiness[v] == 0:
+            poisoned = True  # getMaxLocalEasiness returns -1 on any failure
+            continue
+        if easiness[v] > mx:
+            mx = easiness[v]
+        if mn == -1 or easiness[v] < mn:
+            mn = easiness[v]
+    if poisoned or mx > int_max:
+        mx = -1
+    if mn > int_max:
+        mn = -1
+    return mn, mx
 
 
 def _n_bridge_trees(n: int, bridge_edges: list[tuple[int, int]]) -> int:

@@ -1,0 +1,402 @@
+"""Min-hashing over a pattern poset — the reference's probabilistic
+feature-sketching suite (``/root/reference/minhashing.c``):
+
+- ``build_tree_poset`` (minhashing.c:302-331 buildTreePosetFromGraphDB):
+  given a downward-closed list of canonical TREE-pattern strings, build the
+  DAG F with vertex 0 = the empty pattern and an edge p → q iff
+  |V(p)| = |V(q)| − 1 and p is subgraph-isomorphic to q. Edges are found the
+  reference's way (minhashing.c:188-278 addEdgesFromSubtrees): remove each
+  leaf of q, canonicalize, look the string up in the pattern dictionary.
+- ``shrink_permutation`` (minhashing.c:62-95 posetPermutationMark/Shrink):
+  drop every position whose pattern is a superpattern of an earlier kept
+  one — those can never be the min-hash of a monotone feature set.
+- ``build_evaluation_plan`` (minhashing.c:124-168): interleave the K shrunk
+  permutations level by level, each level sorted by pattern id, so small
+  patterns are probed first.
+- ``minhash_sketch_for_graph`` (minhashing.c:444-487 fastMinHashForTrees):
+  walk the plan; evaluate the embedding operator only when the poset has not
+  already decided the pattern; propagate every result monotonically (match ⇒
+  all subpatterns match, minhashing.c:356-369 rayOfLight; non-match ⇒ all
+  superpatterns fail, :377-390 rayOfDoom). The sketch entry for permutation
+  k is the level of its first match, −1 if none.
+- ``bfs_feature_set`` (minhashing.c:583-640 bfsEmbeddingForTrees +
+  :426-434 patternPosetInfoToFeatureSet): exact matched-pattern set via a
+  BFS over the poset from the minimal patterns, never descending past a
+  non-match.
+
+Embedding operators (selectable like the reference's fastMinHashFor* family):
+``subtree`` = exact tree-in-graph embedding, ``abs_importance`` /
+``rel_importance`` = the component-frequency operators of
+``importantSubtrees.c:78-112`` (pattern must embed in ≥ t connected
+components of the transaction, absolutely or relatively).
+
+Distributed shape: the pattern set is SMALL (a mined frequent-tree set) — the
+poset + evaluation plan are built once on the driver and broadcast with
+``ray.put``; the graph DB streams through ONE bucketed exchange keyed on
+graph_id and each bucket evaluates its graphs against the broadcast plan
+(no shuffle of pattern state, no driver-side per-graph work).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data as rd
+
+from ..algos.subtree_iso import tree_in_graph
+from ..functions.bucketing import bucketed_group_combine
+from ..functions.cstring import canonical_tree_string, parse_cstring
+
+
+# --- poset construction (driver side, pattern-set scale) ---------------------
+
+
+class TreePoset:
+    """Pattern poset over canonical tree strings. Vertex 0 is the empty
+    pattern; pattern ids are 1..n_patterns in order of increasing vertex
+    count (ties by string), like the reference's reordering
+    (minhashing.c:304-311)."""
+
+    def __init__(self, patterns: list[str]):
+        parsed = [(p, *parse_cstring(p)) for p in patterns]
+        parsed.sort(key=lambda t: (len(t[1]), t[0]))
+        self.strings = [p for p, _, _ in parsed]
+        self.vertices = [v for _, v, _ in parsed]
+        self.edges = [e for _, _, e in parsed]
+        self.n = len(parsed) + 1  # + empty pattern
+        ids = {p: i + 1 for i, (p, _, _) in enumerate(parsed)}
+        if len(ids) != len(parsed):
+            raise ValueError("duplicate patterns in poset input")
+        # up[p] = direct superpatterns, down[q] = direct subpatterns
+        self.up: list[list[int]] = [[] for _ in range(self.n)]
+        self.down: list[list[int]] = [[] for _ in range(self.n)]
+        for qid in range(1, self.n):
+            qv, qe = self.vertices[qid - 1], self.edges[qid - 1]
+            parents: set[int] = set()
+            if len(qv) == 1:
+                parents.add(0)  # singletons hang off the empty pattern
+            else:
+                deg: dict = {v: 0 for v in qv}
+                for a, b, _ in qe:
+                    deg[a] += 1
+                    deg[b] += 1
+                for leaf in [v for v, d in deg.items() if d == 1]:
+                    sv = {v: l for v, l in qv.items() if v != leaf}
+                    se = [e for e in qe if leaf not in (e[0], e[1])]
+                    c = canonical_tree_string(sv, se)
+                    pid = ids.get(c)
+                    if pid is not None:
+                        parents.add(pid)
+            if not parents:
+                # minimal pattern not generated from a leaf removal: attach
+                # to the empty pattern (minhashing.c:252-259)
+                parents.add(0)
+            for pid in sorted(parents):
+                self.up[pid].append(qid)
+                self.down[qid].append(pid)
+
+    def up_set(self, pid: int) -> set[int]:
+        """All superpatterns reachable from pid (pid included)."""
+        out = {pid}
+        stack = [pid]
+        while stack:
+            v = stack.pop()
+            for w in self.up[v]:
+                if w not in out:
+                    out.add(w)
+                    stack.append(w)
+        return out
+
+
+def shrink_permutation(perm: list[int], poset: TreePoset) -> list[int]:
+    """Keep position i only if perm[i] is not a superpattern of any earlier
+    kept pattern (posetPermutationMark semantics: mark the up-set of every
+    kept pattern; marked later positions can never be the min-hash)."""
+    marked = np.zeros(poset.n, dtype=bool)
+    kept = []
+    for pid in perm:
+        if not marked[pid]:
+            kept.append(pid)
+            for w in poset.up_set(pid):
+                marked[w] = True
+    return kept
+
+
+def build_evaluation_plan(
+    poset: TreePoset, sketch_size: int, seed: int = 42
+) -> dict:
+    """K seeded random permutations of pattern ids 1..n, shrunk, interleaved
+    level-by-level with each level sorted by pattern id
+    (minhashing.c:138-155). Returns a plain dict (ray.put-able)."""
+    rng = np.random.default_rng(np.random.PCG64(seed))
+    shrunk: list[list[int]] = []
+    for _ in range(sketch_size):
+        perm = list(rng.permutation(poset.n - 1) + 1)
+        shrunk.append(shrink_permutation(perm, poset))
+    max_len = max((len(s) for s in shrunk), default=0)
+    order: list[tuple[int, int]] = []  # (permutation index, level)
+    for level in range(max_len):
+        batch = [(k, level) for k in range(sketch_size)
+                 if level < len(shrunk[k])]
+        batch.sort(key=lambda kl: shrunk[kl[0]][kl[1]])
+        order.extend(batch)
+    return {
+        "poset": poset,
+        "shrunk": shrunk,
+        "order": order,
+        "sketch_size": sketch_size,
+    }
+
+
+# --- embedding operators (importantSubtrees.c) --------------------------------
+
+
+def _components(vertices: dict, edges: list):
+    adj: dict = {v: [] for v in vertices}
+    for a, b, el in edges:
+        adj[a].append(b)
+        adj[b].append(a)
+    seen: set = set()
+    for s in vertices:
+        if s in seen:
+            continue
+        comp = {s}
+        seen.add(s)
+        stack = [s]
+        while stack:
+            v = stack.pop()
+            for w in adj[v]:
+                if w not in seen:
+                    seen.add(w)
+                    comp.add(w)
+                    stack.append(w)
+        yield comp
+
+
+def importance_count(
+    p_vertices: dict, p_edges: list, g_vertices: dict, g_edges: list
+) -> int:
+    """Number of connected components of the host in which the pattern
+    embeds (importantSubtrees.c:78-88 importanceCount)."""
+    freq = 0
+    for comp in _components(g_vertices, g_edges):
+        cv = {v: g_vertices[v] for v in comp}
+        ce = [e for e in g_edges if e[0] in comp]
+        if tree_in_graph(p_vertices, p_edges, cv, ce):
+            freq += 1
+    return freq
+
+
+def importance_relative(
+    p_vertices: dict, p_edges: list, g_vertices: dict, g_edges: list
+) -> float:
+    """importanceCount / #components (importantSubtrees.c:90-102)."""
+    n_comp = 0
+    freq = 0
+    for comp in _components(g_vertices, g_edges):
+        n_comp += 1
+        cv = {v: g_vertices[v] for v in comp}
+        ce = [e for e in g_edges if e[0] in comp]
+        if tree_in_graph(p_vertices, p_edges, cv, ce):
+            freq += 1
+    return freq / n_comp if n_comp else 0.0
+
+
+def make_match_op(operator: str, threshold: float):
+    """Embedding operator factory mirroring fastMinHashForTrees /
+    ForAbsImportantTrees / ForRelImportantTrees (minhashing.c:444-576)."""
+    if operator == "subtree":
+        return lambda pv, pe, gv, ge: tree_in_graph(pv, pe, gv, ge)
+    if operator == "abs_importance":
+        return lambda pv, pe, gv, ge: (
+            importance_count(pv, pe, gv, ge) >= threshold
+        )
+    if operator == "rel_importance":
+        return lambda pv, pe, gv, ge: (
+            importance_relative(pv, pe, gv, ge) >= threshold
+        )
+    raise ValueError(f"unknown embedding operator {operator!r}")
+
+
+# --- per-graph sketch evaluation ----------------------------------------------
+
+
+def minhash_sketch_for_graph(
+    plan: dict, g_vertices: dict, g_edges: list, match_op=None
+) -> tuple[list[int], int]:
+    """(sketch, n_evaluations) for one transaction graph
+    (minhashing.c:444-487). state[pid] ∈ {0 unknown, 1 match, −1 no-match};
+    every explicit evaluation is propagated through the poset so later plan
+    entries reuse it.
+
+    Deviation noted for parity auditing: the reference's loop records
+    sketch[k] only when it RE-encounters a pattern already marked positive
+    (minhashing.c:467-474), so a match discovered by direct evaluation at
+    its own (k, level) slot never sets sketch[k]. We implement the evidently
+    intended min-hash semantics — sketch[k] = level of the FIRST matching
+    pattern in shrunk permutation k — which the brute-force oracle in
+    tests/test_poset_minhash.py pins down."""
+    poset: TreePoset = plan["poset"]
+    match_op = match_op or make_match_op("subtree", 0)
+    state = np.zeros(poset.n, dtype=np.int8)
+    state[0] = 1  # the empty pattern matches everything
+    sketch = [-1] * plan["sketch_size"]
+    n_eval = 0
+    for k, level in plan["order"]:
+        if sketch[k] != -1:
+            continue
+        pid = plan["shrunk"][k][level]
+        if state[pid] == 0:
+            pv, pe = poset.vertices[pid - 1], poset.edges[pid - 1]
+            n_eval += 1
+            if match_op(pv, pe, g_vertices, g_edges):
+                _propagate_match(poset, pid, state)
+            else:
+                _propagate_nonmatch(poset, pid, state)
+        if state[pid] == 1:
+            sketch[k] = level
+    return sketch, n_eval
+
+
+def _propagate_match(poset: TreePoset, pid: int, state: np.ndarray):
+    """rayOfLight: every subpattern of a match is a match."""
+    stack = [pid]
+    state[pid] = 1
+    while stack:
+        v = stack.pop()
+        for w in poset.down[v]:
+            if state[w] != 1:
+                state[w] = 1
+                stack.append(w)
+
+
+def _propagate_nonmatch(poset: TreePoset, pid: int, state: np.ndarray):
+    """rayOfDoom: every superpattern of a non-match is a non-match."""
+    stack = [pid]
+    state[pid] = -1
+    while stack:
+        v = stack.pop()
+        for w in poset.up[v]:
+            if state[w] != -1:
+                state[w] = -1
+                stack.append(w)
+
+
+def bfs_feature_set(
+    poset: TreePoset, g_vertices: dict, g_edges: list, match_op=None
+) -> set[int]:
+    """Exact matched-pattern-id set via monotone BFS from the minimal
+    patterns (bfsEmbeddingForTrees): children of a pattern are enqueued only
+    when it matches, so the subtree below any non-match is never evaluated."""
+    match_op = match_op or make_match_op("subtree", 0)
+    state = np.zeros(poset.n, dtype=np.int8)
+    state[0] = 1
+    out: set[int] = set()
+    queue = list(poset.up[0])
+    seen = set(queue)
+    while queue:
+        pid = queue.pop(0)
+        if state[pid] == 0:
+            pv, pe = poset.vertices[pid - 1], poset.edges[pid - 1]
+            if match_op(pv, pe, g_vertices, g_edges):
+                _propagate_match(poset, pid, state)
+            else:
+                _propagate_nonmatch(poset, pid, state)
+        if state[pid] == 1:
+            out.add(pid)
+            for w in poset.up[pid]:
+                if w not in seen:
+                    seen.add(w)
+                    queue.append(w)
+    return out
+
+
+def positive_border_size(poset: TreePoset, matched: set[int]) -> int:
+    """Number of maximal matched patterns + the empty pattern if nothing
+    matched above it (getPositiveBorderSize semantics, minhashing.c:411-421:
+    a vertex is in the border iff all its direct superpatterns are
+    non-matches — note vertex 0 counts when all its children fail)."""
+    border = 0
+    for v in range(poset.n):
+        if v != 0 and v not in matched:
+            continue
+        if all(w not in matched for w in poset.up[v]):
+            border += 1
+    return border
+
+
+# --- the distributed pipeline --------------------------------------------------
+
+
+def poset_minhash_sketches(
+    graph_edges: rd.Dataset,
+    patterns: list[str],
+    sketch_size: int = 8,
+    seed: int = 42,
+    operator: str = "subtree",
+    threshold: float = 0,
+) -> rd.Dataset:
+    """Sketch every transaction graph against a broadcast evaluation plan.
+
+    ``graph_edges`` is the per-order long table of
+    ``mining.order_graph_edges_full`` (columns graph_id, va, ba, vb, bb, le).
+    Output: one row per (graph_id, perm) with the sketch level, the matched
+    pattern id at that level (−1 = no match in that permutation), and the
+    number of explicit embedding evaluations spent on the graph (the
+    poset's whole point is that this is ≪ n_patterns)."""
+    poset = TreePoset(patterns)
+    plan = build_evaluation_plan(poset, sketch_size, seed=seed)
+    plan_ref = ray.put(plan)
+
+    def sketch_bucket(t: pa.Table) -> pa.Table:
+        plan_ = ray.get(plan_ref)
+        match_op = make_match_op(operator, threshold)
+        df = t.to_pandas()
+        gids, perms, levels, pids, evals = [], [], [], [], []
+        for gid, g in df.groupby("graph_id", sort=False):
+            vertices: dict = {}
+            edges = []
+            for r in g.itertuples():
+                vertices[int(r.va)] = r.ba
+                vertices[int(r.vb)] = r.bb
+                edges.append((int(r.va), int(r.vb), r.le))
+            sketch, n_eval = minhash_sketch_for_graph(
+                plan_, vertices, edges, match_op
+            )
+            for k, level in enumerate(sketch):
+                gids.append(int(gid))
+                perms.append(k)
+                levels.append(level)
+                pids.append(
+                    plan_["shrunk"][k][level] if level >= 0 else -1
+                )
+                evals.append(n_eval)
+        return pa.table(
+            {
+                "graph_id": pa.array(gids, pa.int64()),
+                "perm": pa.array(perms, pa.int64()),
+                "sketch_level": pa.array(levels, pa.int64()),
+                "pattern_id": pa.array(pids, pa.int64()),
+                "n_evaluations": pa.array(evals, pa.int64()),
+            }
+        )
+
+    return bucketed_group_combine(graph_edges, ["graph_id"], sketch_bucket)
+
+
+def sketch_jaccard_estimate(
+    sketches: pd.DataFrame, gid_a: int, gid_b: int
+) -> float:
+    """Jaccard similarity estimate between two graphs' pattern feature sets:
+    fraction of permutations whose min-hash PATTERN agrees (the estimator
+    the sketches exist for)."""
+    a = sketches[sketches["graph_id"] == gid_a].set_index("perm")["pattern_id"]
+    b = sketches[sketches["graph_id"] == gid_b].set_index("perm")["pattern_id"]
+    perms = a.index.intersection(b.index)
+    if len(perms) == 0:
+        return 0.0
+    both_empty = (a[perms] == -1) & (b[perms] == -1)
+    agree = (a[perms] == b[perms]) & ~both_empty
+    return float(agree.sum()) / len(perms)

@@ -386,3 +386,82 @@ def test_articulation_points_match_removal_oracle():
         )
         got = measures_for_graph(n, edges)["n_articulation_points"]
         assert got == want, (n, edges, got, want)
+
+
+# --- round-2b kernel pack: traceability + local easiness ---------------------
+
+
+def _ham_path_exists(n, edges):
+    adj = [set() for _ in range(n)]
+    for v, w in edges:
+        if v != w:
+            adj[v].add(w)
+            adj[w].add(v)
+    if n <= 1:
+        return True
+    for perm in itertools.permutations(range(n)):
+        if all(perm[i + 1] in adj[perm[i]] for i in range(n - 1)):
+            return True
+    return False
+
+
+def test_traceable_cactus_matches_hamiltonian_oracle():
+    """On cactus graphs the hp_cactus.c criterion is exact: traceable ⟺ a
+    Hamiltonian path exists (brute-force permutation oracle)."""
+    import random
+
+    rng = random.Random(7)
+    checked_cacti = 0
+    for _ in range(500):
+        n = rng.randint(1, 7)
+        pool = [(i, j) for i in range(n) for j in range(i + 1, n)]
+        edges = rng.sample(pool, rng.randint(0, len(pool)))
+        meas = measures_for_graph(n, edges)
+        hp = _ham_path_exists(n, edges)
+        if meas["is_cactus"]:
+            checked_cacti += 1
+            assert meas["is_traceable_cactus"] == hp, (n, edges)
+        # weak traceability is a NECESSARY condition on connected graphs
+        if meas["connected"] and hp:
+            assert meas["is_weakly_traceable"], (n, edges)
+    assert checked_cacti > 30  # the random mix must actually hit cacti
+
+
+def test_traceable_cactus_known_graphs():
+    # path: traceable cactus
+    assert measures_for_graph(4, [(0, 1), (1, 2), (2, 3)])[
+        "is_traceable_cactus"]
+    # star K1,3: cactus but NOT traceable (center criticality 3)
+    st = measures_for_graph(4, [(0, 1), (0, 2), (0, 3)])
+    assert st["is_cactus"] and not st["is_traceable_cactus"]
+    assert not st["is_weakly_traceable"]
+    # triangle with a pendant at one vertex: traceable cactus
+    m = measures_for_graph(4, [(0, 1), (1, 2), (2, 0), (0, 3)])
+    assert m["is_traceable_cactus"] and m["is_weakly_traceable"]
+    # two triangles sharing a vertex: criticality 2 at the cut vertex, each
+    # block has ONE critical vertex -> traceable
+    m2 = measures_for_graph(
+        5, [(0, 1), (1, 2), (2, 0), (0, 3), (3, 4), (4, 0)])
+    assert m2["is_traceable_cactus"]
+    # K4 is not a cactus; weakly-traceable conditions hold (no articulation)
+    k4 = measures_for_graph(4, list(itertools.combinations(range(4), 2)))
+    assert not k4["is_cactus"] and k4["is_weakly_traceable"]
+
+
+def test_local_easiness_block_products():
+    """easiness(v) = Π #ST(block ∋ v) over multi-edge blocks; min/max over
+    vertices (localEasiness.c:10-107)."""
+    # C4 with pendant: blocks = {C4 (4 STs), bridge}; pendant vertex easiness
+    # 1, cycle vertices 4
+    m = measures_for_graph(5, [(0, 1), (1, 2), (2, 3), (3, 0), (0, 4)])
+    assert (m["min_local_easiness"], m["max_local_easiness"]) == (1, 4)
+    # triangle + C4 sharing vertex 0: easiness(0) = 3*4 = 12, others 3 or 4
+    m2 = measures_for_graph(
+        6, [(0, 1), (1, 2), (2, 0), (0, 3), (3, 4), (4, 5), (5, 0)])
+    assert (m2["min_local_easiness"], m2["max_local_easiness"]) == (3, 12)
+    # tree: every block is a bridge -> all easiness 1
+    m3 = measures_for_graph(4, [(0, 1), (1, 2), (1, 3)])
+    assert (m3["min_local_easiness"], m3["max_local_easiness"]) == (1, 1)
+    # empty graph: sentinel
+    m4 = measures_for_graph(0, [])
+    assert (m4["min_local_easiness"], m4["max_local_easiness"]) == (-1, -1)
