@@ -97,6 +97,25 @@ def _gdb_blockchain_measures(sf_dir: str):
     return graph_measures(v, e)
 
 
+def _tree_sampling_suite(sf_dir: str):
+    """Full ``ts`` strategy suite (reference sampleSubtrees.c:69-368,
+    treeSamplingMain.c dispatch: wilson/kruskal/listing/mix/partialListing/
+    cactus/bridgeForest/listOrSample): per graph of a deterministic cgen
+    block-chain DB, iso-class counts among k sampled spanning trees.
+    Seeded per (seed, graph_id) → deterministic. Rows-only; per-strategy
+    oracles in tests/test_sampling_sink.py (listing == exact noniso count,
+    spanning-tree validity, cactus block semantics)."""
+    from graphminingtools_ray.graph.sampling import tree_sampling_measures
+    from graphminingtools_ray.sources.generators import (
+        block_chain_db,
+        gdb_from_long,
+    )
+
+    n_graphs = 30 if "0.01" in sf_dir else 12
+    v, e = gdb_from_long(block_chain_db(n_graphs, 3, 4, diagonal_prob=0.2, seed=23))
+    return tree_sampling_measures(v, e, k=5, seed=11, threshold=60)
+
+
 def entry() -> Any:
     """Flagship pipeline at sf0.001: derive the co-purchase link graph from
     the lineitem table and run PageRank over it to convergence."""
@@ -146,6 +165,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cyclic_pattern_features": _cyclic_pattern_features,
         "tree_pattern_features": _tree_pattern_features,
         "gdb_blockchain_measures": _gdb_blockchain_measures,
+        "tree_sampling_suite": _tree_sampling_suite,
         "poset_minhash_sketches": _poset_minhash_sketches,
         # documents: dedup family + text analysis
         "dedup_exact": text_q.dedup_exact,

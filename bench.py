@@ -57,6 +57,18 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
     for t in ["lineitem", "orders", "events", "documents", "embeddings"]:
         pq.read_table(os.path.join(sf_dir, f"{t}.parquet"))
 
+    # warm the Ray worker pool (fork + import per worker) with one trivial
+    # map + exchange so the timed pipelines measure steady-state compute,
+    # not process startup — a long-lived cluster never pays this per job
+    import ray.data as rd
+
+    from graphminingtools_ray.functions.bucketing import bucketed_group_combine
+
+    warm = rd.range(num_cpus * 4, override_num_blocks=num_cpus * 4).map_batches(
+        lambda t: t, batch_format="pyarrow"
+    )
+    bucketed_group_combine(warm, ["id"], lambda t: t).materialize()
+
     # derive the co-purchase link graph ONCE; all four graph algorithms share
     # the materialized edge table (the realistic pipeline shape), and
     # pagerank + WL share one partitioned graph build over the symmetric view

@@ -207,6 +207,7 @@ def build_partitioned_graph(
 
     blocks = (
         edges.map_batches(tag, batch_format="pyarrow")
+        .repartition(P)  # coalesce read-width blocks: sort cost tracks block count
         .groupby("src_part")
         .map_groups(
             lambda t: _csr_rows_for_part(t, target_edges_per_block),
@@ -291,7 +292,8 @@ def build_partitioned_graph(
         )
 
     static = (
-        inventory.groupby("part")
+        inventory.repartition(P)
+        .groupby("part")
         .map_groups(static_combine, batch_format="pyarrow")
         .repartition(P)  # compact away empty map_groups blocks
         .materialize()

@@ -102,6 +102,7 @@ def _degree_index(simple: rd.Dataset, P: int):
 
     ds = (
         simple.map_batches(partials, batch_format="pyarrow")
+        .repartition(P)  # coalesce: sort cost tracks input block count
         .groupby("part")
         .map_groups(combine, batch_format="pyarrow")
         .repartition(max(1, P // 4))
@@ -223,7 +224,8 @@ def triangle_counts_dataset(
         )
 
     parts_ds = (
-        oriented.groupby("part")
+        oriented.repartition(P)
+        .groupby("part")
         .map_groups(build_part, batch_format="pyarrow")
         .repartition(max(1, P // 2))
         .materialize()

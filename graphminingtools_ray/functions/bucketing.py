@@ -75,18 +75,20 @@ def bucketed_group_combine(
     (with the ``_bucket`` column dropped) and must aggregate per key itself
     — vectorized (np.unique / bincount / pandas groupby), never per-row.
 
-    ``spread=True`` inserts a repartition so the combine runs one task per
-    bucket even when the input arrived as a handful of blocks — use it for
-    combines with real per-bucket compute (wedge expansion, pair blowup).
-    Each repartition is an extra all-to-all BARRIER (~2-3 s fixed), so cheap
-    combines (superstep partial sums, distinct, weight sums) skip it; their
-    parallelism follows the upstream block count through the sort.
+    The input is always repartitioned to ``num_buckets`` blocks before the
+    sort exchange: the sort's scheduling cost grows with input block count
+    (measured ~1.3 s at 64 tiny blocks vs ~0.3 s coalesced), and small
+    pipelines arrive with cpu-count-many tiny read blocks. The coalesce
+    itself is a cheap streaming split/merge (no sort). At cluster scale,
+    ``num_buckets`` must be a small multiple of total cores anyway, so the
+    pre-exchange block width stays sane there too. ``spread`` is retained
+    for API compatibility (the repartition it used to opt into is now
+    unconditional, which also guarantees one combine task per bucket).
     """
+    del spread  # repartition is unconditional now
     bucketed = ds.map_batches(
         lambda t: add_bucket(t, keys, num_buckets), batch_format="pyarrow"
-    )
-    if spread:
-        bucketed = bucketed.repartition(num_buckets)
+    ).repartition(num_buckets)
 
     def per_bucket(t: pa.Table) -> pa.Table:
         return combine(t.drop_columns(["_bucket"]))

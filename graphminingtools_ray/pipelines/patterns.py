@@ -44,16 +44,39 @@ def _graph_structs(df: pd.DataFrame):
     return vertices, edges
 
 
+def _triple_ids(vertices: dict, edges: list) -> np.ndarray:
+    """Stable int ids of a graph's undirected labeled edge triples — the
+    bloom-filter elements (the reference docks frequent vertex/edge pattern
+    ids the same way, lwm_initAndCollect.c histograms + bloomFilter.h)."""
+    from ..functions.hashing import stable_id64
+
+    trips = [
+        f"{min(vertices[a], vertices[b])}|{el}|{max(vertices[a], vertices[b])}"
+        for a, b, el in edges
+    ]
+    return stable_id64(trips) if trips else np.empty(0, np.int64)
+
+
 def pattern_feature_table(
     graph_edges: rd.Dataset, patterns: list[str]
 ) -> rd.Dataset:
     """Sparse presence features: (graph_id, pattern_id, pattern) rows for
     every (graph, pattern) where the tree pattern embeds in the graph.
-    ``patterns`` are reference-format canonical tree strings."""
+    ``patterns`` are reference-format canonical tree strings.
+
+    Each graph's edge-triple docking bits (functions.bloom — the
+    reference's ``bloomFilter.c`` pruning array) gate the exact embedding
+    operator: a pattern whose fingerprint is not a subset of the graph's
+    bits cannot embed and is skipped without running the DP."""
     from ..algos.subtree_iso import tree_in_graph
+    from ..functions.bloom import fingerprint, is_subset
     from ..functions.cstring import parse_cstring
 
-    parsed = [(i, p, parse_cstring(p)) for i, p in enumerate(sorted(patterns))]
+    parsed = []
+    for i, p in enumerate(sorted(patterns)):
+        pv, pe = parse_cstring(p)
+        fp = fingerprint(_triple_ids(pv, pe))
+        parsed.append((i, p, (pv, pe), fp))
     pat_ref = ray.put(parsed)
 
     def probe(t: pa.Table) -> pa.Table:
@@ -62,7 +85,15 @@ def pattern_feature_table(
         gids, pids, pstrs = [], [], []
         for gid, g in df.groupby("graph_id", sort=False):
             vertices, edges = _graph_structs(g)
-            for i, p, (pv, pe) in pats:
+            from ..functions.bloom import docking_bits
+
+            _, gbits = docking_bits(
+                np.zeros(len(edges), np.int64), _triple_ids(vertices, edges)
+            )
+            bits = gbits[0] if len(gbits) else np.uint64(0)
+            for i, p, (pv, pe), fp in pats:
+                if not is_subset(fp, np.array([bits]))[0]:
+                    continue  # bloom prune: a needed triple class is absent
                 if tree_in_graph(pv, pe, vertices, edges):
                     gids.append(int(gid))
                     pids.append(i)

@@ -8,6 +8,7 @@ import pyarrow as pa
 import ray.data as rd
 from ray.data.aggregate import Count, Min, Sum
 
+from ..context import actor_pool
 from ..functions.rounding import round_half_away
 from ..sources.tables import read_table
 from ..stages.dedup import ExactDedupKey, MinHasher, SimHasher, WinnowFingerprint
@@ -58,13 +59,13 @@ def lang_distribution(sf_dir: str):
 def langid_predict(sf_dir: str):
     """Heuristic language ID — actor pool (stopword tables built per actor)."""
     return _docs(sf_dir).map_batches(
-        LangIdHeuristic, batch_format="pandas", concurrency=2
+        LangIdHeuristic, batch_format="pandas", concurrency=actor_pool()
     )
 
 
 def quality_scores(sf_dir: str):
     out = _docs(sf_dir).map_batches(
-        QualityScore, batch_format="pandas", concurrency=2
+        QualityScore, batch_format="pandas", concurrency=actor_pool()
     ).to_pandas()
     out["quality"] = round_half_away(out["quality"], 6)
     return out
@@ -116,14 +117,18 @@ def minhash_near_dup(sf_dir: str, threshold: float = 0.3, bucket_cap: int = 256)
 
     FULLY DISTRIBUTED (no driver-side candidate set): candidate pairs stay a
     Dataset end-to-end —
+      0. ONE scan of the docs computes each doc's sorted-unique shingle set
+         (materialized, compact ``list<uint64>``); MinHash signatures are
+         derived FROM the sets (min over a set == min over the raw shingle
+         stream, bit-identical), so text is tokenized/hashed exactly once;
       1. band rows → bucketed exchange on (band_id, band_hash) → vectorized
          per-bucket pair expansion (``bucket_cap`` bounds the quadratic
          blowup of a degenerate all-identical LSH bucket: sorted doc ids,
          first ``bucket_cap`` kept — deterministic truncation semantics);
-      2. pairs ⋈ texts on doc_a (bucketed exchange; pair dedup happens here —
-         all pairs sharing doc_a land in one bucket);
-      3. (pairs+text_a) ⋈ texts on doc_b + batch-vectorized exact Jaccard,
-         threshold filter inside the bucket.
+      2. pairs ⋈ shingle sets on doc_a (bucketed exchange; pair dedup happens
+         here — all pairs sharing doc_a land in one bucket);
+      3. (pairs+sh_a) ⋈ shingle sets on doc_b + batch-vectorized exact
+         Jaccard, threshold filter inside the bucket.
     Only the verified survivors (tiny) reach the driver. Deterministic.
 
     Returns (doc_a, doc_b, jaccard) for verified pairs, sorted."""
@@ -131,10 +136,48 @@ def minhash_near_dup(sf_dir: str, threshold: float = 0.3, bucket_cap: int = 256)
     from ..graph.build import _pairs_from_sorted_key_items
 
     docs = _docs(sf_dir)
-    # concurrency=2: the actor pool must never cover ALL session CPUs or it
-    # starves the downstream exchange operators (deadlock-ish stall on a
-    # 4-cpu test session)
-    bands = docs.map_batches(MinHasher, batch_format="pandas", concurrency=2)
+
+    from ..stages.dedup import jaccard_sorted_sets, shingle_sets_batch
+
+    SH_T = pa.list_(pa.uint64())
+
+    def shingle_rows(t: pa.Table) -> pa.Table:
+        texts = [x if x is not None else "" for x in t["text"].to_pylist()]
+        sets = shingle_sets_batch(texts)
+        return pa.table(
+            {
+                "k": t["doc_id"],
+                "other": pa.array(np.zeros(t.num_rows, np.int64)),
+                "sh": pa.array(sets, SH_T),
+                "is_pair": pa.array(np.zeros(t.num_rows, np.int8)),
+            }
+        )
+
+    # materialized once: reused by the band stage AND both attach exchanges
+    # (lazy Datasets re-execute per consumer; the shingle pass is worth
+    # caching — it is the only scan of the raw text in this pipeline)
+    shingles_tagged = docs.map_batches(
+        shingle_rows, batch_format="pyarrow"
+    ).materialize()
+
+    hasher = MinHasher()
+
+    def band_rows(t: pa.Table) -> pa.Table:
+        sh = t["sh"].combine_chunks() if isinstance(t["sh"], pa.ChunkedArray) else t["sh"]
+        flat = sh.values.to_numpy(zero_copy_only=False).astype(np.uint64)
+        offsets = sh.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        bh = hasher.band_hashes(hasher.signatures_from_flat(flat, offsets))
+        doc_ids = t["k"].to_numpy()
+        nb = hasher.bands
+        return pa.table(
+            {
+                "doc_id": np.repeat(doc_ids, nb),
+                "band_id": np.tile(np.arange(nb, dtype=np.int64), t.num_rows),
+                "band_hash": bh.ravel(),
+            }
+        )
+
+    bands = shingles_tagged.map_batches(band_rows, batch_format="pyarrow")
 
     def pair_gen(t: pa.Table) -> pa.Table:
         packed = np.stack(
@@ -153,14 +196,6 @@ def minhash_near_dup(sf_dir: str, threshold: float = 0.3, bucket_cap: int = 256)
 
     cand = bucketed_group_combine(bands, ["band_id", "band_hash"], pair_gen)
 
-    # ---- verify: two bucketed joins carrying PRECOMPUTED sorted-unique
-    # shingle sets (list<uint64>, hashed once per doc) — no re-hashing of
-    # text inside the verify, and the heavy column shipped is the compact
-    # shingle array, not the raw text ----
-    from ..stages.dedup import jaccard_sorted_sets, shingle_sets_batch
-
-    SH_T = pa.list_(pa.uint64())
-
     def tag_pairs(t: pa.Table) -> pa.Table:
         return pa.table(
             {
@@ -170,24 +205,6 @@ def minhash_near_dup(sf_dir: str, threshold: float = 0.3, bucket_cap: int = 256)
                 "is_pair": pa.array(np.ones(t.num_rows, np.int8)),
             }
         )
-
-    def shingle_rows(t: pa.Table) -> pa.Table:
-        texts = [x if x is not None else "" for x in t["text"].to_pylist()]
-        sets = shingle_sets_batch(texts)
-        return pa.table(
-            {
-                "k": t["doc_id"],
-                "other": pa.array(np.zeros(t.num_rows, np.int64)),
-                "sh": pa.array(sets, SH_T),
-                "is_pair": pa.array(np.zeros(t.num_rows, np.int8)),
-            }
-        )
-
-    # materialized once: reused by BOTH attach exchanges (lazy Datasets
-    # re-execute per consumer; the shingle pass is worth caching)
-    shingles_tagged = docs.map_batches(
-        shingle_rows, batch_format="pyarrow"
-    ).materialize()
 
     def _split(t: pa.Table):
         is_pair = t["is_pair"].to_numpy(zero_copy_only=False) == 1
@@ -275,12 +292,14 @@ def minhash_near_dup(sf_dir: str, threshold: float = 0.3, bucket_cap: int = 256)
 
 
 def simhash_fingerprints(sf_dir: str):
-    return _docs(sf_dir).map_batches(SimHasher, batch_format="pandas", concurrency=2)
+    return _docs(sf_dir).map_batches(
+        SimHasher, batch_format="pandas", concurrency=actor_pool()
+    )
 
 
 def winnow_fingerprints(sf_dir: str):
     return _docs(sf_dir).map_batches(
-        WinnowFingerprint, batch_format="pandas", concurrency=2
+        WinnowFingerprint, batch_format="pandas", concurrency=actor_pool()
     )
 
 
@@ -304,5 +323,5 @@ def media_features(sf_dir: str):
         fn_constructor_kwargs={"decoder": "stub"},
         batch_format="pyarrow",
         batch_size=256,
-        concurrency=2,
+        concurrency=actor_pool(),
     )

@@ -172,6 +172,15 @@ class MinHasher:
     def signatures_batch(self, texts) -> np.ndarray:
         """(num_docs, num_perm) uint64 signatures; empty docs → all-zero."""
         flat, offsets = shingle_hashes_flat(texts, self.shingle_n)
+        return self.signatures_from_flat(flat, offsets)
+
+    def signatures_from_flat(self, flat: np.ndarray, offsets: np.ndarray) -> np.ndarray:
+        """Signatures from an already-flattened shingle-hash array (e.g. the
+        values buffer of a ``list<uint64>`` Arrow column). Min over a set is
+        order- and multiplicity-independent, so feeding the SORTED-UNIQUE
+        per-doc sets of ``shingle_sets_batch`` yields bit-identical
+        signatures to hashing the raw text — the near-dup pipeline exploits
+        this to shingle each doc exactly once."""
         counts = np.diff(offsets)
         sigs = np.zeros((len(counts), self.num_perm), dtype=np.uint64)
         nonempty = np.flatnonzero(counts > 0)

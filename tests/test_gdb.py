@@ -465,3 +465,60 @@ def test_local_easiness_block_products():
     # empty graph: sentinel
     m4 = measures_for_graph(0, [])
     assert (m4["min_local_easiness"], m4["max_local_easiness"]) == (-1, -1)
+
+
+def test_gaston_conversion_roundtrip():
+    """formatConverter (gfc) semantics: aids -> gaston -> tabular preserves
+    structure (0/1-based shift, a<b edge order)."""
+    from graphminingtools_ray.sources.aids import (
+        parse_gaston_text,
+        read_aids,
+        write_gaston_text,
+    )
+
+    tables = read_aids(HIV5)
+    gt = write_gaston_text(tables)
+    assert gt.startswith("t # ")
+    back = parse_gaston_text(gt)
+    assert back["gdb_graphs"].num_rows == tables["gdb_graphs"].num_rows
+    assert back["gdb_vertices"]["label"].to_pylist() == (
+        tables["gdb_vertices"]["label"].to_pylist()
+    )
+    # edge multiset per graph is preserved (order-insensitive, a<b canon)
+    def canon(t):
+        return sorted(
+            (r["graph_id"], min(r["v"], r["w"]), max(r["v"], r["w"]), r["label"])
+            for r in t["gdb_edges"].to_pylist()
+        )
+
+    assert canon(back) == canon(tables)
+
+
+def test_aids99_label_map_and_unlabeled():
+    from graphminingtools_ray.sources.aids import (
+        aids99_vertex_label,
+        apply_aids99_labels,
+        labeled_to_unlabeled,
+        parse_aids_text,
+    )
+
+    assert aids99_vertex_label(2) == "C"
+    assert aids99_vertex_label(63) == "AC"
+    assert aids99_vertex_label(999) == "ERR"
+    txt = "# 1 0 3 2\n1 2 3 \n1 2 1 2 3 2 \n$"
+    tables = parse_aids_text(txt)
+    mapped = apply_aids99_labels(tables)
+    assert mapped["gdb_vertices"]["label"].to_pylist() == ["H", "C", "O"]
+    # edge labels untouched (aids99EdgeLabel is numeric passthrough)
+    assert mapped["gdb_edges"]["label"].to_pylist() == ["1", "2"]
+    un = labeled_to_unlabeled(tables)
+    assert set(un["gdb_vertices"]["label"].to_pylist()) == {"1"}
+    assert set(un["gdb_edges"]["label"].to_pylist()) == {"1"}
+
+
+def test_dot_writer():
+    from graphminingtools_ray.sources.aids import parse_aids_text, write_dot_text
+
+    txt = "# 7 0 2 1\nA B \n1 2 x \n$"
+    dot = write_dot_text(parse_aids_text(txt), 7)
+    assert 'v1 [label="A"]' in dot and "v1 -- v2" in dot

@@ -101,3 +101,121 @@ def test_order_tree_cstrings():
     assert no_tree < n_orders * 0.5
     # canonical strings end with the mandatory trailing space
     assert all(s.endswith(" ") or s == "No Tree" for s in df["cstring"])
+
+
+@pytest.mark.parametrize(
+    "method",
+    ["listing", "mix", "partial_listing", "cactus", "list_or_sample"],
+)
+def test_strategy_samples_are_spanning_trees(method):
+    """Round-2 ts strategy suite (sampleSubtrees.c:165-368 dispatch)."""
+    rng = np.random.default_rng(11)
+    for gid in range(4):
+        n = int(rng.integers(4, 10))
+        edges = [(int(rng.integers(0, v)), v) for v in range(1, n)]
+        for _ in range(n // 2):
+            a, b = int(rng.integers(0, n)), int(rng.integers(0, n))
+            if a != b:
+                edges.append((min(a, b), max(a, b)))
+        edges = sorted(set(edges))
+        trees = sample_spanning_trees_per_graph(
+            n, edges, graph_id=gid, k=3, method=method, threshold=50
+        )
+        for t in trees:
+            assert _is_spanning_tree(n, t, edges)
+
+
+def test_listing_enumerates_exactly():
+    from graphminingtools_ray.graph.gdb import measures_for_graph
+    from graphminingtools_ray.graph.sampling import (
+        enumerate_spanning_trees,
+        spanning_tree_upper_bound,
+    )
+
+    # K4: 16 spanning trees (Cayley); bound >= exact
+    edges = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    trees = enumerate_spanning_trees(4, edges)
+    assert len(trees) == 16
+    assert spanning_tree_upper_bound(4, edges) >= 16
+    assert measures_for_graph(4, edges)["spanning_trees"] == 16
+
+
+def test_cactus_sampler_uniform_blocks():
+    """On a cactus, every sample keeps all bridges and drops exactly one
+    edge per cycle block (sampleSpanningTreeEdgesFromCactus semantics)."""
+    # two triangles joined by a bridge: blocks {0,1,2}, {3,4,5}, bridge 2-3
+    edges = [(0, 1), (1, 2), (0, 2), (2, 3), (3, 4), (4, 5), (3, 5)]
+    trees = sample_spanning_trees_per_graph(
+        6, edges, graph_id=1, k=8, method="cactus"
+    )
+    for t in trees:
+        assert _is_spanning_tree(6, t, edges)
+        assert (2, 3) in [(min(a, b), max(a, b)) for a, b in t]
+
+
+def test_noniso_sampled_matches_bruteforce():
+    """listing-strategy iso-class count at saturating k == exact
+    non-isomorphic spanning tree count (listSpanningTrees.c:439-463)."""
+    from graphminingtools_ray.graph.gdb import measures_for_graph
+    from graphminingtools_ray.graph.sampling import (
+        noniso_sampled_spanning_trees,
+    )
+
+    cases = [
+        (4, [(0, 1), (1, 2), (0, 2), (2, 3)]),
+        (5, [(0, 1), (1, 2), (2, 3), (3, 4), (0, 4), (1, 3)]),
+    ]
+    for n, edges in cases:
+        exact = measures_for_graph(n, edges)["n_noniso_spanning_trees"]
+        sampled = noniso_sampled_spanning_trees(
+            n, edges, graph_id=3, k=400, method="listing", threshold=10**6
+        )
+        assert sampled == exact
+
+
+def test_tree_sampling_measures_pipeline(ray_session):
+    from graphminingtools_ray.graph.sampling import tree_sampling_measures
+    from graphminingtools_ray.sources.generators import (
+        block_chain_db,
+        gdb_from_long,
+    )
+
+    v, e = gdb_from_long(block_chain_db(6, 2, 4, seed=5))
+    out = (
+        tree_sampling_measures(v, e, k=3, seed=9)
+        .to_pandas()
+        .sort_values("graph_id")
+        .reset_index(drop=True)
+    )
+    assert len(out) == 6
+    assert (out["noniso_wilson"] >= 1).all()
+    # determinism across runs
+    out2 = (
+        tree_sampling_measures(v, e, k=3, seed=9)
+        .to_pandas()
+        .sort_values("graph_id")
+        .reset_index(drop=True)
+    )
+    assert out.equals(out2)
+
+
+def test_bloom_docking_bits():
+    """functions.bloom: one-sided error — a pattern that embeds always
+    passes the subset test (bloomFilter.c contract)."""
+    from graphminingtools_ray.functions.bloom import (
+        docking_bits,
+        fingerprint,
+        is_subset,
+    )
+
+    rng = np.random.default_rng(4)
+    for _ in range(50):
+        g_elems = rng.integers(0, 1000, size=rng.integers(1, 30))
+        sub = rng.choice(g_elems, size=rng.integers(1, len(g_elems) + 1))
+        groups, bits = docking_bits(
+            np.zeros(len(g_elems), np.int64), g_elems
+        )
+        assert is_subset(fingerprint(sub), bits)[0]
+    # a disjoint element range is (very likely) prunable for small sets
+    groups, bits = docking_bits(np.zeros(2, np.int64), np.array([1, 2]))
+    assert not is_subset(fingerprint(np.array([5])), bits)[0]
