@@ -68,6 +68,7 @@ def bucketed_group_combine(
     combine,
     num_buckets: int = 32,
     spread: bool = False,
+    coalesce: bool = True,
 ) -> rd.Dataset:
     """Hash-partitioned exchange on ``keys`` + vectorized per-bucket combine.
 
@@ -75,20 +76,24 @@ def bucketed_group_combine(
     (with the ``_bucket`` column dropped) and must aggregate per key itself
     — vectorized (np.unique / bincount / pandas groupby), never per-row.
 
-    The input is always repartitioned to ``num_buckets`` blocks before the
-    sort exchange: the sort's scheduling cost grows with input block count
-    (measured ~1.3 s at 64 tiny blocks vs ~0.3 s coalesced), and small
-    pipelines arrive with cpu-count-many tiny read blocks. The coalesce
-    itself is a cheap streaming split/merge (no sort). At cluster scale,
+    With ``coalesce`` (default) the input is repartitioned to
+    ``num_buckets`` blocks before the sort exchange: the sort's scheduling
+    cost grows with input block count (measured ~1.3 s at 64 tiny blocks vs
+    ~0.3 s coalesced), and small pipelines arrive with cpu-count-many tiny
+    read blocks. The coalesce itself is a cheap streaming split/merge (no
+    sort), but it IS one extra write+read wave through the object store —
+    pass ``coalesce=False`` when the input is already bucket-width (e.g.
+    the output of a previous bucketed exchange). At cluster scale,
     ``num_buckets`` must be a small multiple of total cores anyway, so the
     pre-exchange block width stays sane there too. ``spread`` is retained
-    for API compatibility (the repartition it used to opt into is now
-    unconditional, which also guarantees one combine task per bucket).
+    for API compatibility (its repartition is now the default coalesce).
     """
-    del spread  # repartition is unconditional now
+    del spread
     bucketed = ds.map_batches(
         lambda t: add_bucket(t, keys, num_buckets), batch_format="pyarrow"
-    ).repartition(num_buckets)
+    )
+    if coalesce:
+        bucketed = bucketed.repartition(num_buckets)
 
     def per_bucket(t: pa.Table) -> pa.Table:
         return combine(t.drop_columns(["_bucket"]))

@@ -215,6 +215,7 @@ def keyed_self_pairs(
         ["src", "dst"],
         sum_by_int_keys(["src", "dst"], "partial", out_value="weight"),
         num_buckets=num_buckets,
+        coalesce=False,  # input = previous exchange's output, already bucket-width
     )
 
 
@@ -259,8 +260,14 @@ def symmetrize(edges: rd.Dataset) -> rd.Dataset:
 # ---------------------------------------------------------------------------
 
 class _IngestBatch:
-    """Stateless parse stage: sha256 invariant + vertex ids + module keys +
-    import targets, all per batch. Regexes compiled at module import."""
+    """Stateless parse stage: vertex ids + module keys + import targets (+
+    the sha256 invariant when ``with_sha``), all per batch. Regexes compiled
+    at module import. The edges path runs ``with_sha=False`` — it never
+    consumes the digest, and skipping it keeps the all-commit-rows parse
+    cheap (the ``files`` surface computes sha over its own scan)."""
+
+    def __init__(self, with_sha: bool = True):
+        self.with_sha = with_sha
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         repo = batch["repo"].to_pylist()
@@ -275,18 +282,18 @@ class _IngestBatch:
         # comma-joined (module keys contain no commas): survives the
         # arrow->pandas->arrow round trip that list<string> does not
         imports = [",".join(_IMPORT_RE.findall(c)) for c in content]
-        return pa.table(
-            {
-                "repo": batch["repo"],
-                "path": batch["path"],
-                "commit": batch["commit"],
-                "lang": batch["lang"],
-                "sha256": sha256_hex(content),
-                "vertex_id": pa.array(vid),
-                "module_key": pa.array(modkey, pa.string()),
-                "imports": pa.array(imports, pa.string()),
-            }
-        )
+        cols = {
+            "repo": batch["repo"],
+            "path": batch["path"],
+            "commit": batch["commit"],
+            "lang": batch["lang"],
+            "vertex_id": pa.array(vid),
+            "module_key": pa.array(modkey, pa.string()),
+            "imports": pa.array(imports, pa.string()),
+        }
+        if self.with_sha:
+            cols["sha256"] = sha256_hex(content)
+        return pa.table(cols)
 
 
 def corpus_ingest(
@@ -310,53 +317,45 @@ def corpus_ingest(
       Schema ``(src, dst, weight: int64, kind: string)``.
 
     Round-2 scale shape (no driver-held winner map, no broadcast definition
-    table): the per-file winning commit is decided INSIDE one hash-bucketed
-    exchange keyed on ``vertex_id`` (all commits of a file co-locate, the
-    max-commit filter and the content parse run bucket-locally), and the
+    table): the full corpus is parsed ONCE in the map stage (sha256, module
+    key, import list — parse CPU scales with cores), so the winner exchange
+    keyed on ``vertex_id`` ships only the COMPACT parsed columns, never the
+    raw content (shuffle bytes ~20× below corpus bytes; all commits of a
+    file co-locate and the max-commit filter runs bucket-locally). The
     import join is a bucketed join keyed on ``module_key`` (definitions and
     import references meet in the same bucket; the per-module target cap is
     applied there too, since a module's definitions all share its bucket).
     """
-    # ``files`` (per-commit sha256 rows) parses the FULL corpus — built
-    # lazily; the edge path below parses only the winning file versions and
-    # reads only the slim columns it needs (prune at the read).
-    files = corpus.map_batches(_IngestBatch(), batch_format="pyarrow").select_columns(
-        ["repo", "path", "commit", "lang", "sha256", "vertex_id"]
-    )
-
-    def slim_ids(t: pa.Table) -> pa.Table:
-        repo = t["repo"].to_pylist()
-        path = t["path"].to_pylist()
-        vid = stable_id64([f"{r}:{p}" for r, p in zip(repo, path)])
-        return pa.table(
-            {"vertex_id": pa.array(vid), "repo": t["repo"], "path": t["path"],
-             "commit": t["commit"]}
-        )
-
-    slim = corpus.select_columns(["repo", "path", "commit"]).map_batches(
-        slim_ids, batch_format="pyarrow"
-    )
+    # ``files`` (per-commit sha256 rows) parses with the digest — built
+    # lazily, consumed by the invariant surface only
+    files = corpus.map_batches(
+        _IngestBatch(with_sha=True), batch_format="pyarrow"
+    ).select_columns(["repo", "path", "commit", "lang", "sha256", "vertex_id"])
+    # edges path: ONE cheap content pass (no sha) → compact parse rows,
+    # MATERIALIZED and reused by the winner exchange, the co-commit pair
+    # stage and the copath stage — the corpus itself is read exactly twice
+    # per full ingest (once here, once if `files` is consumed). The parse
+    # table is ~5-10% of corpus bytes (content dropped), so the object store
+    # holds/spills it comfortably at any scale.
+    parsed = corpus.map_batches(
+        _IngestBatch(with_sha=False), batch_format="pyarrow"
+    ).materialize()
+    slim = parsed.select_columns(["vertex_id", "repo", "path", "commit"])
 
     # one row per FILE (vertex): the corpus is commit-grained; graph semantics
     # are file-grained. Deterministic pick = lexicographically max commit
     # (defines which content version wins if a file changed across commits).
     # ONE hash-bucketed exchange keyed on vertex_id: all commit-versions of a
-    # file co-locate, the max-commit filter runs bucket-locally on dictionary
-    # codes, and only the winners' content is parsed (inside the same task) —
-    # no winner map ever exists on the driver or in a broadcast.
+    # file co-locate and the max-commit filter runs bucket-locally on
+    # dictionary codes — no winner map ever exists on the driver or in a
+    # broadcast.
     from ..functions.bucketing import (
         bucketed_group_combine,
         count_distinct_rows,
         sum_by_int_keys,
     )
 
-    def add_vertex_id(t: pa.Table) -> pa.Table:
-        repo = t["repo"].to_pylist()
-        path = t["path"].to_pylist()
-        vid = stable_id64([f"{r}:{p}" for r, p in zip(repo, path)])
-        return t.append_column("vertex_id", pa.array(vid))
-
-    def winner_parse(t: pa.Table) -> pa.Table:
+    def winner_filter(t: pa.Table) -> pa.Table:
         vid = t["vertex_id"].to_numpy()
         # commit strings → sorted dictionary codes; max code == max string
         uniq, codes = np.unique(
@@ -366,7 +365,6 @@ def corpus_ingest(
         svid, scodes = vid[order], codes[order]
         last = np.ones(len(svid), dtype=bool)
         last[:-1] = svid[1:] != svid[:-1]  # last row of each vid run = max code
-        max_code = np.zeros(len(svid), dtype=np.int64)
         # propagate each run's max code to all its rows
         run_id = np.cumsum(np.concatenate([[0], (svid[1:] != svid[:-1]).astype(np.int64)]))
         run_max = np.zeros(run_id[-1] + 1 if len(run_id) else 0, dtype=np.int64)
@@ -375,13 +373,10 @@ def corpus_ingest(
         winner_mask_sorted = scodes == run_max[run_id] if len(run_id) else np.zeros(0, bool)
         mask = np.zeros(len(vid), dtype=bool)
         mask[order] = winner_mask_sorted
-        return _IngestBatch()(t.drop_columns(["vertex_id"]).filter(pa.array(mask)))
+        return t.filter(pa.array(mask))
 
     distinct_files = bucketed_group_combine(
-        corpus.map_batches(add_vertex_id, batch_format="pyarrow"),
-        ["vertex_id"],
-        winner_parse,
-        spread=True,
+        parsed, ["vertex_id"], winner_filter
     ).materialize()
 
     vertices = distinct_files.select_columns(["vertex_id", "repo", "path"])
@@ -462,7 +457,7 @@ def corpus_ingest(
         ["vertex_id", "imports"]
     ).map_batches(import_rows, batch_format="pyarrow")
     import_partials = bucketed_group_combine(
-        defs_ds.union(refs_ds), ["module_key"], join_imports
+        defs_ds.union(refs_ds), ["module_key"], join_imports, coalesce=False
     ).map_batches(
         lambda t: t.append_column("kind", pa.array(["import"] * t.num_rows)),
         batch_format="pyarrow",
@@ -525,6 +520,7 @@ def corpus_ingest(
         )
 
     edges = bucketed_group_combine(
-        parts[0].union(*parts[1:]), ["src", "dst"], sum_per_kind
+        parts[0].union(*parts[1:]), ["src", "dst"], sum_per_kind,
+        coalesce=False,  # inputs are previous exchanges' bucket-width outputs
     )
     return {"files": files, "vertices": vertices, "edges": edges}

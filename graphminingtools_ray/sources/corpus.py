@@ -154,8 +154,13 @@ def generate_corpus(seed: int = 42, spec: CorpusSpec | None = None) -> pa.Table:
 
 
 def write_corpus_parquet(
-    path: str, seed: int = 42, spec: CorpusSpec | None = None
+    path: str, seed: int = 42, spec: CorpusSpec | None = None,
+    row_group_size: int = 4096,
 ) -> str:
+    """Row groups are the parquet read-parallelism unit (Ray splits reads at
+    row-group granularity, and fused read→map stages inherit that width), so
+    a single-row-group file silently serializes every downstream pipeline —
+    keep groups small enough that any num_cpus can be saturated."""
     t = generate_corpus(seed=seed, spec=spec)
-    pq.write_table(t, path)
+    pq.write_table(t, path, row_group_size=row_group_size)
     return path

@@ -149,3 +149,40 @@ def test_hops_estimator_unbiased():
     a = hops_embedding_estimate(pv, pe, gv, ge, n_samples=100, seed=1)
     b = hops_embedding_estimate(pv, pe, gv, ge, n_samples=100, seed=1)
     assert a == b
+
+
+def test_pattern_file_roundtrip_and_probe(ray_session):
+    """searchTree.c:972-1061 pattern-table load → broadcast → gpe probe."""
+    from graphminingtools_ray.pipelines.levelwise import levelwise_tree_mining
+    from graphminingtools_ray.pipelines.mining import order_graph_edges_full
+    from graphminingtools_ray.pipelines.patterns import pattern_feature_table
+    from graphminingtools_ray.sources.pattern_file import (
+        parse_pattern_file,
+        write_pattern_file,
+    )
+
+    freq = levelwise_tree_mining(SF, max_edges=2, min_support=3)
+    pats = [
+        (int(s), i, p)
+        for i, (p, s) in enumerate(zip(freq["pattern"], freq["support"]))
+    ]
+    txt = write_pattern_file(pats, transaction_id=7)
+    back = parse_pattern_file(txt)
+    assert [r["cstring"] for r in back] == [p for _, _, p in pats]
+    assert [r["multiplicity"] for r in back] == [m for m, _, _ in pats]
+    assert back[0]["transaction_id"] == 7
+    # two-column legacy layout gets sequential ids
+    legacy = "# 0 2\n3\tA a B\n2\tA a A\n"
+    rows = parse_pattern_file(legacy)
+    assert [r["pattern_id"] for r in rows] == [0, 1]
+    # loaded patterns drive the probe identically to the in-memory list
+    feats_file = pattern_feature_table(
+        order_graph_edges_full(SF), [r["cstring"] for r in back]
+    ).to_pandas()
+    feats_mem = pattern_feature_table(
+        order_graph_edges_full(SF), [p for _, _, p in pats]
+    ).to_pandas()
+    key = ["graph_id", "pattern_id"]
+    assert feats_file.sort_values(key).reset_index(drop=True).equals(
+        feats_mem.sort_values(key).reset_index(drop=True)
+    )
