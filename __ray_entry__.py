@@ -187,6 +187,91 @@ def queries() -> dict[str, Callable[[str], Any]]:
     }
 
 
+def _langid_sql() -> str:
+    """SQL twin of stages.text.LangIdHeuristic: stopword-vote argmax with
+    ties broken by language-code order, 'unk' when no hits."""
+    from graphminingtools_ray.stages.text import _STOPWORDS
+
+    langs = sorted(_STOPWORDS)
+    score_cols = ",\n".join(
+        "SUM(CASE WHEN tok IN ({lst}) THEN 1 ELSE 0 END) AS s_{lang}".format(
+            lst=", ".join(f"'{w}'" for w in sorted(_STOPWORDS[lang])), lang=lang
+        )
+        for lang in langs
+    )
+    # first-max in language order: lang_i wins if s_i >= s_j for all j > i
+    cases = []
+    for i, lang in enumerate(langs):
+        conds = [f"s_{lang} >= s_{other}" for other in langs[i + 1:]]
+        cases.append(
+            f"WHEN {' AND '.join(conds)} THEN '{lang}'" if conds else f"ELSE '{lang}'"
+        )
+    case_sql = "CASE " + " ".join(cases[:-1]) + " " + cases[-1] + " END"
+    greatest = "GREATEST(" + ", ".join(f"s_{lang}" for lang in langs) + ")"
+    return f"""
+        WITH toks AS (
+            SELECT doc_id,
+                   lower(unnest(regexp_extract_all(COALESCE(text, ''),
+                                                   '[a-zA-ZÀ-ÿ]+'))) AS tok
+            FROM documents
+        ),
+        scores AS (
+            SELECT doc_id, {score_cols}
+            FROM toks GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               CASE WHEN s.doc_id IS NULL OR {greatest} = 0 THEN 'unk'
+                    ELSE {case_sql} END AS lang_pred
+        FROM documents d LEFT JOIN scores s ON d.doc_id = s.doc_id
+    """
+
+
+def _quality_sql() -> str:
+    """SQL twin of stages.text.QualityScore (same float expression tree, so
+    IEEE doubles agree; both sides round half-away to 6 decimals)."""
+    from graphminingtools_ray.stages.text import _STOPWORDS
+
+    en = ", ".join(f"'{w}'" for w in sorted(_STOPWORDS["en"]))
+    return f"""
+        WITH base AS (
+            SELECT doc_id, COALESCE(text, '') AS t FROM documents
+        ),
+        feats AS (
+            SELECT doc_id,
+                   CAST(length(t) AS DOUBLE) AS n_chars,
+                   CAST(length(regexp_extract_all(t, '\\S+')) AS DOUBLE) AS n,
+                   CAST(length(regexp_extract_all(t, '\\S')) AS DOUBLE) AS n_tok_chars,
+                   CAST(length(regexp_extract_all(t, '[0-9]')) AS DOUBLE) AS n_digits,
+                   CAST(length(regexp_extract_all(t, '[^0-9A-Za-zÀ-ÿ\\s]')) AS DOUBLE)
+                       AS n_punct
+            FROM base
+        ),
+        stops AS (
+            SELECT doc_id, CAST(COUNT(*) AS DOUBLE) AS n_stop
+            FROM (SELECT doc_id,
+                         lower(unnest(regexp_extract_all(COALESCE(text, ''), '\\S+')))
+                             AS tok
+                  FROM documents)
+            WHERE tok IN ({en})
+            GROUP BY doc_id
+        ),
+        scored AS (
+            SELECT f.doc_id,
+                   CASE WHEN f.n = 0 THEN 0.0 ELSE
+                       LEAST(1.0, f.n / 20.0)
+                       * (CASE WHEN f.n_tok_chars / f.n >= 2.0
+                                AND f.n_tok_chars / f.n <= 12.0
+                               THEN 1.0 ELSE 0.5 END)
+                       * GREATEST(0.0, 1.0 - 3.0 * (f.n_digits / GREATEST(1.0, f.n_chars)))
+                       * GREATEST(0.0, 1.0 - 3.0 * (f.n_punct / GREATEST(1.0, f.n_chars)))
+                       * (0.5 + 0.5 * LEAST(1.0, 4.0 * (COALESCE(s.n_stop, 0.0) / f.n)))
+                   END AS q
+            FROM feats f LEFT JOIN stops s ON f.doc_id = s.doc_id
+        )
+        SELECT doc_id, ROUND(q, 6) AS quality FROM scored
+    """
+
+
 # shared SQL fragments for the derived co-purchase graph
 _OP = "op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem)"
 _E0 = (
@@ -376,6 +461,8 @@ def oracle_sql() -> dict[str, str]:
         "lang_distribution": """
             SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY 1
         """,
+        "langid_predict": _langid_sql(),
+        "quality_scores": _quality_sql(),
         "word_freq_topk": r"""
             SELECT token, COUNT(*) AS n
             FROM (SELECT unnest(string_split_regex(
@@ -401,8 +488,8 @@ def oracle_sql() -> dict[str, str]:
             WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                          CAST(b.embedding AS DOUBLE[])) > 0.3
         """,
-        # pagerank, sessionize-adjacent stateful ops, minhash/simhash/winnow,
-        # langid/quality/media: not SQL-expressible (iterative fixpoint /
-        # seeded sketches / heuristic scoring) — driver records rows-only;
-        # exactness is covered by the pytest oracles.
+        # pagerank, minhash/simhash/winnow, media, mining/pattern/sampling
+        # queries: not SQL-expressible (iterative fixpoint / seeded hash
+        # families / generated graph-DB inputs DuckDB cannot see) — driver
+        # records rows-only; exactness is covered by the pytest oracles.
     }
