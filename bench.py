@@ -150,7 +150,7 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
     }
 
 
-BENCH_CORPUS = "/tmp/graft_bench_corpus_v6.parquet"
+BENCH_CORPUS = "/tmp/graft_bench_corpus_v7"
 
 
 def ensure_bench_corpus() -> str:
@@ -158,8 +158,11 @@ def ensure_bench_corpus() -> str:
     (input_hint schema; FIXTURES.md §1 'bench' scale, enlarged so per-row
     CPU work dominates the fixed operator overhead). Generated once, cached;
     both parallelism levels read the SAME parquet file."""
-    if not os.path.exists(BENCH_CORPUS):
-        from graphminingtools_ray.sources.corpus import CorpusSpec, write_corpus_parquet
+    if not os.path.isdir(BENCH_CORPUS):
+        from graphminingtools_ray.sources.corpus import (
+            CorpusSpec,
+            write_corpus_parquet_dir,
+        )
 
         # sized so per-stage COMPUTE dominates the constant per-exchange
         # floor (~0.8 s/exchange on this box): the strong-scaling efficiency
@@ -172,8 +175,12 @@ def ensure_bench_corpus() -> str:
             imports_per_file=5,
             body_lines=30,
         )
+        # a DIRECTORY of shards: Ray's parquet reader issues one read task
+        # per file, so a single mid-size file serializes the fused
+        # read→decode→map stage at every num_cpus — and thousands of objects
+        # is the shape a real corpus has anyway
         tmp = BENCH_CORPUS + ".tmp"
-        write_corpus_parquet(tmp, seed=42, spec=spec)
+        write_corpus_parquet_dir(tmp, seed=42, spec=spec, num_files=128)
         os.rename(tmp, BENCH_CORPUS)
     return BENCH_CORPUS
 
@@ -222,29 +229,46 @@ def run_ingest_scaling(num_cpus: int) -> dict:
     lid = LangIdHeuristic()
     q = QualityScore()
 
+    assert mh.shingle_n == wf.k  # one shared shingle stream feeds both
+
     def doc_features(batch: pa.Table) -> pa.Table:
         """All per-doc CPU features, batch-vectorized (polars token hashing
-        + segmented-reduce minhash/winnow — no per-shingle Python loop).
-        Stateless tasks: the helpers above ship in the closure (cheap), so
-        warm worker processes from the warm-up op are reused — no actor-pool
-        cold start inside the timed region."""
+        + segmented-reduce minhash/winnow — no per-shingle Python loop) and
+        Arrow-native end to end: the content column enters polars zero-copy,
+        sha256 runs over memoryview slices of the Arrow data buffer (no
+        per-doc Python str/bytes), and minhash + winnowing share ONE shingle
+        hashing pass (same width). Stateless tasks: the helpers above ship in
+        the closure (cheap), so warm worker processes from the warm-up op are
+        reused — no actor-pool cold start inside the timed region."""
         import hashlib
 
-        texts = batch["content"].to_pylist()
-        sha = [hashlib.sha256(t.encode()).hexdigest() for t in texts]
-        sigs = mh.signatures_batch(texts)
+        from graphminingtools_ray.stages.dedup import shingle_hashes_flat
+
+        content = batch["content"]
+        if isinstance(content, pa.ChunkedArray):
+            content = content.combine_chunks()
+        b = content.cast(pa.large_binary())
+        off = np.frombuffer(b.buffers()[1], dtype=np.int64)[
+            b.offset : b.offset + len(b) + 1
+        ]
+        mv = memoryview(b.buffers()[2] if b.buffers()[2] is not None else b"")
+        sha = [
+            hashlib.sha256(mv[off[i] : off[i + 1]]).hexdigest()
+            for i in range(len(b))
+        ]
+        flat, offsets = shingle_hashes_flat(content, mh.shingle_n)
+        sigs = mh.signatures_from_flat(flat, offsets)
         sig0 = (sigs[:, 0] >> np.uint64(1)).astype(np.int64)
-        nfp, _ = wf.stats_batch(texts)
-        pdf = pd.DataFrame({"doc_id": np.arange(len(texts)), "text": texts})
-        lang = lid(pdf)["lang_pred"]
-        qual = q(pdf)["quality"]
+        nfp, _ = wf.stats_from_flat(flat, offsets)
+        lang = lid.predict(content)
+        qual = q.score(content)
         return pa.table(
             {
                 "sha256": pa.array(sha, pa.string()),
                 "minhash0": pa.array(sig0),
                 "n_fingerprints": pa.array(nfp),
                 "lang_pred": pa.array(lang.tolist(), pa.string()),
-                "quality": pa.array(qual.to_numpy(np.float64)),
+                "quality": pa.array(qual),
             }
         )
 

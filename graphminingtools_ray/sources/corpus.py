@@ -24,6 +24,7 @@ workload.
 from __future__ import annotations
 
 import hashlib
+import os
 from dataclasses import dataclass
 
 import numpy as np
@@ -163,4 +164,32 @@ def write_corpus_parquet(
     keep groups small enough that any num_cpus can be saturated."""
     t = generate_corpus(seed=seed, spec=spec)
     pq.write_table(t, path, row_group_size=row_group_size)
+    return path
+
+
+def write_corpus_parquet_dir(
+    path: str, seed: int = 42, spec: CorpusSpec | None = None,
+    num_files: int = 64, row_group_size: int = 4096,
+) -> str:
+    """Shard the corpus into a directory of parquet files.
+
+    This is the shape a real 10^12-file corpus arrives in (thousands of
+    objects), and the shape Ray's read fan-out needs: the parquet reader
+    issues ONE read task per file, so a single mid-size file serializes the
+    fused read→decode→map stage regardless of ``override_num_blocks`` (which
+    only splits blocks *after* the read). Shards are deterministic: the table
+    is generated once and sliced contiguously."""
+    t = generate_corpus(seed=seed, spec=spec)
+    os.makedirs(path, exist_ok=True)
+    n = t.num_rows
+    per = (n + num_files - 1) // num_files
+    for i in range(num_files):
+        lo = i * per
+        if lo >= n:
+            break
+        pq.write_table(
+            t.slice(lo, min(per, n - lo)),
+            os.path.join(path, f"part-{i:05d}.parquet"),
+            row_group_size=row_group_size,
+        )
     return path

@@ -40,10 +40,45 @@ def _finalize_mix(x: np.ndarray) -> np.ndarray:
 def flat_token_hashes(texts) -> tuple[np.ndarray, np.ndarray]:
     """uint64 hash per whitespace token of each text, flattened across the
     batch. Returns ``(flat, offsets)`` with ``len(offsets) == len(texts)+1``.
-    One vectorized polars pass: split → explode → hash."""
-    import polars as pl
+    One vectorized polars pass: split → explode → hash.
 
-    s = pl.Series("t", list(texts), dtype=pl.Utf8).fill_null("")
+    Accepts a Python list OR an Arrow string array/chunked-array; the Arrow
+    path enters polars zero-copy (~2× — it skips materializing one Python
+    ``str`` object per doc, which is pure allocator/bandwidth churn on big
+    batches). Hashes depend only on string content, so both paths are
+    bit-identical."""
+    import polars as pl
+    import pyarrow as pa
+
+    from ..functions import asciitext as at
+
+    view = at.arrow_utf8_view(texts)
+    if view is not None and at.is_ascii(*view):
+        # byte-table tokenization (regex extract_all is the dominant cost of
+        # this function at ~75 MB/s/core); the token VALUES still go through
+        # polars' vectorized hash, so the hash family is unchanged and the
+        # output is bit-identical to the regex path
+        data, off = view
+        D = len(off) - 1
+        starts, lens, tok_doc, intok = at.token_runs(data, off, at.NONWS_MASK)
+        values = data[off[0] : off[-1]][intok]
+        tok_off = np.zeros(len(starts) + 1, dtype=np.int64)
+        np.cumsum(lens, out=tok_off[1:])
+        arr = pa.Array.from_buffers(
+            pa.large_utf8(),
+            len(starts),
+            [None, pa.py_buffer(tok_off), pa.py_buffer(values)],
+        )
+        h = pl.from_arrow(arr).hash(seed=_TOKEN_SEED).to_numpy().astype(np.uint64)
+        counts = np.bincount(tok_doc, minlength=D)
+        offsets = np.concatenate([[0], np.cumsum(counts)])
+        return h, offsets
+    if isinstance(texts, (pa.Array, pa.ChunkedArray)):
+        arr = texts.combine_chunks() if isinstance(texts, pa.ChunkedArray) else texts
+        s = pl.from_arrow(arr.cast(pa.large_string())).fill_null("")
+        s = s.rename("t")
+    else:
+        s = pl.Series("t", list(texts), dtype=pl.Utf8).fill_null("")
     toks = s.str.extract_all(r"\S+")
     counts = toks.list.len().to_numpy().astype(np.int64)
     flat = toks.explode().drop_nulls()
@@ -75,36 +110,50 @@ def shingle_hashes_flat(
     counts = np.diff(offsets)
     out_counts = np.where(counts == 0, 0, np.where(counts < n, 1, counts - n + 1))
     out_offsets = np.concatenate([[0], np.cumsum(out_counts)])
-    out = np.zeros(out_offsets[-1], dtype=np.uint64)
     total = len(h)
-    if total:
-        doc_of = np.repeat(np.arange(len(counts)), counts)
-        pos_in_doc = np.arange(total) - np.repeat(offsets[:-1], counts)
-        cnt_rep = np.repeat(counts, counts)
-        # long docs: every position p with p <= cnt-n starts a window
-        if n == 1:
-            valid = np.ones(total, dtype=bool)
-            vals = h
-            vstart = np.arange(total)
-        else:
-            lim = total - n + 1
-            valid = (pos_in_doc[:lim] <= cnt_rep[:lim] - n) if lim > 0 else np.zeros(0, bool)
-            vstart = np.flatnonzero(valid)
-            vals = _combine_window(h, vstart, n) if len(vstart) else np.empty(0, np.uint64)
-            valid = np.zeros(total, dtype=bool)
-            valid[vstart] = True
-        if len(vstart):
-            out_idx = out_offsets[doc_of[vstart]] + pos_in_doc[vstart]
-            out[out_idx] = vals
-        # short non-empty docs (cnt < n): one shingle over all tokens,
-        # handled per length class (at most n-1 classes, each vectorized)
-        if n > 1:
-            for l in range(1, n):
-                docs_l = np.flatnonzero(counts == l)
-                if len(docs_l) == 0:
-                    continue
-                starts_l = offsets[:-1][docs_l]
-                out[out_offsets[docs_l]] = _combine_window(h, starts_l, l)
+    if total == 0:
+        return np.zeros(0, np.uint64), out_offsets
+    if n == 1:
+        return _finalize_mix(h), out_offsets
+    # Sequential formulation (the naive doc_of/pos_in_doc index machinery is
+    # ~15 full-token-count array passes with gathers — pure DRAM traffic that
+    # killed multicore scaling; this is 4 streaming passes + a compress):
+    #   1. vals[i] = polynomial of h[i..i+n-1] for EVERY position (3 fused
+    #      multiply-add passes for n=3),
+    #   2. emit[i] = 1 iff a full window starting at i stays inside i's doc
+    #      (built from a ±1 delta array + cumsum — O(#docs) scatter),
+    #   3. out = vals[emit] — per-doc windows are contiguous ascending, so
+    #      the compress lands them exactly at out_offsets order,
+    #   4. short docs (0 < cnt < n: ONE shingle over all cnt tokens) are
+    #      patched in at their start position before the compress.
+    lim = total - n + 1
+    vals = np.empty(total, dtype=np.uint64)
+    if lim > 0:
+        v = vals[:lim]
+        np.multiply(h[:lim], _C, out=v)
+        for j in range(1, n - 1):
+            v += h[j : lim + j]
+            v *= _C
+        v += h[n - 1 : lim + n - 1]
+    delta = np.zeros(total + 1, dtype=np.int32)
+    long_docs = counts >= n
+    if long_docs.any():
+        starts_long = offsets[:-1][long_docs]
+        ends_long = offsets[1:][long_docs]
+        np.add.at(delta, starts_long, 1)
+        np.add.at(delta, ends_long - (n - 1), -1)
+    # short non-empty docs: one shingle over all cnt tokens, emitted at the
+    # doc's start position (at most n-1 length classes, each vectorized)
+    for l in range(1, n):
+        docs_l = np.flatnonzero(counts == l)
+        if len(docs_l) == 0:
+            continue
+        starts_l = offsets[:-1][docs_l]
+        vals[starts_l] = _combine_window(h, starts_l, l)
+        delta[starts_l] += 1
+        delta[starts_l + 1] -= 1
+    emit = np.cumsum(delta[:total], dtype=np.int32) > 0
+    out = vals[emit]
     return _finalize_mix(out), out_offsets
 
 
@@ -381,8 +430,16 @@ class WinnowFingerprint:
 
     def stats_batch(self, texts) -> tuple[np.ndarray, np.ndarray]:
         """(n_fingerprints, fp_min) per doc, vectorized across the batch."""
-        w = self.window
         flat, offsets = shingle_hashes_flat(texts, self.k)
+        return self.stats_from_flat(flat, offsets)
+
+    def stats_from_flat(
+        self, flat: np.ndarray, offsets: np.ndarray
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Stats from an already-computed k-gram shingle stream (RAW order,
+        not deduped — winnowing is window-order-sensitive). Lets callers that
+        also minhash with the same shingle width share ONE hashing pass."""
+        w = self.window
         counts = np.diff(offsets)
         D = len(counts)
         n_fp = np.zeros(D, dtype=np.int64)
@@ -390,40 +447,77 @@ class WinnowFingerprint:
         total = len(flat)
         if total == 0:
             return n_fp, fp_min
-        sel_docs_parts, sel_vals_parts = [], []
-        # long docs: window minima at every in-doc window start
-        if total > w:
-            sw_min = np.lib.stride_tricks.sliding_window_view(flat, w).min(axis=1)
-            pos_in_doc = np.arange(total) - np.repeat(offsets[:-1], counts)
-            cnt_rep = np.repeat(counts, counts)
-            doc_of = np.repeat(np.arange(D), counts)
-            lim = total - w + 1
-            valid = pos_in_doc[:lim] <= cnt_rep[:lim] - w
-            # only docs with cnt > w take the sliding-window path
-            long_mask = cnt_rep[:lim] > w
-            valid &= long_mask
-            vstart = np.flatnonzero(valid)
-            sel_docs_parts.append(doc_of[vstart])
-            sel_vals_parts.append(sw_min[vstart])
-        # short non-empty docs (0 < cnt <= w): single min over the doc
-        short = np.flatnonzero((counts > 0) & (counts <= w))
-        if len(short):
-            mins = np.minimum.reduceat(flat, offsets[:-1][short])
-            sel_docs_parts.append(short)
-            sel_vals_parts.append(mins)
-        if not sel_docs_parts:
+        # Same streaming shape as shingle_hashes_flat (winnowing's window
+        # minima have exactly the shingle-window emit structure, with min in
+        # place of the polynomial): per-position sliding minima + a ±1 delta
+        # cumsum emit mask — no full-size pos_in_doc/cnt_rep/doc_of repeats.
+        # Docs with cnt >= w emit cnt-w+1 window minima; docs with
+        # 0 < cnt < w emit ONE min over all cnt values at their start
+        # position (cnt == w is the degenerate single full-width window —
+        # identical either way).
+        lim = total - w + 1
+        vals = np.empty(total, dtype=np.uint64)
+        if lim > 0:
+            np.lib.stride_tricks.sliding_window_view(flat, w).min(
+                axis=1, out=vals[:lim]
+            )
+        delta = np.zeros(total + 1, dtype=np.int32)
+        long_docs = counts >= w
+        if long_docs.any():
+            starts_long = offsets[:-1][long_docs]
+            ends_long = offsets[1:][long_docs]
+            np.add.at(delta, starts_long, 1)
+            np.add.at(delta, ends_long - (w - 1), -1)
+        for l in range(1, w):
+            docs_l = np.flatnonzero(counts == l)
+            if len(docs_l) == 0:
+                continue
+            starts_l = offsets[:-1][docs_l]
+            mins = flat[starts_l].copy()
+            for j in range(1, l):
+                np.minimum(mins, flat[starts_l + j], out=mins)
+            vals[starts_l] = mins
+            delta[starts_l] += 1
+            delta[starts_l + 1] -= 1
+        emit = np.cumsum(delta[:total], dtype=np.int32) > 0
+        sel_vals = vals[emit]
+        out_counts = np.where(
+            counts == 0, 0, np.where(counts < w, 1, counts - w + 1)
+        )
+        sel_docs = np.repeat(np.arange(D), out_counts)
+        # winnowing's whole point is that overlapping windows mostly share
+        # their minimum — consecutive (doc, val) duplicates are ~(w-1)/w of
+        # the stream. Dropping them first is a cheap linear pass that shrinks
+        # the O(N log N) random-access lexsort below by ~w×; the final
+        # distinct/first masks after sorting are unchanged (dedup of
+        # consecutive equals never removes the last copy of a distinct pair).
+        if len(sel_docs) > 1:
+            keep = np.ones(len(sel_docs), dtype=bool)
+            keep[1:] = (sel_docs[1:] != sel_docs[:-1]) | (
+                sel_vals[1:] != sel_vals[:-1]
+            )
+            sel_docs = sel_docs[keep]
+            sel_vals = sel_vals[keep]
+        if len(sel_docs) == 0:
             return n_fp, fp_min
-        sel_docs = np.concatenate(sel_docs_parts)
-        sel_vals = np.concatenate(sel_vals_parts)
-        order = np.lexsort((sel_vals, sel_docs))
-        sd, sv = sel_docs[order], sel_vals[order]
-        distinct = np.ones(len(sd), dtype=bool)
-        distinct[1:] = (sd[1:] != sd[:-1]) | (sv[1:] != sv[:-1])
-        np.add.at(n_fp, sd[distinct], 1)
-        first = np.ones(len(sd), dtype=bool)
-        first[1:] = sd[1:] != sd[:-1]
-        fp_min[sd[first]] = (
-            sv[first] & np.uint64(0x7FFF_FFFF_FFFF_FFFF)
+        # per-doc distinct count + min via a polars hash group-by (exact —
+        # hash table, not a sketch): ~5× an indirect numpy lexsort of the
+        # (doc, val) pairs, which was the dominant cost of this stage
+        import polars as pl
+
+        agg = (
+            pl.DataFrame({"d": sel_docs, "v": sel_vals})
+            .group_by("d")
+            .agg(
+                pl.col("v").n_unique().alias("nu"),
+                pl.col("v").min().alias("mn"),
+            )
+        )
+        d_ = agg["d"].to_numpy()
+        n_fp[d_] = agg["nu"].to_numpy().astype(np.int64)
+        fp_min[d_] = (
+            agg["mn"].to_numpy().astype(np.uint64)
+            & np.uint64(0x7FFF_FFFF_FFFF_FFFF)
         ).astype(np.int64)
         return n_fp, fp_min
 

@@ -1,0 +1,171 @@
+"""Parity tests for the ASCII fast-path text kernels (functions/asciitext.py)
+vs the polars/regex reference paths, and per-doc brute-force oracles for the
+batched shingle/winnow vectorizations.
+
+These guard the bit-identical contract: every fast path must produce exactly
+the reference-path results (the SQL oracles for langid/quality depend on it),
+and the batch vectorizations must equal their per-doc formulations.
+Regression coverage for the winnow short-doc reduceat bug (minimum.reduceat
+segments spanning intervening docs when short docs are non-adjacent).
+"""
+
+import numpy as np
+import pandas as pd
+import polars as pl
+import pyarrow as pa
+import pytest
+
+from graphminingtools_ray.stages.dedup import (
+    _TOKEN_SEED,
+    WinnowFingerprint,
+    flat_token_hashes,
+    shingle_hashes_flat,
+)
+from graphminingtools_ray.stages.text import LangIdHeuristic, QualityScore, _pl_utf8
+
+
+def _ref_token_hashes(texts):
+    s = pl.Series("t", list(texts), dtype=pl.Utf8).fill_null("")
+    toks = s.str.extract_all(r"\S+")
+    counts = toks.list.len().to_numpy().astype(np.int64)
+    flat = toks.explode().drop_nulls()
+    h = flat.hash(seed=_TOKEN_SEED).to_numpy().astype(np.uint64)
+    return h, np.concatenate([[0], np.cumsum(counts)])
+
+
+def _ref_lang(texts):
+    lid = LangIdHeuristic()
+    s = _pl_utf8(list(texts))
+    toks = s.str.extract_all(lid.token_re)
+    counts = toks.list.len().to_numpy().astype(np.int64)
+    flat = toks.explode().drop_nulls().str.to_lowercase()
+    doc_of = np.repeat(np.arange(len(counts)), counts)
+    scores = np.zeros((len(counts), len(lid.langs)), dtype=np.int64)
+    for li, table in enumerate(lid.tables):
+        hits = flat.is_in(table).to_numpy()
+        np.add.at(scores[:, li], doc_of[hits], 1)
+    best = scores.max(axis=1)
+    arg = scores.argmax(axis=1)
+    langs = np.asarray(lid.langs, dtype=object)
+    return np.where(best > 0, langs[arg], "unk")
+
+
+def _gen_docs(rng, vocab, n_docs):
+    docs = []
+    for _ in range(n_docs):
+        ln = int(rng.integers(0, 20))
+        words = rng.choice(vocab, ln)
+        seps = rng.choice([" ", "  ", "\t", "\n", " \t "], ln) if ln else []
+        docs.append("".join(w + s for w, s in zip(words, seps)))
+    return docs
+
+
+VOCAB = [
+    "the", "The", "THE", "la", "DE", "und", "pour", "x1", "don't",
+    "a" * 8, "a" * 9, "und!", "123", "!!", "@la", "que", "is", "it",
+]
+
+EDGE_CASES = [
+    [],
+    [""],
+    ["   "],
+    ["\t\n"],
+    ["a"],
+    ["The la"],
+    ["THE THE the"],
+    ["a" * 8 + " " + "b" * 9],
+    ["9to5 to  in"],
+    [" lead trail "],
+    ["", "", "the"],
+    ["the", "", ""],
+]
+
+
+@pytest.mark.parametrize("seed", [3, 7])
+def test_fast_paths_match_polars_reference(seed):
+    rng = np.random.default_rng(seed)
+    q = QualityScore()
+    lid = LangIdHeuristic()
+    cases = [_gen_docs(rng, VOCAB, int(rng.integers(0, 9))) for _ in range(40)]
+    cases += EDGE_CASES
+    for docs in cases:
+        exp_l = _ref_lang(docs)
+        exp_h, exp_o = _ref_token_hashes(docs)
+        # quality reference = force fallback by appending a non-ascii doc
+        exp_q = q.score(pa.array(list(docs) + ["é"], type=pa.string()))[:-1]
+        for form in (
+            docs,
+            pa.array(docs, type=pa.string()),
+            pd.Series(docs, dtype=object),
+        ):
+            assert np.array_equal(q.score(form), exp_q)
+            assert list(lid.predict(form)) == list(exp_l)
+            gh, go = flat_token_hashes(form)
+            assert np.array_equal(gh, exp_h)
+            assert np.array_equal(go, exp_o)
+
+
+def test_fast_paths_null_and_sliced_arrow():
+    q = QualityScore()
+    lid = LangIdHeuristic()
+    arr = pa.array(["the la", None, ""], type=pa.string())
+    assert np.array_equal(
+        q.score(arr), q.score(pa.array(["the la", "", "", "é"]))[:-1]
+    )
+    assert list(lid.predict(arr)) == list(_ref_lang(["the la", "", ""]))
+    gh, go = flat_token_hashes(arr)
+    eh, eo = _ref_token_hashes(["the la", "", ""])
+    assert np.array_equal(gh, eh) and np.array_equal(go, eo)
+    big = pa.array(["x y z", "the und la", "  ", "w"], type=pa.string())
+    sl = big.slice(1, 2)
+    assert list(lid.predict(sl)) == list(_ref_lang(["the und la", "  "]))
+    gh, go = flat_token_hashes(sl)
+    eh, eo = _ref_token_hashes(["the und la", "  "])
+    assert np.array_equal(gh, eh) and np.array_equal(go, eo)
+
+
+def test_non_ascii_falls_back_identically():
+    docs = ["hello für welt", "воды the", "the für"]
+    lid = LangIdHeuristic()
+    assert list(lid.predict(pa.array(docs))) == list(_ref_lang(docs))
+    gh, go = flat_token_hashes(pa.array(docs))
+    eh, eo = _ref_token_hashes(docs)
+    assert np.array_equal(gh, eh) and np.array_equal(go, eo)
+
+
+def test_shingle_windowing_vs_per_doc():
+    rng = np.random.default_rng(9)
+    words = ["w%d" % i for i in range(40)]
+    docs = [
+        " ".join(rng.choice(words, int(rng.integers(0, 12))))
+        for _ in range(120)
+    ]
+    for n in (1, 2, 3, 5):
+        flat, offs = shingle_hashes_flat(docs, n)
+        for i, d in enumerate(docs):
+            f1, o1 = shingle_hashes_flat([d], n)
+            assert np.array_equal(flat[offs[i] : offs[i + 1]], f1), (n, i)
+
+
+@pytest.mark.parametrize("k,w", [(2, 2), (3, 4), (5, 3), (4, 8), (3, 1)])
+def test_winnow_stats_vs_per_doc_bruteforce(k, w):
+    """Mixed short/long docs in one batch — the regression shape for the
+    reduceat-over-nonadjacent-segments fp_min bug."""
+    rng = np.random.default_rng(5)
+    words = ["w%d" % i for i in range(30)]
+    docs = [
+        " ".join(rng.choice(words, int(rng.integers(0, 40))))
+        for _ in range(150)
+    ]
+    docs += [docs[3], docs[3] + " " + docs[3], ""]
+    wf = WinnowFingerprint(k=k, window=w)
+    n_fp, fp_min = wf.stats_batch(docs)
+    for i, d in enumerate(docs):
+        fps = wf.fingerprints(d)
+        assert n_fp[i] == len(fps), (k, w, i)
+        exp = (
+            int(fps.min() & np.uint64(0x7FFF_FFFF_FFFF_FFFF))
+            if len(fps)
+            else 0
+        )
+        assert fp_min[i] == exp, (k, w, i)
