@@ -9,12 +9,14 @@ optional ``all_vertex_ids`` argument since edge tables cannot mention
 edge-less vertices).
 
 Same co-partitioned superstep harness as PageRank (algos.partitioned) with
-Sum → Min: per pinned src-part block, partial min of incoming labels per dst
-(``np.minimum.at`` — the combiner), ONE ``groupby(part(dst))`` exchange,
-per-partition update ``label' = min(label, incoming)`` + changed-count
-scalar. Converges when no label changes (≤ diameter supersteps on the
-symmetrized edge view — pass edges through ``graph.symmetrize`` first).
-All label math is exact int64, so determinism is structural.
+Sum → Min: per pinned 2D-grid cell block, block-local min closure then
+partial min of incoming labels per dst (``np.minimum.at`` — the combiner),
+ONE hand-scheduled hash shuffle keyed on part(dst) (cell panels are
+pre-routed at build; driver passes refs, no sort exchange), per-partition
+update ``label' = min(label, incoming)`` + changed-count scalar. Converges
+when no label changes (≤ diameter supersteps on the symmetrized edge view —
+pass edges through ``graph.symmetrize`` first). All label math is exact
+int64, so determinism is structural.
 """
 
 from __future__ import annotations
@@ -26,12 +28,12 @@ import pyarrow as pa
 import ray
 import ray.data as rd
 
-from ..functions.bucketing import int_bucket
 from .partitioned import (
     PartitionedCheckpoint,
     build_partitioned_graph,
+    flatten_panel_group,
     init_state,
-    index_state,
+    unpack_panel_layout,
     state_to_arrays,
     state_to_dataset,
     unpack_part_block,
@@ -42,98 +44,95 @@ _SENTINEL = -1
 _IMAX = np.iinfo(np.int64).max
 
 
-def _make_min_fn(handles_ref, P: int, local_closure_passes: int = 64):
-    def step(batch: pa.Table) -> pa.Table:
-        h = ray.get(handles_ref)
-        cache: dict[int, tuple] = {}
-        parts_out, keys, partials = [], [], []
-        for row in range(batch.num_rows):
-            part, srcs, src_index, dst_unique, dst_index, _ = unpack_part_block(
-                batch, row
-            )
-            if part not in cache:
-                sref, srow = h["static"][part]
-                (ids_p,) = _row_lists(ray.get(sref), srow, ["ids"])
-                vref, vrow = h["state"][part]
-                (labels_p,) = _row_lists(ray.get(vref), vrow, ["values"])
-                cache[part] = (ids_p, labels_p)
-            ids_p, labels_p = cache[part]
-            # BLOCK-LOCAL MIN CLOSURE: iterate min-propagation over this
-            # block's edges to a local fixpoint before emitting, so one
-            # global superstep hops an entire intra-partition chain (the
-            # block holds ALL out-edges of its partition's vertices, so
-            # in-partition paths close locally). Global superstep count
-            # drops from graph diameter to ~quotient-over-parts diameter.
-            # Deterministic: pure min-lattice ops.
-            local_ids = np.union1d(srcs, dst_unique)
-            lab = np.full(len(local_ids), _IMAX, dtype=np.int64)
-            pos_known = np.searchsorted(ids_p, local_ids)
-            pos_known = np.minimum(pos_known, len(ids_p) - 1)
-            known = ids_p[pos_known] == local_ids
-            lab[known] = labels_p[pos_known[known]]
-            # a vertex's own id is an upper bound on its component label
-            lab = np.minimum(lab, local_ids)
-            sp = np.searchsorted(local_ids, srcs)[src_index]
-            dp = np.searchsorted(local_ids, dst_unique)[dst_index]
-            for _ in range(local_closure_passes):
-                before = lab.copy()
-                np.minimum.at(lab, dp, lab[sp])
-                if np.array_equal(before, lab):
-                    break
-            # message per dst = its post-closure local label (min over all
-            # incoming paths seen by this block, incl. the dst's own bound)
-            partial = lab[np.searchsorted(local_ids, dst_unique)]
-            parts_out.append(int_bucket(dst_unique, P))
-            keys.append(dst_unique)
-            partials.append(partial)
-        if not keys:
-            return pa.table(
-                {"part": np.empty(0, np.int64), "dst": np.empty(0, np.int64),
-                 "partial": np.empty(0, np.int64)}
-            )
-        return pa.table(
-            {
-                "part": np.concatenate(parts_out),
-                "dst": np.concatenate(keys),
-                "partial": np.concatenate(partials),
-            }
+@ray.remote
+def _min_cell(block: pa.Table, h: dict, out_parts: list[int],
+              local_closure_passes: int = 64):
+    """MAP side (see pagerank._contrib_cell for the exchange contract):
+    block-local min closure, then one panel table per dst part present,
+    returned via multi-return for driver-side ref routing."""
+    cache: dict[int, tuple] = {}
+    by_part = {p: ([], [], []) for p in out_parts}
+    for row in range(block.num_rows):
+        part, srcs, src_index, dst_unique, dst_index, _ = unpack_part_block(
+            block, row
         )
-
-    return step
-
-
-def _make_update_fn(handles_ref, iteration, ckpt_tmp, digest):
-    def update(t: pa.Table) -> pa.Table:
-        h = ray.get(handles_ref)
-        part = int(t["part"][0].as_py())
-        sref, srow = h["static"][part]
-        (ids_p,) = _row_lists(ray.get(sref), srow, ["ids"])
-        vref, vrow = h["state"][part]
-        (labels_old,) = _row_lists(ray.get(vref), vrow, ["values"])
-        dst = t["dst"].to_numpy()
-        partial = t["partial"].to_numpy()
-        m = dst != _SENTINEL
-        dst, partial = dst[m], partial[m]
-        new_labels = labels_old.copy()
-        if len(dst):
-            np.minimum.at(
-                new_labels, np.searchsorted(ids_p, dst), partial
-            )
-        changed = int(np.count_nonzero(new_labels != labels_old))
-        if ckpt_tmp is not None:
-            PartitionedCheckpoint.write_shard(
-                ckpt_tmp, iteration, part, digest, ids_p, new_labels
-            )
-        return pa.table(
+        _sp, panel_parts, offsets, dst_local = unpack_panel_layout(block, row)
+        if not len(panel_parts):
+            continue
+        if part not in cache:
+            sref, srow = h["static"][part]
+            (ids_p,) = _row_lists(ray.get(sref), srow, ["ids"])
+            vref, vrow = h["state"][part]
+            (labels_p,) = _row_lists(ray.get(vref), vrow, ["values"])
+            cache[part] = (ids_p, labels_p)
+        ids_p, labels_p = cache[part]
+        # BLOCK-LOCAL MIN CLOSURE: iterate min-propagation over this
+        # block's edges to a local fixpoint before emitting, so one global
+        # superstep hops an entire chain that is visible within the cell.
+        # Deterministic: pure min-lattice ops.
+        local_ids = np.union1d(srcs, dst_unique)
+        lab = np.full(len(local_ids), _IMAX, dtype=np.int64)
+        pos_known = np.searchsorted(ids_p, local_ids)
+        pos_known = np.minimum(pos_known, len(ids_p) - 1)
+        known = ids_p[pos_known] == local_ids
+        lab[known] = labels_p[pos_known[known]]
+        # a vertex's own id is an upper bound on its component label
+        lab = np.minimum(lab, local_ids)
+        sp = np.searchsorted(local_ids, srcs)[src_index]
+        dp = np.searchsorted(local_ids, dst_unique)[dst_index]
+        for _ in range(local_closure_passes):
+            before = lab.copy()
+            np.minimum.at(lab, dp, lab[sp])
+            if np.array_equal(before, lab):
+                break
+        # message per dst = its post-closure local label (min over all
+        # incoming paths seen by this block, incl. the dst's own bound)
+        partial = lab[np.searchsorted(local_ids, dst_unique)]
+        block_id = int(block["block_id"][row].as_py())
+        bids, dl, pl = by_part[int(panel_parts[0])]
+        bids.append(block_id)
+        dl.append(dst_local)
+        pl.append(partial)
+    out = []
+    for p in out_parts:
+        bids, dl, pl = by_part[p]
+        out.append(pa.table(
             {
-                "part": pa.array([part], pa.int64()),
-                "values": pa.array([new_labels], pa.list_(pa.int64())),
-                "changed": pa.array([changed], pa.int64()),
+                "block_id": pa.array(bids, pa.int64()),
+                "dst": pa.array(dl, pa.list_(pa.int32())),
+                "partial": pa.array(pl, pa.list_(pa.int64())),
             }
+        ))
+    return out[0] if len(out) == 1 else tuple(out)
+
+
+@ray.remote(num_returns=2)
+def _update_part(h: dict, part: int, iteration: int, ckpt_tmp, digest,
+                 *panels: pa.Table):
+    """REDUCE side: min-merge this part's panels (order-free: exact int64
+    min-lattice) and emit (state row, changed-count scalar)."""
+    sref, srow = h["static"][part]
+    (ids_p,) = _row_lists(ray.get(sref), srow, ["ids"])
+    vref, vrow = h["state"][part]
+    (labels_old,) = _row_lists(ray.get(vref), vrow, ["values"])
+    new_labels = labels_old.copy()
+    if panels:
+        t = pa.concat_tables(panels)
+        dst_local, partial = flatten_panel_group(t)
+        if len(dst_local):
+            np.minimum.at(new_labels, dst_local, partial)
+    changed = int(np.count_nonzero(new_labels != labels_old))
+    if ckpt_tmp is not None:
+        PartitionedCheckpoint.write_shard(
+            ckpt_tmp, iteration, part, digest, ids_p, new_labels
         )
-
-    return update
-
+    row_table = pa.table(
+        {
+            "part": pa.array([part], pa.int64()),
+            "values": pa.array([new_labels], pa.list_(pa.int64())),
+        }
+    )
+    return row_table, changed
 
 def connected_components_partitioned(
     edges_symmetric: rd.Dataset,
@@ -177,39 +176,45 @@ def connected_components_partitioned(
             g, lambda part, ids, outdeg: ids.copy(), pa.int64()
         )
 
-    seed = g.seed_messages(pa.int64())
     supersteps = []
     converged = False
+    parts_sorted = list(g.parts)
+    row_refs: dict = {}
     for it in range(start_iter, max_iter):
         t0 = time.perf_counter()
         handles_ref = ray.put({"static": g.static_index, "state": state_index})
-        msgs = g.blocks.map_batches(
-            _make_min_fn(handles_ref, g.P), batch_format="pyarrow"
-        )
         tmp = ckpt.tmp_dir(it) if ckpt is not None else None
-        new_state = (
-            msgs.union(seed)
-            .groupby("part")
-            .map_groups(
-                _make_update_fn(handles_ref, it, tmp, g.digest),
-                batch_format="pyarrow",
+        panel_refs: dict[int, list] = {p: [] for p in parts_sorted}
+        for bref, dst_parts, _bid in g.panel_blocks:
+            refs = _min_cell.options(num_returns=len(dst_parts)).remote(
+                bref, handles_ref, dst_parts
             )
-            .materialize()
-        )
-        state_index, scalars = index_state(new_state, ["changed"])
-        state_ds = new_state
-        changed = sum(s["changed"] for s in scalars.values())
+            if len(dst_parts) == 1:
+                refs = [refs]
+            for p, r in zip(dst_parts, refs):
+                panel_refs[p].append(r)
+        row_refs, chg_refs = {}, {}
+        for p in parts_sorted:
+            row_refs[p], chg_refs[p] = _update_part.remote(
+                handles_ref, p, it, tmp, g.digest, *panel_refs[p]
+            )
+        changed_per_part = ray.get([chg_refs[p] for p in parts_sorted])
+        state_index = {p: (row_refs[p], 0) for p in parts_sorted}
+        state_ds = None
+        changed = int(sum(changed_per_part))
         converged = changed == 0
         dt = time.perf_counter() - t0
         supersteps.append({"iteration": it, "seconds": dt, "changed": changed})
         if ckpt is not None:
             ckpt.commit(
-                it, sorted(scalars),
+                it, parts_sorted,
                 meta={"changed": changed, "converged": converged},
             )
         if converged:
             break
 
+    if state_ds is None and row_refs:
+        state_ds = rd.from_arrow_refs([row_refs[p] for p in parts_sorted])
     info = {
         "iterations": len(supersteps) + start_iter,
         "converged": converged,

@@ -5,14 +5,18 @@ redistribution, L∞ < 1e-6 stop; oracle = NumPy power iteration in tests).
 Superstep shape (round-2 co-partitioned plan — algos.partitioned):
 
     state_p (per-partition rank rows, object store; driver holds refs only)
-      → map_batches over PINNED per-src-part CSR blocks: each task reads
-        ONLY its partition's rank/outdeg slice (1/P of the vector, zero-copy
-        shared memory), computes per-edge rank[src]/outdeg[src],
-        pre-aggregated per dst WITHIN the block (np.bincount — the combiner)
-      → groupby("part") keyed on part(dst)       # the ONE exchange
+      → contrib task per pinned 2D-grid cell block (part(src) x part(dst)):
+        reads ONLY its src partition's rank/outdeg slice (1/P of the vector,
+        zero-copy shared memory), per-edge rank[src]/outdeg[src]
+        pre-aggregated per dst WITHIN the cell (np.bincount — the combiner;
+        exchange entries are bounded by P*V*(1-e^{-E/PV}), sub-edge-scale)
+      → hand-scheduled hash shuffle keyed on part(dst): each cell's panel
+        targets ONE dst part (baked at build), so the driver routes contrib
+        output REFS straight to update tasks — plasma-direct, no sort
       → per-partition update task: rank' = (1-d)/N + d·(contrib + dangling/N)
-        in canonical order (bit-deterministic), per-part delta + dangling
-        partials, per-part checkpoint shard with lineage
+        with panels flattened in canonical block_id order
+        (bit-deterministic), per-part delta + dangling partials, per-part
+        checkpoint shard with lineage
       → driver: max(delta_p) L∞ test + manifest commit (scalars only)
 
 Float64 state throughout (1e-6 convergence is not reachable in float32,
@@ -31,12 +35,12 @@ import pyarrow as pa
 import ray
 import ray.data as rd
 
-from ..functions.bucketing import int_bucket
 from .partitioned import (
     PartitionedCheckpoint,
     build_partitioned_graph,
+    flatten_panel_group,
     init_state,
-    index_state,
+    unpack_panel_layout,
     state_to_arrays,
     state_to_dataset,
     unpack_part_block,
@@ -46,87 +50,91 @@ from .partitioned import (
 _SENTINEL = -1
 
 
-def _make_contrib_fn(handles_ref, weighted: bool, P: int):
-    def contrib(batch: pa.Table) -> pa.Table:
-        h = ray.get(handles_ref)
-        cache: dict[int, tuple] = {}
-        parts_out, keys, partials = [], [], []
-        for row in range(batch.num_rows):
-            part, srcs, src_index, dst_unique, dst_index, w = unpack_part_block(
-                batch, row
-            )
-            if part not in cache:
-                sref, srow = h["static"][part]
-                ids_p, outdeg_p = _row_lists(ray.get(sref), srow, ["ids", "outdeg"])
-                vref, vrow = h["state"][part]
-                (rank_p,) = _row_lists(ray.get(vref), vrow, ["values"])
-                dangling = outdeg_p == 0.0
-                coef = rank_p / np.where(dangling, 1.0, outdeg_p)
-                coef[dangling] = 0.0
-                cache[part] = (ids_p, coef)
-            ids_p, coef = cache[part]
-            per_edge = coef[np.searchsorted(ids_p, srcs)][src_index]
-            if weighted:
-                per_edge = per_edge * w
-            partial = np.bincount(
-                dst_index, weights=per_edge, minlength=len(dst_unique)
-            )
-            parts_out.append(int_bucket(dst_unique, P))
-            keys.append(dst_unique)
-            partials.append(partial)
-        if not keys:
-            return pa.table(
-                {"part": np.empty(0, np.int64), "dst": np.empty(0, np.int64),
-                 "partial": np.empty(0, np.float64)}
-            )
-        return pa.table(
-            {
-                "part": np.concatenate(parts_out),
-                "dst": np.concatenate(keys),
-                "partial": np.concatenate(partials),
-            }
+@ray.remote
+def _contrib_cell(block: pa.Table, h: dict, weighted: bool,
+                  out_parts: list[int]):
+    """MAP side of the hand-scheduled shuffle: a block of grid-cell CSR rows
+    → one panel table PER dst part in ``out_parts`` (multi-return; the
+    driver routes each return ref to its part's update task). ``h`` arrives
+    as the deref'd handles dict; the (ref, row) tuples inside stay refs and
+    are read zero-copy from the local object store."""
+    cache: dict[int, np.ndarray] = {}
+    by_part = {p: ([], [], []) for p in out_parts}
+    for row in range(block.num_rows):
+        part, srcs, src_index, dst_unique, dst_index, w = unpack_part_block(
+            block, row
         )
-
-    return contrib
-
-
-def _make_update_fn(handles_ref, damping, n, dangling_mass, iteration,
-                    ckpt_tmp, digest):
-    def update(t: pa.Table) -> pa.Table:
-        h = ray.get(handles_ref)
-        part = int(t["part"][0].as_py())
-        sref, srow = h["static"][part]
-        ids_p, outdeg_p = _row_lists(ray.get(sref), srow, ["ids", "outdeg"])
-        vref, vrow = h["state"][part]
-        (rank_old,) = _row_lists(ray.get(vref), vrow, ["values"])
-        dst = t["dst"].to_numpy()
-        partial = t["partial"].to_numpy()
-        m = dst != _SENTINEL
-        dst, partial = dst[m], partial[m]
-        incoming = np.zeros(len(ids_p), dtype=np.float64)
-        if len(dst):
-            # canonical accumulation order → bit-deterministic float sums
-            order = np.lexsort((partial, dst))
-            np.add.at(
-                incoming, np.searchsorted(ids_p, dst[order]), partial[order]
-            )
-        new_rank = (1.0 - damping) / n + damping * (incoming + dangling_mass / n)
-        delta = float(np.max(np.abs(new_rank - rank_old))) if len(ids_p) else 0.0
-        dangling_partial = float(new_rank[outdeg_p == 0.0].sum())
-        if ckpt_tmp is not None:
-            PartitionedCheckpoint.write_shard(
-                ckpt_tmp, iteration, part, digest, ids_p, new_rank
-            )
-        return pa.table(
-            {
-                "part": pa.array([part], pa.int64()),
-                "values": pa.array([new_rank], pa.list_(pa.float64())),
-                "delta": pa.array([delta], pa.float64()),
-                "dangling_partial": pa.array([dangling_partial], pa.float64()),
-            }
+        src_pos, panel_parts, offsets, dst_local = unpack_panel_layout(
+            block, row
         )
+        if not len(panel_parts):
+            continue
+        block_id = int(block["block_id"][row].as_py())
+        if part not in cache:
+            sref, srow = h["static"][part]
+            (outdeg_p,) = _row_lists(ray.get(sref), srow, ["outdeg"])
+            vref, vrow = h["state"][part]
+            (rank_p,) = _row_lists(ray.get(vref), vrow, ["values"])
+            dangling = outdeg_p == 0.0
+            coef = rank_p / np.where(dangling, 1.0, outdeg_p)
+            coef[dangling] = 0.0
+            cache[part] = coef
+        coef = cache[part]
+        per_edge = coef[src_pos][src_index]
+        if weighted and w is not None:
+            per_edge = per_edge * w
+        partial = np.bincount(
+            dst_index, weights=per_edge, minlength=len(dst_local)
+        )
+        bids, dl, pl = by_part[int(panel_parts[0])]
+        bids.append(block_id)
+        dl.append(dst_local)
+        pl.append(partial)
+    out = []
+    for p in out_parts:
+        bids, dl, pl = by_part[p]
+        out.append(pa.table(
+            {
+                "block_id": pa.array(bids, pa.int64()),
+                "dst": pa.array(dl, pa.list_(pa.int32())),
+                "partial": pa.array(pl, pa.list_(pa.float64())),
+            }
+        ))
+    return out[0] if len(out) == 1 else tuple(out)
 
-    return update
+
+@ray.remote(num_returns=2)
+def _update_part(h: dict, part: int, damping: float, n: int,
+                 dangling_mass: float, iteration: int, ckpt_tmp, digest,
+                 *panels: pa.Table):
+    """REDUCE side: pulls exactly its part's panels (plasma-direct), flattens
+    them in canonical block_id order (bit-deterministic float accumulation;
+    dst entries are precomputed int32 positions in this part's inventory)
+    and emits (state row, scalars)."""
+    sref, srow = h["static"][part]
+    ids_p, outdeg_p = _row_lists(ray.get(sref), srow, ["ids", "outdeg"])
+    vref, vrow = h["state"][part]
+    (rank_old,) = _row_lists(ray.get(vref), vrow, ["values"])
+    incoming = np.zeros(len(ids_p), dtype=np.float64)
+    if panels:
+        t = pa.concat_tables(panels)
+        dst_local, partial = flatten_panel_group(t)
+        if len(dst_local):
+            np.add.at(incoming, dst_local, partial)
+    new_rank = (1.0 - damping) / n + damping * (incoming + dangling_mass / n)
+    delta = float(np.max(np.abs(new_rank - rank_old))) if len(ids_p) else 0.0
+    dangling_partial = float(new_rank[outdeg_p == 0.0].sum())
+    if ckpt_tmp is not None:
+        PartitionedCheckpoint.write_shard(
+            ckpt_tmp, iteration, part, digest, ids_p, new_rank
+        )
+    row_table = pa.table(
+        {
+            "part": pa.array([part], pa.int64()),
+            "values": pa.array([new_rank], pa.list_(pa.float64())),
+        }
+    )
+    return row_table, {"delta": delta, "dangling_partial": dangling_partial}
 
 
 def pagerank_partitioned(
@@ -181,32 +189,35 @@ def pagerank_partitioned(
             g, lambda part, ids, outdeg: np.full(len(ids), 1.0 / n)
         )
 
-    seed = g.seed_messages(pa.float64())
     supersteps = []
     converged = False
+    parts_sorted = list(g.parts)
     for it in range(start_iter, max_iter):
         t0 = time.perf_counter()
         handles_ref = ray.put({"static": g.static_index, "state": state_index})
-        contribs = g.blocks.map_batches(
-            _make_contrib_fn(handles_ref, weighted, g.P), batch_format="pyarrow"
-        )
         tmp = ckpt.tmp_dir(it) if ckpt is not None else None
-        new_state = (
-            contribs.union(seed)
-            .groupby("part")
-            .map_groups(
-                _make_update_fn(
-                    handles_ref, damping, n, dangling_mass, it, tmp, g.digest
-                ),
-                batch_format="pyarrow",
+        # hand-scheduled hash shuffle keyed on part(dst): contrib outputs are
+        # pre-routed (one dst part per grid cell), so the driver passes refs
+        # straight to the update tasks — no sort exchange, plasma-direct
+        panel_refs: dict[int, list] = {p: [] for p in parts_sorted}
+        for bref, dst_parts, _bid in g.panel_blocks:
+            refs = _contrib_cell.options(
+                num_returns=len(dst_parts)
+            ).remote(bref, handles_ref, weighted, dst_parts)
+            if len(dst_parts) == 1:
+                refs = [refs]
+            for p, r in zip(dst_parts, refs):
+                panel_refs[p].append(r)
+        row_refs, scal_refs = {}, {}
+        for p in parts_sorted:
+            row_refs[p], scal_refs[p] = _update_part.remote(
+                handles_ref, p, damping, n, dangling_mass, it, tmp, g.digest,
+                *panel_refs[p],
             )
-            .materialize()
-        )
-        state_index, scalars = index_state(
-            new_state, ["delta", "dangling_partial"]
-        )
-        state_ds = new_state
-        parts_sorted = sorted(scalars)
+        scalars = dict(zip(parts_sorted,
+                           ray.get([scal_refs[p] for p in parts_sorted])))
+        state_index = {p: (row_refs[p], 0) for p in parts_sorted}
+        state_ds = None  # assembled from refs after the loop
         delta = max(scalars[p]["delta"] for p in parts_sorted)
         dangling_mass = sum(scalars[p]["dangling_partial"] for p in parts_sorted)
         converged = delta < tol
@@ -232,6 +243,10 @@ def pagerank_partitioned(
         if converged:
             break
 
+    if state_ds is None:
+        # zero-copy Dataset view over the per-part state rows (result
+        # delivery / checkpoint-free callers); refs stay pinned by the ds
+        state_ds = rd.from_arrow_refs([row_refs[p] for p in parts_sorted])
     info = {
         "iterations": (supersteps[-1]["iteration"] + 1) if supersteps else start_iter,
         "converged": converged,

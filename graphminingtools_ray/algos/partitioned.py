@@ -52,6 +52,25 @@ def _block_refs(ds: rd.Dataset):
 
 
 @ray.remote
+def _scan_panel_meta(block):
+    """Tiny worker-side scan of a localized CSR block: (num_rows,
+    sorted list of dst parts present, min_block_id). Each ROW belongs to one
+    grid cell (single dst part), but a Ray block may concatenate several
+    cells' rows — the contrib task splits its output per part."""
+    if not isinstance(block, pa.Table):
+        block = pa.table(block)
+    if block.num_rows == 0:
+        return 0, [], -1
+    parts = set()
+    for i in range(block.num_rows):
+        pp = block["panel_parts"][i].values
+        if len(pp):
+            parts.add(int(pp[0].as_py()))
+    min_bid = int(pa.compute.min(block["block_id"]).as_py())
+    return block.num_rows, sorted(parts), min_bid
+
+
+@ray.remote
 def _scan_state_block(block, scalar_cols: list[str]):
     """Tiny index task: run ON A WORKER against a state block (zero-copy) and
     return only (part, row_index, scalars) — never the vertex-scale lists."""
@@ -111,11 +130,14 @@ class PartitionedGraph:
     """
 
     def __init__(self, blocks, static, static_index, static_scalars, P,
-                 n_edges, digest):
+                 n_edges, digest, panel_blocks=None):
         self.blocks = blocks
         self.static = static
         self.static_index = static_index
         self.static_scalars = static_scalars
+        # [(block_ref, [dst_parts present], min_block_id)] sorted by
+        # min_block_id; each ROW belongs to one grid cell (single dst part)
+        self.panel_blocks = panel_blocks or []
         self.P = P
         self.parts = sorted(static_index)
         self.n_vertices = sum(s["n"] for s in static_scalars.values())
@@ -124,32 +146,43 @@ class PartitionedGraph:
         self.digest = digest
 
     def seed_messages(self, value_type=pa.float64()) -> rd.Dataset:
-        """One sentinel message per present part so the per-part update group
-        exists even for partitions that receive no real messages."""
-        zero = 0.0 if value_type == pa.float64() else 0
+        """One sentinel PANEL row per present part so the per-part update
+        group exists even for partitions that receive no real messages.
+        Panel schema: (part, block_id=-1, dst list<int64>, partial list<T>)
+        with empty payload lists."""
+        k = len(self.parts)
         return rd.from_arrow(
             pa.table(
                 {
                     "part": pa.array(self.parts, pa.int64()),
-                    "dst": pa.array([_SENTINEL] * len(self.parts), pa.int64()),
-                    "partial": pa.array([zero] * len(self.parts), value_type),
+                    "block_id": pa.array([-1] * k, pa.int64()),
+                    "dst": pa.array([[]] * k, pa.list_(pa.int32())),
+                    "partial": pa.array([[]] * k, pa.list_(value_type)),
                 }
             )
         )
 
 
-def _csr_rows_for_part(t: pa.Table, target_edges: int) -> pa.Table:
+def _csr_rows_for_part(t: pa.Table, target_edges: int,
+                       include_weight: bool) -> pa.Table:
+    """One grid CELL (all edges with part(src)=i, part(dst)=j) → CSR sub-block
+    rows. 2D grid partitioning (src_part x dst_part) is what keeps the
+    superstep exchange sub-edge-scale: a cell's per-dst partials cover at most
+    V/P distinct dsts no matter how many edges it holds, so per-superstep
+    exchange bytes are bounded by P * V * (1 - e^{-E/(P V)}) entries instead
+    of E — the denser the graph, the bigger the win (combiner saturation)."""
     part = int(t["src_part"][0].as_py())
+    cell = int(t["cell"][0].as_py())
     src = t["src"].to_numpy()
     dst = t["dst"].to_numpy()
-    if "weight" in t.column_names:
+    if include_weight and "weight" in t.column_names:
         w = t["weight"].to_numpy().astype(np.float64)
     else:
         w = np.ones(len(src), dtype=np.float64)
     rows = {k: [] for k in
-            ("src_part", "srcs", "src_index", "dst_unique", "dst_index",
-             "weight", "n_edges", "mix")}
-    for lo in range(0, max(1, len(src)), target_edges):
+            ("src_part", "block_id", "srcs", "src_index", "dst_unique",
+             "dst_index", "weight", "n_edges", "mix")}
+    for seq, lo in enumerate(range(0, max(1, len(src)), target_edges)):
         s = src[lo: lo + target_edges]
         d = dst[lo: lo + target_edges]
         ww = w[lo: lo + target_edges]
@@ -157,6 +190,9 @@ def _csr_rows_for_part(t: pa.Table, target_edges: int) -> pa.Table:
         dst_unique, dst_index = np.unique(d, return_inverse=True)
         m = (s.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
              + d.astype(np.uint64) * np.uint64(0xC2B2AE3D27D4EB4F))
+        # canonical global sub-block id: drives the deterministic panel
+        # accumulation order in the per-partition update tasks
+        rows["block_id"].append((cell << 32) | seq)
         rows["src_part"].append(part)
         rows["srcs"].append(srcs)
         rows["src_index"].append(src_index.astype(np.int32))
@@ -165,18 +201,63 @@ def _csr_rows_for_part(t: pa.Table, target_edges: int) -> pa.Table:
         rows["weight"].append(ww)
         rows["n_edges"].append(len(s))
         rows["mix"].append(int(m.sum(dtype=np.uint64)) & _MASK)
-    return pa.table(
-        {
-            "src_part": pa.array(rows["src_part"], pa.int64()),
-            "srcs": pa.array(rows["srcs"], pa.list_(pa.int64())),
-            "src_index": pa.array(rows["src_index"], pa.list_(pa.int32())),
-            "dst_unique": pa.array(rows["dst_unique"], pa.list_(pa.int64())),
-            "dst_index": pa.array(rows["dst_index"], pa.list_(pa.int32())),
-            "weight": pa.array(rows["weight"], pa.list_(pa.float64())),
-            "n_edges": pa.array(rows["n_edges"], pa.int64()),
-            "mix": pa.array(rows["mix"], pa.uint64()),
-        }
+    cols = {
+        "src_part": pa.array(rows["src_part"], pa.int64()),
+        "block_id": pa.array(rows["block_id"], pa.int64()),
+        "srcs": pa.array(rows["srcs"], pa.list_(pa.int64())),
+        "src_index": pa.array(rows["src_index"], pa.list_(pa.int32())),
+        "dst_unique": pa.array(rows["dst_unique"], pa.list_(pa.int64())),
+        "dst_index": pa.array(rows["dst_index"], pa.list_(pa.int32())),
+        "n_edges": pa.array(rows["n_edges"], pa.int64()),
+        "mix": pa.array(rows["mix"], pa.uint64()),
+    }
+    if include_weight:
+        cols["weight"] = pa.array(rows["weight"], pa.list_(pa.float64()))
+    return pa.table(cols)
+
+
+def split_panels(dst_unique: np.ndarray, partial: np.ndarray, P: int):
+    """Split one CSR sub-block's per-dst partial vector by part(dst) into
+    PANEL segments: returns (parts, dst_segments, partial_segments).
+
+    Panels are the superstep exchange currency: ONE list-payload row per
+    (sub-block, dst_part) instead of one scalar row per dst, so the sort-based
+    ``groupby("part")`` exchange handles ~blocks x P rows per superstep (the
+    payload bytes move either way — the per-row sort/shuffle overhead, which
+    dominated at edge scale, does not). ``dst_unique`` is sorted ascending, so
+    each stable-sorted segment is itself sorted → canonical within-panel order.
+    """
+    pk = int_bucket(dst_unique, P)
+    order = np.argsort(pk, kind="stable")
+    pk_s = pk[order]
+    dst_s = dst_unique[order]
+    par_s = partial[order]
+    bounds = np.flatnonzero(np.diff(pk_s)) + 1
+    starts = np.concatenate(([0], bounds))
+    ends = np.concatenate((bounds, [len(pk_s)]))
+    parts = pk_s[starts]
+    return (
+        parts,
+        [dst_s[a:b] for a, b in zip(starts, ends)],
+        [par_s[a:b] for a, b in zip(starts, ends)],
     )
+
+
+def flatten_panel_group(t: pa.Table):
+    """One part's panel rows → (dst, partial) numpy arrays concatenated in
+    canonical block_id order (bit-deterministic accumulation basis).
+    Sentinel seed rows carry empty lists and vanish in the flatten."""
+    order = np.argsort(t["block_id"].to_numpy(), kind="stable")
+    t = t.take(pa.array(order))
+    import pyarrow.compute as pc
+
+    dst = pc.list_flatten(t["dst"].combine_chunks()).to_numpy(
+        zero_copy_only=False
+    )
+    partial = pc.list_flatten(t["partial"].combine_chunks()).to_numpy(
+        zero_copy_only=False
+    )
+    return dst, partial
 
 
 def unpack_part_block(batch: pa.Table, row: int):
@@ -184,9 +265,27 @@ def unpack_part_block(batch: pa.Table, row: int):
     src_index = batch["src_index"][row].values.to_numpy(zero_copy_only=False)
     dst_unique = batch["dst_unique"][row].values.to_numpy(zero_copy_only=False)
     dst_index = batch["dst_index"][row].values.to_numpy(zero_copy_only=False)
-    weight = batch["weight"][row].values.to_numpy(zero_copy_only=False)
+    if "weight" in batch.column_names:
+        weight = batch["weight"][row].values.to_numpy(zero_copy_only=False)
+    else:
+        weight = None
     part = int(batch["src_part"][row].as_py())
     return part, srcs, src_index, dst_unique, dst_index, weight
+
+
+def unpack_panel_layout(batch: pa.Table, row: int):
+    """Precomputed routing for one CSR sub-block (built once by
+    ``_localize_blocks``): ``src_pos`` positions of ``srcs`` in the src
+    partition inventory, ``panel_parts``/``panel_offsets`` segmenting the
+    part-ordered ``dst_unique``, and ``dst_local`` positions in each dst
+    partition's inventory. Supersteps do no hashing or searchsorted."""
+    src_pos = batch["src_pos"][row].values.to_numpy(zero_copy_only=False)
+    panel_parts = batch["panel_parts"][row].values.to_numpy(zero_copy_only=False)
+    panel_offsets = batch["panel_offsets"][row].values.to_numpy(
+        zero_copy_only=False
+    )
+    dst_local = batch["dst_local"][row].values.to_numpy(zero_copy_only=False)
+    return src_pos, panel_parts, panel_offsets, dst_local
 
 
 def build_partitioned_graph(
@@ -201,16 +300,17 @@ def build_partitioned_graph(
     reuses both materialized datasets."""
 
     def tag(t: pa.Table) -> pa.Table:
-        return t.append_column(
-            "src_part", pa.array(int_bucket(t["src"].to_numpy(), P))
-        )
+        sp = int_bucket(t["src"].to_numpy(), P)
+        dp = int_bucket(t["dst"].to_numpy(), P)
+        t = t.append_column("src_part", pa.array(sp))
+        return t.append_column("cell", pa.array(sp * P + dp))
 
     blocks = (
         edges.map_batches(tag, batch_format="pyarrow")
         .repartition(P)  # coalesce read-width blocks: sort cost tracks block count
-        .groupby("src_part")
+        .groupby("cell")
         .map_groups(
-            lambda t: _csr_rows_for_part(t, target_edges_per_block),
+            lambda t: _csr_rows_for_part(t, target_edges_per_block, weighted),
             batch_format="pyarrow",
         )
         .materialize()
@@ -225,11 +325,6 @@ def build_partitioned_graph(
         n_edges += int(b["n_edges"].to_numpy().sum())
         mix = (mix + int(b["mix"].to_numpy().sum(dtype=np.uint64))) & _MASK
 
-    # compact: map_groups leaves ~task-count mostly-EMPTY Ray blocks; every
-    # superstep's exchange pays per-block overhead for each of them, so pack
-    # the sub-block rows into ~one Ray block per CSR row (they are heavyweight
-    # rows). One-time cost, saves a fixed per-superstep tax.
-    blocks = blocks.repartition(max(1, n_rows)).materialize()
     digest = hashlib.blake2b(f"{n_edges}:{mix}".encode(), digest_size=16).hexdigest()
 
     # vertex inventory: batch-local combine → one exchange keyed part(vertex)
@@ -299,8 +394,86 @@ def build_partitioned_graph(
         .materialize()
     )
     static_index, static_scalars = index_state(static, ["n", "n_dangling"])
+
+    # LOCALIZE post-pass (one-time): bake the per-superstep routing into the
+    # blocks — dst_unique reordered by part(dst) with segment offsets, dst
+    # and src positions resolved against the partition inventories. Each
+    # build task reads the inventories of the parts its block touches
+    # (zero-copy plasma, shared per node); supersteps then run with ZERO
+    # hashing / sorting / searchsorted.
+    sidx_ref = ray.put(static_index)
+
+    def localize(batch: pa.Table) -> pa.Table:
+        sidx = ray.get(sidx_ref)
+        ids_cache: dict[int, np.ndarray] = {}
+
+        def part_ids(p: int) -> np.ndarray:
+            if p not in ids_cache:
+                ref, row = sidx[p]
+                (ids,) = _row_lists(ray.get(ref), row, ["ids"])
+                ids_cache[p] = ids
+            return ids_cache[p]
+
+        out = {k: [] for k in ("dst_unique", "dst_index", "src_pos",
+                               "panel_parts", "panel_offsets", "dst_local")}
+        for row in range(batch.num_rows):
+            part, srcs, src_index, dst_unique, dst_index, _ = unpack_part_block(
+                batch, row
+            )
+            pk = int_bucket(dst_unique, P)
+            order = np.argsort(pk, kind="stable")
+            pk_s = pk[order]
+            dst_s = dst_unique[order]
+            inv = np.empty(len(order), dtype=np.int32)
+            inv[order] = np.arange(len(order), dtype=np.int32)
+            bounds = np.flatnonzero(np.diff(pk_s)) + 1
+            starts = np.concatenate(([0], bounds)).astype(np.int32)
+            offsets = np.concatenate((starts, [len(pk_s)])).astype(np.int32)
+            panel_parts = pk_s[starts] if len(pk_s) else np.empty(0, np.int64)
+            dst_local = np.empty(len(dst_s), dtype=np.int32)
+            for j, p in enumerate(panel_parts):
+                a, b = offsets[j], offsets[j + 1]
+                dst_local[a:b] = np.searchsorted(part_ids(int(p)), dst_s[a:b])
+            out["dst_unique"].append(dst_s)
+            out["dst_index"].append(inv[dst_index])
+            out["src_pos"].append(
+                np.searchsorted(part_ids(part), srcs).astype(np.int32)
+            )
+            out["panel_parts"].append(panel_parts.astype(np.int64))
+            out["panel_offsets"].append(offsets)
+            out["dst_local"].append(dst_local)
+        t = batch.drop_columns(["dst_unique", "dst_index"])
+        for name, typ in (
+            ("dst_unique", pa.list_(pa.int64())),
+            ("dst_index", pa.list_(pa.int32())),
+            ("src_pos", pa.list_(pa.int32())),
+            ("panel_parts", pa.list_(pa.int64())),
+            ("panel_offsets", pa.list_(pa.int32())),
+            ("dst_local", pa.list_(pa.int32())),
+        ):
+            t = t.append_column(name, pa.array(out[name], typ))
+        return t
+
+    blocks = blocks.map_batches(localize, batch_format="pyarrow").materialize()
+
+    # per-block routing table for the direct (raw-task) panel exchange: every
+    # non-empty block holds CSR rows of exactly ONE grid cell, so all its
+    # panels target a single dst part — the driver can route contrib outputs
+    # to update tasks by ref, no sort exchange. Only refs + 2 ints per block
+    # ever reach the driver.
+    refs = _block_refs(blocks)
+    metas = ray.get([_scan_panel_meta.remote(r) for r in refs])
+    panel_blocks = sorted(
+        (
+            (ref, parts, min_bid)
+            for ref, (nrows, parts, min_bid) in zip(refs, metas)
+            if nrows > 0 and parts
+        ),
+        key=lambda x: x[2],
+    )
     return PartitionedGraph(
-        blocks, static, static_index, static_scalars, P, n_edges, digest
+        blocks, static, static_index, static_scalars, P, n_edges, digest,
+        panel_blocks,
     )
 
 

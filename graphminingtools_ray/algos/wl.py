@@ -54,7 +54,7 @@ def _make_msg_fn(handles_ref, P: int):
     def emit(batch: pa.Table) -> pa.Table:
         h = ray.get(handles_ref)
         cache: dict[int, tuple] = {}
-        parts_out, dsts, src_labels = [], [], []
+        parts_out, dst_lists, label_lists = [], [], []
         for row in range(batch.num_rows):
             part, srcs, src_index, dst_unique, dst_index, _ = unpack_part_block(
                 batch, row
@@ -68,21 +68,25 @@ def _make_msg_fn(handles_ref, P: int):
             ids_p, labels_p = cache[part]
             sl = labels_p[np.searchsorted(ids_p, srcs)][src_index]
             d = dst_unique[dst_index]
-            parts_out.append(int_bucket(d, P))
-            dsts.append(d)
-            src_labels.append(sl)
-        if not dsts:
-            return pa.table(
-                {"part": np.empty(0, np.int64), "dst": np.empty(0, np.int64),
-                 "src_label": pa.array([], pa.string())}
-            )
+            # panel rows per (sub-block, dst_part): the update re-sorts by
+            # (dst, src_label), so only the grouping — not order — matters
+            pk = int_bucket(d, P)
+            order = np.argsort(pk, kind="stable")
+            pk_s, d_s, sl_s = pk[order], d[order], sl[order]
+            bounds = np.flatnonzero(np.diff(pk_s)) + 1
+            starts = np.concatenate(([0], bounds))
+            ends = np.concatenate((bounds, [len(pk_s)]))
+            for a, b in zip(starts, ends):
+                if a == b:
+                    continue
+                parts_out.append(int(pk_s[a]))
+                dst_lists.append(d_s[a:b])
+                label_lists.append(sl_s[a:b].tolist())
         return pa.table(
             {
-                "part": np.concatenate(parts_out),
-                "dst": np.concatenate(dsts),
-                "src_label": pa.array(
-                    np.concatenate(src_labels).tolist(), pa.string()
-                ),
+                "part": pa.array(parts_out, pa.int64()),
+                "dst": pa.array(dst_lists, pa.list_(pa.int64())),
+                "src_label": pa.array(label_lists, pa.list_(pa.string())),
             }
         )
 
@@ -97,10 +101,14 @@ def _make_update_fn(handles_ref):
         (ids_p,) = _row_lists(ray.get(sref), srow, ["ids"])
         vref, vrow = h["state"][part]
         (labels_old,) = _row_lists(ray.get(vref), vrow, ["values"])
-        dst = t["dst"].to_numpy()
-        m = dst != _SENTINEL
+        import pyarrow.compute as pc
+
+        dst = pc.list_flatten(t["dst"].combine_chunks()).to_numpy(
+            zero_copy_only=False
+        )
+        labels_flat = pc.list_flatten(t["src_label"].combine_chunks())
         df = pd.DataFrame(
-            {"dst": dst[m], "src_label": np.asarray(t["src_label"].to_pylist(), object)[m]}
+            {"dst": dst, "src_label": np.asarray(labels_flat.to_pylist(), object)}
         )
         df = df.sort_values(["dst", "src_label"], kind="stable")
         joined = df.groupby("dst", sort=True)["src_label"].agg(",".join)
@@ -158,13 +166,14 @@ def wl_relabel_partitioned(
 
     state_ds, state_index, _ = init_state(g, make_values, pa.string())
 
-    # seed with matching message schema (part, dst, src_label)
+    # seed with matching PANEL schema (part, dst list, src_label list)
+    k = len(g.parts)
     seed = rd.from_arrow(
         pa.table(
             {
                 "part": pa.array(g.parts, pa.int64()),
-                "dst": pa.array([_SENTINEL] * len(g.parts), pa.int64()),
-                "src_label": pa.array([""] * len(g.parts), pa.string()),
+                "dst": pa.array([[]] * k, pa.list_(pa.int64())),
+                "src_label": pa.array([[]] * k, pa.list_(pa.string())),
             }
         )
     )
