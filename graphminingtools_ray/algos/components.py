@@ -45,8 +45,8 @@ _IMAX = np.iinfo(np.int64).max
 
 
 @ray.remote
-def _min_cell(block: pa.Table, h: dict, out_parts: list[int],
-              local_closure_passes: int = 64):
+def _min_cell(block: pa.Table, layout: pa.Table, h: dict,
+              out_parts: list[int], local_closure_passes: int = 64):
     """MAP side (see pagerank._contrib_cell for the exchange contract):
     block-local min closure, then one panel table per dst part present,
     returned via multi-return for driver-side ref routing."""
@@ -56,7 +56,7 @@ def _min_cell(block: pa.Table, h: dict, out_parts: list[int],
         part, srcs, src_index, dst_unique, dst_index, _ = unpack_part_block(
             block, row
         )
-        _sp, panel_parts, offsets, dst_local = unpack_panel_layout(block, row)
+        _sp, panel_parts, offsets, dst_local = unpack_panel_layout(layout, row)
         if not len(panel_parts):
             continue
         if part not in cache:
@@ -185,9 +185,9 @@ def connected_components_partitioned(
         handles_ref = ray.put({"static": g.static_index, "state": state_index})
         tmp = ckpt.tmp_dir(it) if ckpt is not None else None
         panel_refs: dict[int, list] = {p: [] for p in parts_sorted}
-        for bref, dst_parts, _bid in g.panel_blocks:
+        for bref, lref, dst_parts, _bid in g.panel_blocks:
             refs = _min_cell.options(num_returns=len(dst_parts)).remote(
-                bref, handles_ref, dst_parts
+                bref, lref, handles_ref, dst_parts
             )
             if len(dst_parts) == 1:
                 refs = [refs]

@@ -51,7 +51,7 @@ _SENTINEL = -1
 
 
 @ray.remote
-def _contrib_cell(block: pa.Table, h: dict, weighted: bool,
+def _contrib_cell(block: pa.Table, layout: pa.Table, h: dict, weighted: bool,
                   out_parts: list[int]):
     """MAP side of the hand-scheduled shuffle: a block of grid-cell CSR rows
     → one panel table PER dst part in ``out_parts`` (multi-return; the
@@ -65,7 +65,7 @@ def _contrib_cell(block: pa.Table, h: dict, weighted: bool,
             block, row
         )
         src_pos, panel_parts, offsets, dst_local = unpack_panel_layout(
-            block, row
+            layout, row
         )
         if not len(panel_parts):
             continue
@@ -86,10 +86,22 @@ def _contrib_cell(block: pa.Table, h: dict, weighted: bool,
         partial = np.bincount(
             dst_index, weights=per_edge, minlength=len(dst_local)
         )
-        bids, dl, pl = by_part[int(panel_parts[0])]
+        dst_part = int(panel_parts[0])
+        bids, dl, pl = by_part[dst_part]
         bids.append(block_id)
-        dl.append(dst_local)
-        pl.append(partial)
+        n_j = h["n_by_part"][dst_part]
+        if len(dst_local) * 2 >= n_j:
+            # DENSE panel (deterministic rule): cell coverage is saturated,
+            # so ship the full per-part vector — drops the int32 index
+            # column and turns the update into a pure vector add. Marked by
+            # an empty dst list + partial length == n_j.
+            vec = np.zeros(n_j, dtype=np.float64)
+            vec[dst_local] = partial  # positions are unique
+            dl.append(dst_local[:0])
+            pl.append(vec)
+        else:
+            dl.append(dst_local)
+            pl.append(partial)
     out = []
     for p in out_parts:
         bids, dl, pl = by_part[p]
@@ -105,12 +117,21 @@ def _contrib_cell(block: pa.Table, h: dict, weighted: bool,
 
 @ray.remote(num_returns=2)
 def _update_part(h: dict, part: int, damping: float, n: int,
-                 dangling_mass: float, iteration: int, ckpt_tmp, digest,
-                 *panels: pa.Table):
+                 dangling_mass, iteration: int, ckpt_tmp, digest,
+                 n_panels: int, *refs):
     """REDUCE side: pulls exactly its part's panels (plasma-direct), flattens
     them in canonical block_id order (bit-deterministic float accumulation;
     dst entries are precomputed int32 positions in this part's inventory)
-    and emits (state row, scalars)."""
+    and emits (state row, scalars).
+
+    ``dangling_mass`` is either a float (first iteration of a run) or None,
+    in which case the PREVIOUS iteration's per-part scalar dicts follow the
+    panels in ``refs`` (sorted-part order) and the mass is reduced here —
+    this keeps the superstep chain a pure Ray DAG with no driver barrier,
+    so consecutive supersteps pipeline."""
+    panels = refs[:n_panels]
+    if dangling_mass is None:
+        dangling_mass = sum(d["dangling_partial"] for d in refs[n_panels:])
     sref, srow = h["static"][part]
     ids_p, outdeg_p = _row_lists(ray.get(sref), srow, ["ids", "outdeg"])
     vref, vrow = h["state"][part]
@@ -118,9 +139,28 @@ def _update_part(h: dict, part: int, damping: float, n: int,
     incoming = np.zeros(len(ids_p), dtype=np.float64)
     if panels:
         t = pa.concat_tables(panels)
-        dst_local, partial = flatten_panel_group(t)
-        if len(dst_local):
-            np.add.at(incoming, dst_local, partial)
+        order = np.argsort(t["block_id"].to_numpy(), kind="stable")
+        dst_col = t["dst"].combine_chunks()
+        par_col = t["partial"].combine_chunks()
+        n_p = len(ids_p)
+        # canonical accumulation: dense panels first (vector adds), then
+        # sparse panels, each family in block_id order → bit-deterministic
+        sparse_dst, sparse_par = [], []
+        for i in order:
+            i = int(i)
+            dv = dst_col[i].values.to_numpy(zero_copy_only=False)
+            pv = par_col[i].values.to_numpy(zero_copy_only=False)
+            if len(dv) == 0 and len(pv) == n_p:
+                incoming += pv
+            elif len(dv):
+                sparse_dst.append(dv)
+                sparse_par.append(pv)
+        if sparse_dst:
+            np.add.at(
+                incoming,
+                np.concatenate(sparse_dst),
+                np.concatenate(sparse_par),
+            )
     new_rank = (1.0 - damping) / n + damping * (incoming + dangling_mass / n)
     delta = float(np.max(np.abs(new_rank - rank_old))) if len(ids_p) else 0.0
     dangling_partial = float(new_rank[outdeg_p == 0.0].sum())
@@ -192,36 +232,78 @@ def pagerank_partitioned(
     supersteps = []
     converged = False
     parts_sorted = list(g.parts)
-    for it in range(start_iter, max_iter):
-        t0 = time.perf_counter()
-        handles_ref = ray.put({"static": g.static_index, "state": state_index})
+    n_by_part = {p: int(g.static_scalars[p]["n"]) for p in parts_sorted}
+    contrib_by_k: dict = {}  # options(num_returns=k) wrappers, built once
+
+    def submit_superstep(it: int, state_idx: dict, dm, prev_scals):
+        """One superstep as pure DAG nodes: contribs over the pinned cell
+        blocks → per-part updates. ``dm`` is a float only for the first
+        submitted iteration; afterwards None + prev scalar refs (the update
+        tasks reduce the dangling mass themselves, so consecutive
+        supersteps pipeline without a driver barrier)."""
+        handles_ref = ray.put({"static": g.static_index, "state": state_idx,
+                               "n_by_part": n_by_part})
         tmp = ckpt.tmp_dir(it) if ckpt is not None else None
-        # hand-scheduled hash shuffle keyed on part(dst): contrib outputs are
-        # pre-routed (one dst part per grid cell), so the driver passes refs
-        # straight to the update tasks — no sort exchange, plasma-direct
+        # hand-scheduled hash shuffle keyed on part(dst): contrib outputs
+        # are pre-routed (one dst part per grid cell), so the driver passes
+        # refs straight to the update tasks — no sort exchange
         panel_refs: dict[int, list] = {p: [] for p in parts_sorted}
-        for bref, dst_parts, _bid in g.panel_blocks:
-            refs = _contrib_cell.options(
-                num_returns=len(dst_parts)
-            ).remote(bref, handles_ref, weighted, dst_parts)
+        for bref, lref, dst_parts, _bid in g.panel_blocks:
+            k = len(dst_parts)
+            if k not in contrib_by_k:
+                contrib_by_k[k] = _contrib_cell.options(num_returns=k)
+            refs = contrib_by_k[k].remote(bref, lref, handles_ref, weighted,
+                                          dst_parts)
             if len(dst_parts) == 1:
                 refs = [refs]
             for p, r in zip(dst_parts, refs):
                 panel_refs[p].append(r)
+        extra = [] if dm is not None else [prev_scals[p] for p in parts_sorted]
         row_refs, scal_refs = {}, {}
         for p in parts_sorted:
             row_refs[p], scal_refs[p] = _update_part.remote(
-                handles_ref, p, damping, n, dangling_mass, it, tmp, g.digest,
-                *panel_refs[p],
+                handles_ref, p, damping, n, dm, it, tmp, g.digest,
+                len(panel_refs[p]), *panel_refs[p], *extra,
             )
+        return row_refs, scal_refs
+
+    # pipelined loop: submit iteration k+1 before checking iteration k's
+    # convergence, so the inter-superstep driver latency (ray.put + task
+    # submission + scalar gather) overlaps with cluster work. At most one
+    # speculative superstep runs past convergence; its output is discarded.
+    import os as _os
+
+    LOOKAHEAD = int(_os.environ.get("GRAFT_PR_LOOKAHEAD", "0"))
+    row_hist: dict[int, dict] = {}
+    scal_hist: dict[int, dict] = {}
+    t_start = time.perf_counter()
+    t_prev = t_start
+    converged_at = None
+    next_submit = start_iter
+    next_check = start_iter
+    dm_arg = dangling_mass
+    prev_scals = None
+    while True:
+        while (next_submit < max_iter and converged_at is None
+               and next_submit - next_check <= LOOKAHEAD):
+            state_idx = (state_index if next_submit == start_iter
+                         else {p: (row_hist[next_submit - 1][p], 0)
+                               for p in parts_sorted})
+            rr, sr = submit_superstep(next_submit, state_idx, dm_arg, prev_scals)
+            row_hist[next_submit] = rr
+            scal_hist[next_submit] = sr
+            dm_arg, prev_scals = None, sr
+            next_submit += 1
+        if next_check >= next_submit:
+            break
+        it = next_check
         scalars = dict(zip(parts_sorted,
-                           ray.get([scal_refs[p] for p in parts_sorted])))
-        state_index = {p: (row_refs[p], 0) for p in parts_sorted}
-        state_ds = None  # assembled from refs after the loop
+                           ray.get([scal_hist[it][p] for p in parts_sorted])))
         delta = max(scalars[p]["delta"] for p in parts_sorted)
-        dangling_mass = sum(scalars[p]["dangling_partial"] for p in parts_sorted)
-        converged = delta < tol
-        dt = time.perf_counter() - t0
+        dmass = sum(scalars[p]["dangling_partial"] for p in parts_sorted)
+        now = time.perf_counter()
+        dt = now - t_prev
+        t_prev = now
         supersteps.append(
             {
                 "iteration": it,
@@ -232,23 +314,28 @@ def pagerank_partitioned(
         )
         if ckpt is not None:
             ckpt.commit(
-                it,
-                parts_sorted,
-                meta={
-                    "delta_inf": delta,
-                    "converged": converged,
-                    "dangling_mass": dangling_mass,
-                },
+                it, parts_sorted,
+                meta={"delta_inf": delta, "converged": delta < tol,
+                      "dangling_mass": dmass},
             )
-        if converged:
+        next_check += 1
+        if delta < tol:
+            # stop here: the one speculative in-flight superstep is simply
+            # never checked or committed (its shards get no manifest)
+            converged_at = it
             break
 
-    if state_ds is None:
+    converged = converged_at is not None
+    final_it = converged_at if converged else (next_submit - 1 if row_hist else None)
+    if final_it is not None:
+        final_rows = row_hist[final_it]
+        state_index = {p: (final_rows[p], 0) for p in parts_sorted}
         # zero-copy Dataset view over the per-part state rows (result
-        # delivery / checkpoint-free callers); refs stay pinned by the ds
-        state_ds = rd.from_arrow_refs([row_refs[p] for p in parts_sorted])
+        # delivery); refs stay pinned by the ds
+        state_ds = rd.from_arrow_refs([final_rows[p] for p in parts_sorted])
+        supersteps = [s for s in supersteps if s["iteration"] <= final_it]
     info = {
-        "iterations": (supersteps[-1]["iteration"] + 1) if supersteps else start_iter,
+        "iterations": (final_it + 1) if final_it is not None else start_iter,
         "converged": converged,
         "resumed_from": resumed_from,
         "supersteps": supersteps,

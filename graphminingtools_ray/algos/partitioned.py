@@ -51,23 +51,33 @@ def _block_refs(ds: rd.Dataset):
     return [ref for b in ds.iter_internal_ref_bundles() for ref in b.block_refs]
 
 
-@ray.remote
-def _scan_panel_meta(block):
-    """Tiny worker-side scan of a localized CSR block: (num_rows,
-    sorted list of dst parts present, min_block_id). Each ROW belongs to one
-    grid cell (single dst part), but a Ray block may concatenate several
-    cells' rows — the contrib task splits its output per part."""
-    if not isinstance(block, pa.Table):
-        block = pa.table(block)
-    if block.num_rows == 0:
-        return 0, [], -1
-    parts = set()
-    for i in range(block.num_rows):
-        pp = block["panel_parts"][i].values
-        if len(pp):
-            parts.add(int(pp[0].as_py()))
-    min_bid = int(pa.compute.min(block["block_id"]).as_py())
-    return block.num_rows, sorted(parts), min_bid
+
+def _unique_inverse(x: np.ndarray):
+    """np.unique(x, return_inverse=True) via stable radix argsort — ~1.4x
+    faster than np.unique's quicksort on large int64 arrays."""
+    o = np.argsort(x, kind="stable")
+    xs = x[o]
+    if not len(xs):
+        return xs, np.empty(0, np.int64)
+    flag = np.empty(len(xs), bool)
+    flag[0] = True
+    np.not_equal(xs[1:], xs[:-1], out=flag[1:])
+    uniq = xs[flag]
+    grp = np.cumsum(flag) - 1
+    inv = np.empty(len(xs), np.int64)
+    inv[o] = grp
+    return uniq, inv
+
+
+def _unique_sorted(x: np.ndarray):
+    """Distinct values of x, sorted (radix path)."""
+    xs = np.sort(x, kind="stable")
+    if not len(xs):
+        return xs
+    flag = np.empty(len(xs), bool)
+    flag[0] = True
+    np.not_equal(xs[1:], xs[:-1], out=flag[1:])
+    return xs[flag]
 
 
 @ray.remote
@@ -145,104 +155,6 @@ class PartitionedGraph:
         self.n_edges = n_edges
         self.digest = digest
 
-    def seed_messages(self, value_type=pa.float64()) -> rd.Dataset:
-        """One sentinel PANEL row per present part so the per-part update
-        group exists even for partitions that receive no real messages.
-        Panel schema: (part, block_id=-1, dst list<int64>, partial list<T>)
-        with empty payload lists."""
-        k = len(self.parts)
-        return rd.from_arrow(
-            pa.table(
-                {
-                    "part": pa.array(self.parts, pa.int64()),
-                    "block_id": pa.array([-1] * k, pa.int64()),
-                    "dst": pa.array([[]] * k, pa.list_(pa.int32())),
-                    "partial": pa.array([[]] * k, pa.list_(value_type)),
-                }
-            )
-        )
-
-
-def _csr_rows_for_part(t: pa.Table, target_edges: int,
-                       include_weight: bool) -> pa.Table:
-    """One grid CELL (all edges with part(src)=i, part(dst)=j) → CSR sub-block
-    rows. 2D grid partitioning (src_part x dst_part) is what keeps the
-    superstep exchange sub-edge-scale: a cell's per-dst partials cover at most
-    V/P distinct dsts no matter how many edges it holds, so per-superstep
-    exchange bytes are bounded by P * V * (1 - e^{-E/(P V)}) entries instead
-    of E — the denser the graph, the bigger the win (combiner saturation)."""
-    part = int(t["src_part"][0].as_py())
-    cell = int(t["cell"][0].as_py())
-    src = t["src"].to_numpy()
-    dst = t["dst"].to_numpy()
-    if include_weight and "weight" in t.column_names:
-        w = t["weight"].to_numpy().astype(np.float64)
-    else:
-        w = np.ones(len(src), dtype=np.float64)
-    rows = {k: [] for k in
-            ("src_part", "block_id", "srcs", "src_index", "dst_unique",
-             "dst_index", "weight", "n_edges", "mix")}
-    for seq, lo in enumerate(range(0, max(1, len(src)), target_edges)):
-        s = src[lo: lo + target_edges]
-        d = dst[lo: lo + target_edges]
-        ww = w[lo: lo + target_edges]
-        srcs, src_index = np.unique(s, return_inverse=True)
-        dst_unique, dst_index = np.unique(d, return_inverse=True)
-        m = (s.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
-             + d.astype(np.uint64) * np.uint64(0xC2B2AE3D27D4EB4F))
-        # canonical global sub-block id: drives the deterministic panel
-        # accumulation order in the per-partition update tasks
-        rows["block_id"].append((cell << 32) | seq)
-        rows["src_part"].append(part)
-        rows["srcs"].append(srcs)
-        rows["src_index"].append(src_index.astype(np.int32))
-        rows["dst_unique"].append(dst_unique)
-        rows["dst_index"].append(dst_index.astype(np.int32))
-        rows["weight"].append(ww)
-        rows["n_edges"].append(len(s))
-        rows["mix"].append(int(m.sum(dtype=np.uint64)) & _MASK)
-    cols = {
-        "src_part": pa.array(rows["src_part"], pa.int64()),
-        "block_id": pa.array(rows["block_id"], pa.int64()),
-        "srcs": pa.array(rows["srcs"], pa.list_(pa.int64())),
-        "src_index": pa.array(rows["src_index"], pa.list_(pa.int32())),
-        "dst_unique": pa.array(rows["dst_unique"], pa.list_(pa.int64())),
-        "dst_index": pa.array(rows["dst_index"], pa.list_(pa.int32())),
-        "n_edges": pa.array(rows["n_edges"], pa.int64()),
-        "mix": pa.array(rows["mix"], pa.uint64()),
-    }
-    if include_weight:
-        cols["weight"] = pa.array(rows["weight"], pa.list_(pa.float64()))
-    return pa.table(cols)
-
-
-def split_panels(dst_unique: np.ndarray, partial: np.ndarray, P: int):
-    """Split one CSR sub-block's per-dst partial vector by part(dst) into
-    PANEL segments: returns (parts, dst_segments, partial_segments).
-
-    Panels are the superstep exchange currency: ONE list-payload row per
-    (sub-block, dst_part) instead of one scalar row per dst, so the sort-based
-    ``groupby("part")`` exchange handles ~blocks x P rows per superstep (the
-    payload bytes move either way — the per-row sort/shuffle overhead, which
-    dominated at edge scale, does not). ``dst_unique`` is sorted ascending, so
-    each stable-sorted segment is itself sorted → canonical within-panel order.
-    """
-    pk = int_bucket(dst_unique, P)
-    order = np.argsort(pk, kind="stable")
-    pk_s = pk[order]
-    dst_s = dst_unique[order]
-    par_s = partial[order]
-    bounds = np.flatnonzero(np.diff(pk_s)) + 1
-    starts = np.concatenate(([0], bounds))
-    ends = np.concatenate((bounds, [len(pk_s)]))
-    parts = pk_s[starts]
-    return (
-        parts,
-        [dst_s[a:b] for a, b in zip(starts, ends)],
-        [par_s[a:b] for a, b in zip(starts, ends)],
-    )
-
-
 def flatten_panel_group(t: pa.Table):
     """One part's panel rows → (dst, partial) numpy arrays concatenated in
     canonical block_id order (bit-deterministic accumulation basis).
@@ -288,198 +200,327 @@ def unpack_panel_layout(batch: pa.Table, row: int):
     return src_pos, panel_parts, panel_offsets, dst_local
 
 
+# ---------------------------------------------------------------------------
+# partitioned graph build — hand-scheduled map/reduce shuffle
+#
+# The build is ONE pass of raw Ray tasks instead of Dataset sort exchanges:
+# map tasks split each edge block by 2D grid cell (part(src) x part(dst)) and
+# by vertex part; reduce tasks assemble each cell's canonical CSR sub-blocks
+# (localized against the partition inventories) and each part's vertex
+# inventory. Edge data crosses the object store exactly once (no sort
+# materialization, no spill at edge scale); the driver holds only
+# B x (P^2 + P) refs plus per-cell scalar metadata.
+# ---------------------------------------------------------------------------
+
+@ray.remote
+def _split_edges(block, P: int, weighted: bool):
+    """MAP (cells): one edge block → ONE packed return: edge arrays sorted
+    by grid cell + cell offsets. Packing everything into a single object
+    avoids plasma's per-object sealing overhead (measured ~70 ms/object on
+    this store — P^2 returns per task were 5x slower than one). Reduce tasks
+    slice their cell's segment zero-copy from shared memory; on a multi-node
+    cluster this trades exact routing for whole-block fetches (factor-P read
+    amplification), which locality-aware scheduling of the reduce tasks
+    largely hides — the split objects live where the reduces run."""
+    if not isinstance(block, pa.Table):
+        block = pa.table(block)
+    ncell = P * P
+    if "src" not in block.column_names or block.num_rows == 0:
+        return (np.empty(0, np.int64), np.empty(0, np.int64),
+                np.zeros(ncell + 1, np.int64), None)
+    src = block["src"].to_numpy()
+    dst = block["dst"].to_numpy()
+    w = None
+    if weighted and "weight" in block.column_names:
+        w = block["weight"].to_numpy().astype(np.float64)
+    cell = int_bucket(src, P) * P + int_bucket(dst, P)
+    # cell alphabet is tiny (P^2): radix-sorting a narrow view is ~7x faster
+    key = cell.astype(np.uint8) if ncell <= 256 else cell.astype(np.uint16)
+    order = np.argsort(key, kind="stable")
+    cs = cell[order]
+    ss = src[order]
+    ds = dst[order]
+    ws = w[order] if w is not None else None
+    counts = np.bincount(cs, minlength=ncell)
+    offs = np.zeros(ncell + 1, np.int64)
+    np.cumsum(counts, out=offs[1:])
+    return ss, ds, offs, ws
+
+
+@ray.remote(num_returns=2)
+def _combine_static(part: int, extra_ids, n_src_packs: int, *packs):
+    """REDUCE (vertex inventory): merge the per-cell inventory packs —
+    (srcs, outdeg_partial, dst_unique) from this part's row of cells
+    (src side, first ``n_src_packs``) and column of cells (dst side) —
+    into the 1-row static table (part, ids, outdeg, n, n_dangling) +
+    (n, n_dangling) scalars. Inputs are V/P-bounded (already unique per
+    cell), so this merge is tiny compared to edge scale. Canonical
+    (vertex, deg) accumulation → bit-identical weighted degree sums."""
+    vids, degs = [], []
+    for k, pk in enumerate(packs):
+        srcs_c, outdeg_c, dstu_c = pk
+        if k < n_src_packs:
+            if len(srcs_c):
+                vids.append(srcs_c)
+                degs.append(outdeg_c)
+        else:
+            if len(dstu_c):
+                vids.append(dstu_c)
+                degs.append(np.zeros(len(dstu_c), dtype=np.float64))
+    if extra_ids is not None and len(extra_ids):
+        vids.append(np.asarray(extra_ids, dtype=np.int64))
+        degs.append(np.zeros(len(extra_ids), dtype=np.float64))
+    if not vids:
+        return None, (0, 0)
+    vid = np.concatenate(vids)
+    deg = np.concatenate(degs)
+    order = np.lexsort((deg, vid))
+    vid, deg = vid[order], deg[order]
+    ids = np.unique(vid)
+    acc = np.zeros(len(ids), dtype=np.float64)
+    np.add.at(acc, np.searchsorted(ids, vid), deg)
+    row = pa.table(
+        {
+            "part": pa.array([part], pa.int64()),
+            "ids": pa.array([ids], pa.list_(pa.int64())),
+            "outdeg": pa.array([acc], pa.list_(pa.float64())),
+            "n": pa.array([len(ids)], pa.int64()),
+            "n_dangling": pa.array(
+                [int(np.count_nonzero(acc == 0.0))], pa.int64()
+            ),
+        }
+    )
+    return row, (len(ids), int(np.count_nonzero(acc == 0.0)))
+
+
+@ray.remote(num_returns=3)
+def _build_cell(cell: int, P: int, target_edges: int, weighted: bool,
+                *packed):
+    """REDUCE (cells): slice this cell's segment from each packed split
+    block (zero-copy views) → (CSR sub-block table,
+    inventory pack (srcs, outdeg_partial, dst_unique),
+    meta (n_edges, mix, [dst_part], min_block_id)).
+
+    Edges are sorted canonically by (src, dst) first, so the blocks — and
+    every downstream float accumulation order — are bit-identical regardless
+    of input block arrival order. The cell's unique srcs/dsts come out of
+    the CSR construction for free, so the vertex inventory needs NO extra
+    pass over the edges. Localization (src_pos/dst_local) happens in a later
+    pass once the inventories exist."""
+    srcs_in, dsts_in, ws_in = [], [], []
+    for ss, ds, offs, ws in packed:
+        a, b = int(offs[cell]), int(offs[cell + 1])
+        if b > a:
+            srcs_in.append(ss[a:b])
+            dsts_in.append(ds[a:b])
+            if ws is not None:
+                ws_in.append(ws[a:b])
+    if not srcs_in:
+        empty = (np.empty(0, np.int64), np.empty(0, np.float64),
+                 np.empty(0, np.int64))
+        return None, empty, (0, 0, [], -1)
+    src = np.concatenate(srcs_in)
+    dst = np.concatenate(dsts_in)
+    w = np.concatenate(ws_in) if (weighted and ws_in) else None
+    order = np.lexsort((dst, src))
+    src, dst = src[order], dst[order]
+    if w is not None:
+        w = w[order]
+    part_i, part_j = cell // P, cell % P
+    # cell-level inventory: srcs + weighted out-degree partials via the
+    # sorted-run boundaries (free), dst union accumulated from sub-blocks
+    cflag = np.empty(len(src), bool)
+    cflag[0] = True
+    np.not_equal(src[1:], src[:-1], out=cflag[1:])
+    srcs_cell = src[cflag]
+    grp = np.cumsum(cflag) - 1
+    if w is None:
+        outdeg_cell = np.bincount(grp, minlength=len(srcs_cell)).astype(
+            np.float64
+        )
+    else:
+        # canonical order (already (src,dst)-sorted) → deterministic sums
+        outdeg_cell = np.zeros(len(srcs_cell), dtype=np.float64)
+        np.add.at(outdeg_cell, grp, w)
+    rows = {k: [] for k in ("src_part", "block_id", "srcs", "src_index",
+                            "dst_unique", "dst_index", "weight")}
+    mix_total = 0
+    dstu_parts = []
+    for seq, lo in enumerate(range(0, len(src), target_edges)):
+        s = src[lo: lo + target_edges]
+        d = dst[lo: lo + target_edges]
+        # s is globally sorted → srcs/src_index via boundary flags (free)
+        sflag = np.empty(len(s), bool)
+        if len(s):
+            sflag[0] = True
+            np.not_equal(s[1:], s[:-1], out=sflag[1:])
+        srcs = s[sflag]
+        src_index = np.cumsum(sflag) - 1
+        dst_unique, dst_index = _unique_inverse(d)
+        dstu_parts.append(dst_unique)
+        m = (s.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+             + d.astype(np.uint64) * np.uint64(0xC2B2AE3D27D4EB4F))
+        mix_total = (mix_total + int(m.sum(dtype=np.uint64))) & _MASK
+        rows["src_part"].append(part_i)
+        rows["block_id"].append((cell << 32) | seq)
+        rows["srcs"].append(srcs)
+        rows["src_index"].append(src_index.astype(np.int32))
+        rows["dst_unique"].append(dst_unique)
+        rows["dst_index"].append(dst_index.astype(np.int32))
+        if w is not None:
+            rows["weight"].append(w[lo: lo + target_edges])
+    cols = {
+        "src_part": pa.array(rows["src_part"], pa.int64()),
+        "block_id": pa.array(rows["block_id"], pa.int64()),
+        "srcs": pa.array(rows["srcs"], pa.list_(pa.int64())),
+        "src_index": pa.array(rows["src_index"], pa.list_(pa.int32())),
+        "dst_unique": pa.array(rows["dst_unique"], pa.list_(pa.int64())),
+        "dst_index": pa.array(rows["dst_index"], pa.list_(pa.int32())),
+    }
+    if w is not None:
+        cols["weight"] = pa.array(rows["weight"], pa.list_(pa.float64()))
+    dstu_cell = (_unique_sorted(np.concatenate(dstu_parts))
+                 if len(dstu_parts) > 1 else dstu_parts[0])
+    inv_pack = (srcs_cell, outdeg_cell, dstu_cell)
+    meta = (len(src), mix_total, [part_j], cell << 32)
+    return pa.table(cols), inv_pack, meta
+
+
+@ray.remote
+def _localize_cell(block: pa.Table, cell: int, P: int, static_i, static_j):
+    """Routing side-table for one cell's CSR sub-blocks: src/dst positions
+    in the partition inventories + (trivial single-segment) panel layout.
+    V/P-bounded — a few MB per cell, so the edge-scale CSR table is never
+    rewritten."""
+    part_j = cell % P
+    (ids_i,) = _row_lists(static_i, 0, ["ids"])
+    (ids_j,) = _row_lists(static_j, 0, ["ids"])
+    out = {k: [] for k in ("block_id", "src_pos", "panel_parts",
+                           "panel_offsets", "dst_local")}
+    for row in range(block.num_rows):
+        srcs = block["srcs"][row].values.to_numpy(zero_copy_only=False)
+        dstu = block["dst_unique"][row].values.to_numpy(zero_copy_only=False)
+        out["block_id"].append(int(block["block_id"][row].as_py()))
+        out["src_pos"].append(np.searchsorted(ids_i, srcs).astype(np.int32))
+        out["panel_parts"].append(np.array([part_j], dtype=np.int64))
+        out["panel_offsets"].append(np.array([0, len(dstu)], dtype=np.int32))
+        out["dst_local"].append(np.searchsorted(ids_j, dstu).astype(np.int32))
+    return pa.table(
+        {
+            "block_id": pa.array(out["block_id"], pa.int64()),
+            "src_pos": pa.array(out["src_pos"], pa.list_(pa.int32())),
+            "panel_parts": pa.array(out["panel_parts"], pa.list_(pa.int64())),
+            "panel_offsets": pa.array(
+                out["panel_offsets"], pa.list_(pa.int32())
+            ),
+            "dst_local": pa.array(out["dst_local"], pa.list_(pa.int32())),
+        }
+    )
+
+
 def build_partitioned_graph(
     edges: rd.Dataset,
     P: int = 16,
     weighted: bool = False,
-    target_edges_per_block: int = 1_000_000,
+    target_edges_per_block: int = 4_000_000,
     extra_vertex_ids: np.ndarray | None = None,
 ) -> PartitionedGraph:
-    """Edge table → PartitionedGraph. TWO one-time exchanges (blocks keyed by
-    part(src); vertex inventory keyed by part(vertex)); every later superstep
-    reuses both materialized datasets."""
+    """Edge table → PartitionedGraph via the hand-scheduled build shuffle
+    (see module banner above): split by grid cell → per-cell CSR build
+    (which yields the vertex inventory for free) → per-part static combine
+    → per-cell localization side-tables. Edge data crosses the object store
+    twice (split + CSR); everything else is V/P-bounded."""
+    edges_mat = edges.materialize()
+    erefs = _block_refs(edges_mat)
+    # coalesce to ~cluster-CPU map blocks: bigger blocks saturate the
+    # per-cell combine and keep the driver's ref count linear and small
+    try:
+        ncpu = int(ray.cluster_resources().get("CPU", 32))
+    except Exception:
+        ncpu = 32
+    target_b = max(8, min(64, ncpu))
+    if len(erefs) > 2 * target_b:
+        edges_mat = edges_mat.repartition(target_b).materialize()
+        erefs = _block_refs(edges_mat)
 
-    def tag(t: pa.Table) -> pa.Table:
-        sp = int_bucket(t["src"].to_numpy(), P)
-        dp = int_bucket(t["dst"].to_numpy(), P)
-        t = t.append_column("src_part", pa.array(sp))
-        return t.append_column("cell", pa.array(sp * P + dp))
+    split_refs = [_split_edges.remote(r, P, weighted) for r in erefs]
 
-    blocks = (
-        edges.map_batches(tag, batch_format="pyarrow")
-        .repartition(P)  # coalesce read-width blocks: sort cost tracks block count
-        .groupby("cell")
-        .map_groups(
-            lambda t: _csr_rows_for_part(t, target_edges_per_block, weighted),
-            batch_format="pyarrow",
-        )
-        .materialize()
-    )
+    ncell = P * P
+    csr_refs, inv_refs, meta_refs = {}, {}, {}
+    if split_refs:
+        for c in range(ncell):
+            csr_refs[c], inv_refs[c], meta_refs[c] = _build_cell.remote(
+                c, P, target_edges_per_block, weighted, *split_refs
+            )
+    metas = {c: ray.get(m) for c, m in meta_refs.items()}
+    live_cells = [c for c in sorted(metas) if metas[c][0] > 0]
 
-    # edge count + order-independent digest from the tiny per-sub-block scalars
-    n_edges, mix, n_rows = 0, 0, 0
-    for b in blocks.select_columns(["n_edges", "mix"]).iter_batches(
-        batch_size=None, batch_format="pyarrow"
-    ):
-        n_rows += b.num_rows
-        n_edges += int(b["n_edges"].to_numpy().sum())
-        mix = (mix + int(b["mix"].to_numpy().sum(dtype=np.uint64))) & _MASK
-
-    digest = hashlib.blake2b(f"{n_edges}:{mix}".encode(), digest_size=16).hexdigest()
-
-    # vertex inventory: batch-local combine → one exchange keyed part(vertex)
-    def vertex_partials(t: pa.Table) -> pa.Table:
-        src = t["src"].to_numpy()
-        dst = t["dst"].to_numpy()
-        if weighted and "weight" in t.column_names:
-            w = t["weight"].to_numpy().astype(np.float64)
-        else:
-            w = np.ones(len(src), dtype=np.float64)
-        usrc, inv = np.unique(src, return_inverse=True)
-        sdeg = np.zeros(len(usrc), dtype=np.float64)
-        np.add.at(sdeg, inv, w)
-        udst = np.unique(dst)
-        vid = np.concatenate([usrc, udst])
-        deg = np.concatenate([sdeg, np.zeros(len(udst))])
-        return pa.table(
-            {
-                "part": pa.array(int_bucket(vid, P)),
-                "vertex_id": vid,
-                "deg": deg,
-            }
-        )
-
-    inventory = edges.map_batches(vertex_partials, batch_format="pyarrow")
+    extra_by_part: dict[int, np.ndarray] = {}
     if extra_vertex_ids is not None and len(extra_vertex_ids):
-        ev = np.asarray(extra_vertex_ids, dtype=np.int64)
-        inventory = inventory.union(
-            rd.from_arrow(
-                pa.table(
-                    {
-                        "part": pa.array(int_bucket(ev, P)),
-                        "vertex_id": ev,
-                        "deg": np.zeros(len(ev), np.float64),
-                    }
-                )
-            )
-        )
+        ev = np.unique(np.asarray(extra_vertex_ids, dtype=np.int64))
+        epk = int_bucket(ev, P)
+        for p in range(P):
+            sel = ev[epk == p]
+            if len(sel):
+                extra_by_part[p] = sel
 
-    def static_combine(t: pa.Table) -> pa.Table:
-        part = int(t["part"][0].as_py())
-        vid = t["vertex_id"].to_numpy()
-        deg = t["deg"].to_numpy()
-        # canonical (vertex, deg) accumulation → bit-identical weighted sums
-        order = np.lexsort((deg, vid))
-        vid, deg = vid[order], deg[order]
-        ids = np.unique(vid)
-        acc = np.zeros(len(ids), dtype=np.float64)
-        np.add.at(acc, np.searchsorted(ids, vid), deg)
-        return pa.table(
+    static_refs, scal_refs = {}, {}
+    for p in range(P):
+        src_cells = [c for c in live_cells if c // P == p]
+        dst_cells = [c for c in live_cells if c % P == p]
+        if not src_cells and not dst_cells and p not in extra_by_part:
+            continue
+        packs = [inv_refs[c] for c in src_cells] + [inv_refs[c] for c in dst_cells]
+        static_refs[p], scal_refs[p] = _combine_static.remote(
+            p, extra_by_part.get(p), len(src_cells), *packs
+        )
+    scal = {p: ray.get(scal_refs[p]) for p in sorted(scal_refs)}
+    static_scalars = {
+        p: {"n": n, "n_dangling": nd} for p, (n, nd) in scal.items() if n > 0
+    }
+    parts = sorted(static_scalars)
+    static_index = {p: (static_refs[p], 0) for p in parts}
+    if parts:
+        static_ds = rd.from_arrow_refs([static_refs[p] for p in parts])
+    else:
+        static_ds = rd.from_arrow(pa.table(
             {
-                "part": pa.array([part], pa.int64()),
-                "ids": pa.array([ids], pa.list_(pa.int64())),
-                "outdeg": pa.array([acc], pa.list_(pa.float64())),
-                "n": pa.array([len(ids)], pa.int64()),
-                "n_dangling": pa.array(
-                    [int(np.count_nonzero(acc == 0.0))], pa.int64()
-                ),
+                "part": pa.array([], pa.int64()),
+                "ids": pa.array([], pa.list_(pa.int64())),
+                "outdeg": pa.array([], pa.list_(pa.float64())),
+                "n": pa.array([], pa.int64()),
+                "n_dangling": pa.array([], pa.int64()),
             }
+        ))
+
+    layout_refs = {
+        c: _localize_cell.remote(
+            csr_refs[c], c, P, static_refs[c // P], static_refs[c % P]
         )
+        for c in live_cells
+    }
 
-    static = (
-        inventory.repartition(P)
-        .groupby("part")
-        .map_groups(static_combine, batch_format="pyarrow")
-        .repartition(P)  # compact away empty map_groups blocks
-        .materialize()
-    )
-    static_index, static_scalars = index_state(static, ["n", "n_dangling"])
-
-    # LOCALIZE post-pass (one-time): bake the per-superstep routing into the
-    # blocks — dst_unique reordered by part(dst) with segment offsets, dst
-    # and src positions resolved against the partition inventories. Each
-    # build task reads the inventories of the parts its block touches
-    # (zero-copy plasma, shared per node); supersteps then run with ZERO
-    # hashing / sorting / searchsorted.
-    sidx_ref = ray.put(static_index)
-
-    def localize(batch: pa.Table) -> pa.Table:
-        sidx = ray.get(sidx_ref)
-        ids_cache: dict[int, np.ndarray] = {}
-
-        def part_ids(p: int) -> np.ndarray:
-            if p not in ids_cache:
-                ref, row = sidx[p]
-                (ids,) = _row_lists(ray.get(ref), row, ["ids"])
-                ids_cache[p] = ids
-            return ids_cache[p]
-
-        out = {k: [] for k in ("dst_unique", "dst_index", "src_pos",
-                               "panel_parts", "panel_offsets", "dst_local")}
-        for row in range(batch.num_rows):
-            part, srcs, src_index, dst_unique, dst_index, _ = unpack_part_block(
-                batch, row
-            )
-            pk = int_bucket(dst_unique, P)
-            order = np.argsort(pk, kind="stable")
-            pk_s = pk[order]
-            dst_s = dst_unique[order]
-            inv = np.empty(len(order), dtype=np.int32)
-            inv[order] = np.arange(len(order), dtype=np.int32)
-            bounds = np.flatnonzero(np.diff(pk_s)) + 1
-            starts = np.concatenate(([0], bounds)).astype(np.int32)
-            offsets = np.concatenate((starts, [len(pk_s)])).astype(np.int32)
-            panel_parts = pk_s[starts] if len(pk_s) else np.empty(0, np.int64)
-            dst_local = np.empty(len(dst_s), dtype=np.int32)
-            for j, p in enumerate(panel_parts):
-                a, b = offsets[j], offsets[j + 1]
-                dst_local[a:b] = np.searchsorted(part_ids(int(p)), dst_s[a:b])
-            out["dst_unique"].append(dst_s)
-            out["dst_index"].append(inv[dst_index])
-            out["src_pos"].append(
-                np.searchsorted(part_ids(part), srcs).astype(np.int32)
-            )
-            out["panel_parts"].append(panel_parts.astype(np.int64))
-            out["panel_offsets"].append(offsets)
-            out["dst_local"].append(dst_local)
-        t = batch.drop_columns(["dst_unique", "dst_index"])
-        for name, typ in (
-            ("dst_unique", pa.list_(pa.int64())),
-            ("dst_index", pa.list_(pa.int32())),
-            ("src_pos", pa.list_(pa.int32())),
-            ("panel_parts", pa.list_(pa.int64())),
-            ("panel_offsets", pa.list_(pa.int32())),
-            ("dst_local", pa.list_(pa.int32())),
-        ):
-            t = t.append_column(name, pa.array(out[name], typ))
-        return t
-
-    blocks = blocks.map_batches(localize, batch_format="pyarrow").materialize()
-
-    # per-block routing table for the direct (raw-task) panel exchange: every
-    # non-empty block holds CSR rows of exactly ONE grid cell, so all its
-    # panels target a single dst part — the driver can route contrib outputs
-    # to update tasks by ref, no sort exchange. Only refs + 2 ints per block
-    # ever reach the driver.
-    refs = _block_refs(blocks)
-    metas = ray.get([_scan_panel_meta.remote(r) for r in refs])
-    panel_blocks = sorted(
-        (
-            (ref, parts, min_bid)
-            for ref, (nrows, parts, min_bid) in zip(refs, metas)
-            if nrows > 0 and parts
-        ),
-        key=lambda x: x[2],
-    )
+    n_edges, mix = 0, 0
+    panel_blocks = []
+    live_csr = []
+    for c in live_cells:
+        ne, mx, dst_parts, min_bid = metas[c]
+        n_edges += ne
+        mix = (mix + mx) & _MASK
+        panel_blocks.append((csr_refs[c], layout_refs[c], dst_parts, min_bid))
+        live_csr.append(csr_refs[c])
+    digest = hashlib.blake2b(
+        f"{n_edges}:{mix}".encode(), digest_size=16
+    ).hexdigest()
+    if live_csr:
+        blocks = rd.from_arrow_refs(live_csr)
+    else:
+        blocks = rd.from_arrow(pa.table({"src_part": pa.array([], pa.int64())}))
     return PartitionedGraph(
-        blocks, static, static_index, static_scalars, P, n_edges, digest,
+        blocks, static_ds, static_index, static_scalars, P, n_edges, digest,
         panel_blocks,
     )
 
-
-# ---------------------------------------------------------------------------
-# state construction / collection
-# ---------------------------------------------------------------------------
 
 def init_state(
     graph: PartitionedGraph,

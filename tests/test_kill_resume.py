@@ -48,7 +48,11 @@ def test_job_kill_and_resume(tmp_path):
     out_b = str(tmp_path / "out_b")
     r1 = _run_job(edges_path, ck_b, out_b, extra_env={"GRAFT_KILL_AFTER_ITER": "4"})
     assert r1.returncode == 1  # died mid-job
-    assert sorted(os.listdir(ck_b)) == [f"iter={i}" for i in range(5)]
+    # committed iterations only; in-flight speculative supersteps may leave
+    # an uncommitted iter=*.tmp staging dir, which resume ignores (validity
+    # is defined by the manifest, renamed in last)
+    committed = sorted(d for d in os.listdir(ck_b) if not d.endswith(".tmp"))
+    assert committed == [f"iter={i}" for i in range(5)]
     r2 = _run_job(edges_path, ck_b, out_b)
     assert r2.returncode == 0, r2.stderr[-2000:]
     summary = json.loads(r2.stdout.strip().splitlines()[-1])
