@@ -4,22 +4,32 @@ Round-2 replacement of the driver-broadcast contract that lived in
 ``algos.common.broadcast_state``: NOTHING vertex- or edge-scale ever lands on
 the driver any more.
 
-- **Adjacency** is CSR sub-blocks PRE-PARTITIONED by ``part(src) =
-  hash(src) % P`` and materialized once in the object store (the north-star's
-  "per-partition CSR adjacency blocks", read zero-copy each superstep).
-- **Vertex state** is a materialized Dataset with ONE Arrow row per
-  partition: ``(part, ids list<int64>-aligned values list)``. The driver
-  holds only ``{part: (block_ref, row_index)}`` plus per-part SCALARS
-  (delta, dangling-mass partials, changed counts).
-- **A superstep** is: ``map_batches`` over the pinned blocks — each task
-  ``ray.get``s only its block's src-partition state (1/P of the vector,
-  zero-copy shared memory) — per-block combiner, then ONE
-  ``groupby(dst_part)`` exchange, then a per-partition update task that
-  emits the next state row, its scalars, and its checkpoint shard.
+- **Adjacency** is CSR sub-blocks PRE-PARTITIONED into a 2D grid of cells
+  ``(part(src), part(dst))`` and materialized once in the object store (the
+  north-star's "per-partition CSR adjacency blocks", read zero-copy each
+  superstep). Cell routing (int32 positions into the partition inventories,
+  panel layout) is baked at build time so supersteps do zero hashing /
+  sorting / searchsorted.
+- **Vertex state** is ONE Arrow row per partition: ``(part, ids
+  list<int64>-aligned values list)`` in the object store. The driver holds
+  only ``{part: (ref, row_index)}`` plus per-part SCALARS (delta,
+  dangling-mass partials, changed counts).
+- **A superstep** is a hand-scheduled hash shuffle keyed on part(dst): one
+  contrib task per pinned cell block (reads only its src partition's state
+  slice, 1/P of the vector, zero-copy shared memory; per-dst combiner via
+  bincount — exchange entries are bounded by P*V*(1-e^{-E/PV}), sub-edge
+  scale), with output panel refs routed by the driver straight to P
+  per-partition update tasks — no sort exchange anywhere in the loop.
+- **The build** is the same map/reduce shuffle shape: split-by-cell map
+  tasks (single packed numpy returns — plasma's per-object sealing cost
+  makes many small returns 5x slower), per-cell canonical-sort CSR reduces
+  (which yield the vertex inventory for free), per-part static combines,
+  V/P-bounded localization side-tables. Edge data crosses the object store
+  twice; there is no Dataset sort materialization to spill.
 
-The per-partition update runs each partition's float math in one task in a
-canonical (dst, value) order, so results are bit-deterministic regardless of
-Ray scheduling — the property the checkpoint/resume contract relies on.
+The per-partition update concatenates its panels in canonical block_id
+order, so float accumulation is bit-deterministic regardless of Ray
+scheduling — the property the checkpoint/resume contract relies on.
 
 Reference anchor: the reference pins per-graph adjacency in process memory
 (``/root/reference/graph.h:10-19``); this module is the distributed analog
