@@ -244,6 +244,14 @@ def _split_edges(block, P: int, weighted: bool):
     if weighted and "weight" in block.column_names:
         w = block["weight"].to_numpy().astype(np.float64)
     cell = int_bucket(src, P) * P + int_bucket(dst, P)
+    # ids that fit int32 travel as int32 (halves the shuffle bytes and the
+    # downstream concat/sort traffic; hashed 64-bit ids keep int64 — the
+    # reduce upcasts transparently when blocks disagree)
+    if (src.dtype == np.int64 and len(src)
+            and src.min() >= 0 and dst.min() >= 0
+            and src.max() < 2**31 and dst.max() < 2**31):
+        src = src.astype(np.int32)
+        dst = dst.astype(np.int32)
     # cell alphabet is tiny (P^2): radix-sorting a narrow view is ~7x faster
     key = cell.astype(np.uint8) if ncell <= 256 else cell.astype(np.uint16)
     order = np.argsort(key, kind="stable")
@@ -271,11 +279,11 @@ def _combine_static(part: int, extra_ids, n_src_packs: int, *packs):
         srcs_c, outdeg_c, dstu_c = pk
         if k < n_src_packs:
             if len(srcs_c):
-                vids.append(srcs_c)
+                vids.append(srcs_c.astype(np.int64, copy=False))
                 degs.append(outdeg_c)
         else:
             if len(dstu_c):
-                vids.append(dstu_c)
+                vids.append(dstu_c.astype(np.int64, copy=False))
                 degs.append(np.zeros(len(dstu_c), dtype=np.float64))
     if extra_ids is not None and len(extra_ids):
         vids.append(np.asarray(extra_ids, dtype=np.int64))
@@ -373,9 +381,9 @@ def _build_cell(cell: int, P: int, target_edges: int, weighted: bool,
         mix_total = (mix_total + int(m.sum(dtype=np.uint64))) & _MASK
         rows["src_part"].append(part_i)
         rows["block_id"].append((cell << 32) | seq)
-        rows["srcs"].append(srcs)
+        rows["srcs"].append(srcs.astype(np.int64, copy=False))
         rows["src_index"].append(src_index.astype(np.int32))
-        rows["dst_unique"].append(dst_unique)
+        rows["dst_unique"].append(dst_unique.astype(np.int64, copy=False))
         rows["dst_index"].append(dst_index.astype(np.int32))
         if w is not None:
             rows["weight"].append(w[lo: lo + target_edges])
