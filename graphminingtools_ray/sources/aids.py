@@ -113,6 +113,31 @@ def aids99_vertex_label(label: int | str) -> str:
         return "ERR"
 
 
+def half_edges(tables: dict[str, pa.Table], directed: bool = False) -> pa.Table:
+    """The in-memory half-edge view the reference loader materializes.
+
+    Undirected mode adds BOTH directions per stored edge (``loading.c:407-425``
+    appends (v,w) and (w,v) to the two adjacency lists); directed mode keeps
+    only the written direction (``loading.c:437-532`` — the reverse half-edge
+    is deliberately not added, ``loading.c:523``). Degree measures over this
+    view therefore mean out-degree in directed mode, matching the reference's
+    ``neighborhood`` list length in each case.
+
+    Returns a table (graph_id, v, w, label) with one row per half-edge."""
+    e = tables["gdb_edges"]
+    if directed or e.num_rows == 0:
+        return e
+    rev = pa.table(
+        {
+            "graph_id": e["graph_id"],
+            "v": e["w"],
+            "w": e["v"],
+            "label": e["label"],
+        }
+    )
+    return pa.concat_tables([e, rev]).combine_chunks()
+
+
 def apply_aids99_labels(tables: dict[str, pa.Table]) -> dict[str, pa.Table]:
     """Dictionary-replace the numeric labels of an aids DB with AIDS99
     element symbols — the ingest-time label normalizer (vectorized

@@ -47,6 +47,34 @@ def test_aids_roundtrip():
         assert t[k].equals(t2[k]), k
 
 
+def test_half_edges_directed_vs_undirected():
+    """loading.c:407-425 (undirected: both half-edges) vs loading.c:437-532
+    (directed: forward only, :523). Degrees over the views must match the
+    reference's neighborhood-list lengths in each mode."""
+    from graphminingtools_ray.sources.aids import half_edges
+
+    t = parse_aids_text(
+        "# 7 1 4 3\n a b c d \n 1 2 x 1 3 y 3 4 z\n$\n"
+    )
+    und = half_edges(t, directed=False).to_pandas()
+    dire = half_edges(t, directed=True).to_pandas()
+    assert len(und) == 6 and len(dire) == 3
+    # directed = exactly the written rows, order and labels preserved
+    assert dire.equals(t["gdb_edges"].to_pandas())
+    # undirected degree of vertex 1 is 2 (edges to 2 and 3); out-degree is 2
+    # for vertex 1 but 0 for vertex 4 in directed mode
+    und_deg = und.groupby("v").size()
+    out_deg = dire.groupby("v").size()
+    assert und_deg[1] == 2 and und_deg[4] == 1
+    assert out_deg[1] == 2 and 4 not in out_deg.index
+    # every undirected half-edge has its reverse present with the same label
+    fwd = set(map(tuple, und[["v", "w", "label"]].itertuples(index=False)))
+    assert {(w, v, l) for v, w, l in fwd} == fwd
+    # reference fixture: symmetrized view doubles the stored edge count
+    hv = read_aids(HIV5)
+    assert half_edges(hv).num_rows == 2 * hv["gdb_edges"].num_rows
+
+
 def _brute_measures(n, edges):
     """Independent brute-force oracle (adjacency-matrix based)."""
     import numpy as np
