@@ -120,12 +120,43 @@ def _grouped_sum(inv: np.ndarray, v: np.ndarray, n_groups: int) -> np.ndarray:
     return np.bincount(inv, weights=v.astype(np.float64), minlength=n_groups)
 
 
+def group_boundaries(
+    cols: list[np.ndarray],
+) -> tuple[list[np.ndarray], np.ndarray, np.ndarray]:
+    """Sort rows lexicographically by ``cols`` (first column major) and return
+    (sorted columns, start index of each distinct-key run, sort order). The
+    radix-friendly replacement for ``np.unique(packed, axis=0)``, which
+    void-views rows and memcmp-sorts them (~5-10x slower on
+    two-int64-column tables at 10^6 rows)."""
+    order = np.lexsort(tuple(reversed(cols)))
+    sc = [c[order] for c in cols]
+    n = len(order)
+    if n == 0:
+        return sc, np.empty(0, np.int64), order
+    flag = np.zeros(n, bool)
+    flag[0] = True
+    for c in sc:
+        np.logical_or(flag[1:], c[1:] != c[:-1], out=flag[1:])
+    return sc, np.flatnonzero(flag), order
+
+
 def sum_by_int_keys(keys: list[str], value: str, out_value: str | None = None):
-    """combine: Sum(value) grouped by int64 key column(s), vectorized."""
+    """combine: Sum(value) grouped by int64 key column(s), vectorized.
+    Integer values take the lexsort+reduceat path (exact, order-independent);
+    float values keep the original bincount accumulation (bit-compatible with
+    the established checkpoints/oracles)."""
     out_value = out_value or value
 
     def combine(t: pa.Table) -> pa.Table:
         v = t[value].to_numpy()
+        if np.issubdtype(v.dtype, np.integer):
+            sc, starts, order = group_boundaries([t[k].to_numpy() for k in keys])
+            out = {k: c[starts] for k, c in zip(keys, sc)}
+            out[out_value] = (
+                np.add.reduceat(v[order].astype(np.int64), starts)
+                if len(starts) else np.empty(0, np.int64)
+            )
+            return pa.table(out)
         if len(keys) == 1:
             uk, inv = np.unique(t[keys[0]].to_numpy(), return_inverse=True)
             out = {keys[0]: uk}
@@ -168,13 +199,18 @@ def min_by_int_key(key: str, value: str, out_key: str | None = None,
 
 
 def count_distinct_rows(keys: list[str], count_col: str = "weight"):
-    """combine: count duplicate rows of an all-int key tuple."""
+    """combine: count duplicate rows of an all-int key tuple
+    (lexsort + run boundaries; same sorted output order as the
+    ``np.unique(packed, axis=0)`` it replaces)."""
 
     def combine(t: pa.Table) -> pa.Table:
-        cols = [t[k].to_numpy() for k in keys]
-        packed = np.stack(cols, axis=1)
-        uniq, counts = np.unique(packed, axis=0, return_counts=True)
-        out = {k: uniq[:, i] for i, k in enumerate(keys)}
+        sc, starts, _ = group_boundaries([t[k].to_numpy() for k in keys])
+        n = len(sc[0]) if sc else 0
+        counts = (
+            np.diff(np.append(starts, n)) if len(starts)
+            else np.empty(0, np.int64)
+        )
+        out = {k: c[starts] for k, c in zip(keys, sc)}
         out[count_col] = counts.astype(np.int64)
         return pa.table(out)
 

@@ -172,6 +172,7 @@ def keyed_self_pairs(
     """
     from ..functions.bucketing import (
         bucketed_group_combine,
+        count_distinct_rows,
         sum_by_int_keys,
     )
 
@@ -199,10 +200,8 @@ def keyed_self_pairs(
                 {"src": pa.array([], pa.int64()), "dst": pa.array([], pa.int64()),
                  "partial": pa.array([], pa.int64())}
             )
-        packed = np.stack([a, b], axis=1)
-        uniq, counts = np.unique(packed, axis=0, return_counts=True)
-        return pa.table(
-            {"src": uniq[:, 0], "dst": uniq[:, 1], "partial": counts.astype(np.int64)}
+        return count_distinct_rows(["src", "dst"], "partial")(
+            pa.table({"src": a, "dst": b})
         )
 
     pairs = bucketed_group_combine(
@@ -357,10 +356,16 @@ def corpus_ingest(
 
     def winner_filter(t: pa.Table) -> pa.Table:
         vid = t["vertex_id"].to_numpy()
-        # commit strings → sorted dictionary codes; max code == max string
-        uniq, codes = np.unique(
-            np.asarray(t["commit"].to_pylist(), dtype=object), return_inverse=True
-        )
+        # commit strings → order-preserving dense codes (max code == max
+        # string): Arrow dictionary-encode, then rank only the (small)
+        # dictionary — no per-row Python strings
+        col = t["commit"]
+        enc = (col.combine_chunks() if isinstance(col, pa.ChunkedArray)
+               else col).dictionary_encode()
+        dict_vals = enc.dictionary.to_numpy(zero_copy_only=False)
+        rank = np.empty(len(dict_vals), np.int64)
+        rank[np.argsort(dict_vals, kind="stable")] = np.arange(len(dict_vals))
+        codes = rank[enc.indices.to_numpy(zero_copy_only=False)]
         order = np.lexsort((codes, vid))
         svid, scodes = vid[order], codes[order]
         last = np.ones(len(svid), dtype=bool)
@@ -425,26 +430,45 @@ def corpus_ingest(
             }
         )
 
+    _empty_pairs = pa.table(
+        {"src": pa.array([], pa.int64()), "dst": pa.array([], pa.int64()),
+         "partial": pa.array([], pa.int64())}
+    )
+
     def join_imports(t: pa.Table) -> pa.Table:
-        df = pd.DataFrame(
-            {
-                "module_key": t["module_key"].to_pylist(),
-                "vid": t["vid"].to_numpy(),
-                "is_def": t["is_def"].to_numpy(zero_copy_only=False),
-            }
-        )
-        defs_b = df[df["is_def"] == 1][["module_key", "vid"]].rename(
-            columns={"vid": "dst"}
-        )
-        defs_b = defs_b.sort_values(["module_key", "dst"]).groupby(
-            "module_key", sort=False
-        ).head(max_targets_per_module)
-        refs_b = df[df["is_def"] == 0][["module_key", "vid"]].rename(
-            columns={"vid": "src"}
-        )
-        j = refs_b.merge(defs_b, on="module_key", how="inner")
-        a = j["src"].to_numpy(np.int64)
-        b = j["dst"].to_numpy(np.int64)
+        # factorize module_key once (dense codes; code identity == string
+        # identity, order irrelevant), then the ref⋈def equi-join is a
+        # searchsorted segment expansion over the code-sorted capped defs —
+        # no string merge, no pandas
+        col = t["module_key"]
+        enc = (col.combine_chunks() if isinstance(col, pa.ChunkedArray)
+               else col).dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        vid = t["vid"].to_numpy()
+        is_def = t["is_def"].to_numpy(zero_copy_only=False).astype(bool)
+        dc, dv = codes[is_def], vid[is_def]
+        order = np.lexsort((dv, dc))
+        dc, dv = dc[order], dv[order]
+        if len(dc):
+            # cap: first `max_targets_per_module` dst ids (ascending) per
+            # module — same truncation semantics as the pair-expansion cap
+            flag = np.zeros(len(dc), bool)
+            flag[0] = True
+            flag[1:] = dc[1:] != dc[:-1]
+            starts = np.flatnonzero(flag)
+            run_id = np.cumsum(flag) - 1
+            keep = (np.arange(len(dc)) - starts[run_id]) < max_targets_per_module
+            dc, dv = dc[keep], dv[keep]
+        rc, rv = codes[~is_def], vid[~is_def]
+        lo = np.searchsorted(dc, rc, side="left")
+        hi = np.searchsorted(dc, rc, side="right")
+        cnt = hi - lo
+        total = int(cnt.sum())
+        if total == 0:
+            return _empty_pairs
+        a = np.repeat(rv, cnt)
+        seg_start = np.concatenate([[0], np.cumsum(cnt)[:-1]])
+        b = dv[np.repeat(lo - seg_start, cnt) + np.arange(total)]
         m = a != b
         return count_distinct_rows(["src", "dst"], "partial")(
             pa.table({"src": a[m], "dst": b[m]})
@@ -456,12 +480,21 @@ def corpus_ingest(
     refs_ds = distinct_files.select_columns(
         ["vertex_id", "imports"]
     ).map_batches(import_rows, batch_format="pyarrow")
+    # kind travels as an int8 code through the exchanges (strings would
+    # dominate the shuffle bytes of the slim pair rows); decoded to the
+    # public string column after the final sum
+    _KINDS = ("import", "cocommit", "copath")
+
+    def _append_kind(code: int):
+        def fn(t: pa.Table) -> pa.Table:
+            return t.append_column(
+                "kind_code", pa.array(np.full(t.num_rows, code, np.int8))
+            )
+        return fn
+
     import_partials = bucketed_group_combine(
         defs_ds.union(refs_ds), ["module_key"], join_imports, coalesce=False
-    ).map_batches(
-        lambda t: t.append_column("kind", pa.array(["import"] * t.num_rows)),
-        batch_format="pyarrow",
-    )
+    ).map_batches(_append_kind(0), batch_format="pyarrow")
 
     # --- co-commit edges (from the slim projection — no content read) ------
     cc_in = slim.map_batches(
@@ -477,10 +510,7 @@ def corpus_ingest(
     )
     cocommit_partials = keyed_self_pairs(
         cc_in, "ckey", "vertex_id", cap=cap, final_sum=False
-    ).map_batches(
-        lambda t: t.append_column("kind", pa.array(["cocommit"] * t.num_rows)),
-        batch_format="pyarrow",
-    )
+    ).map_batches(_append_kind(1), batch_format="pyarrow")
 
     parts = [import_partials, cocommit_partials]
 
@@ -490,32 +520,39 @@ def corpus_ingest(
         parts.append(
             keyed_self_pairs(
                 cp_in, "path", "vertex_id", cap=cap, final_sum=False
-            ).map_batches(
-                lambda t: t.append_column(
-                    "kind", pa.array(["copath"] * t.num_rows)
-                ),
-                batch_format="pyarrow",
-            )
+            ).map_batches(_append_kind(2), batch_format="pyarrow")
         )
 
     # ONE final weight-sum exchange for all edge kinds together
+    # (lexsort + reduceat over (src, dst, kind_code) — exact int64 sums,
+    # canonical order; kind decoded to its public string via a 3-entry
+    # dictionary cast, no per-row Python)
     def sum_per_kind(t: pa.Table) -> pa.Table:
-        df = pd.DataFrame(
-            {
-                "src": t["src"].to_numpy(),
-                "dst": t["dst"].to_numpy(),
-                "kind": t["kind"].to_pylist(),
-                "partial": t["partial"].to_numpy(),
-            }
-        )
-        g = df.groupby(["src", "dst", "kind"], sort=False)["partial"].sum()
-        out = g.reset_index()
+        src = t["src"].to_numpy()
+        dst = t["dst"].to_numpy()
+        kc = t["kind_code"].to_numpy(zero_copy_only=False)
+        v = t["partial"].to_numpy()
+        if not len(src):
+            return pa.table(
+                {"src": pa.array([], pa.int64()), "dst": pa.array([], pa.int64()),
+                 "weight": pa.array([], pa.int64()),
+                 "kind": pa.array([], pa.string())}
+            )
+        order = np.lexsort((kc, dst, src))
+        s, d, k2, vv = src[order], dst[order], kc[order], v[order]
+        flag = np.zeros(len(s), bool)
+        flag[0] = True
+        flag[1:] = (s[1:] != s[:-1]) | (d[1:] != d[:-1]) | (k2[1:] != k2[:-1])
+        starts = np.flatnonzero(flag)
+        kind = pa.DictionaryArray.from_arrays(
+            pa.array(k2[starts].astype(np.int32)), pa.array(list(_KINDS))
+        ).cast(pa.string())
         return pa.table(
             {
-                "src": out["src"].to_numpy(np.int64),
-                "dst": out["dst"].to_numpy(np.int64),
-                "weight": out["partial"].to_numpy(np.int64),
-                "kind": pa.array(out["kind"].tolist(), pa.string()),
+                "src": s[starts],
+                "dst": d[starts],
+                "weight": np.add.reduceat(vv.astype(np.int64), starts),
+                "kind": kind,
             }
         )
 
