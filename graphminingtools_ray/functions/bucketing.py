@@ -38,6 +38,24 @@ def int_bucket(arr: np.ndarray, num_buckets: int) -> np.ndarray:
     return (h % np.uint64(num_buckets)).astype(np.int64)
 
 
+def string_hash64(col) -> np.ndarray:
+    """Deterministic non-negative int64 hash of a string column (polars
+    vectorized hash, seed-pinned — the same cross-process stability
+    assumption ``add_bucket``/``string_bucket`` already rely on for exchange
+    routing). Used to replace EPHEMERAL string join/co-occurrence keys with
+    fixed-width ints before an exchange: shuffle bytes drop ~2x and the
+    per-bucket combines stay pure-numpy. Collisions merge two keys with
+    probability ~n^2/2^63 — negligible below ~10^8 distinct keys per join
+    and an epsilon-weight perturbation beyond; never use it for PERSISTED
+    identities (vertex ids use the checked blake2b path)."""
+    import polars as pl
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    h = pl.from_arrow(pa.table({"s": col}))["s"].hash(seed=42).to_numpy()
+    return (h >> np.uint64(1)).astype(np.int64)
+
+
 def string_bucket(col, num_buckets: int) -> np.ndarray:
     """Deterministic bucket of a string column via polars' vectorized hash
     (seeded => stable across workers within a run)."""

@@ -269,29 +269,55 @@ class _IngestBatch:
         self.with_sha = with_sha
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        repo = batch["repo"].to_pylist()
-        path = batch["path"].to_pylist()
-        content = batch["content"].to_pylist()
-        vkey = [f"{r}:{p}" for r, p in zip(repo, path)]
+        # the import scan reads EVERY content byte — it runs as one
+        # vectorized polars (rust-regex) pass instead of a per-row Python
+        # findall loop (semantics parity-tested incl. \s+-across-newline,
+        # CRLF, trailing-space cases; was the dominant CPU of the whole
+        # edge-derivation path). Only the tiny per-match strings ever see a
+        # second regex (the prefix strip).
+        import polars as pl
+
+        df = pl.from_arrow(
+            pa.table(
+                {
+                    "repo": batch["repo"],
+                    "path": batch["path"],
+                    "content": batch["content"],
+                }
+            )
+        )
+        vkey = df.select(
+            (pl.col("repo") + ":" + pl.col("path")).alias("k")
+        )["k"].to_list()
         vid = stable_id64(vkey)
-        modkey = []
-        for p in path:
-            m = _PATH_RE.match(p)
-            modkey.append(f"{m.group(1)}.{m.group(2)}" if m else "")
-        # comma-joined (module keys contain no commas): survives the
-        # arrow->pandas->arrow round trip that list<string> does not
-        imports = [",".join(_IMPORT_RE.findall(c)) for c in content]
+        parsed = df.select(
+            pl.col("path").str.extract(_PATH_RE.pattern, 1).alias("g1"),
+            pl.col("path").str.extract(_PATH_RE.pattern, 2).alias("g2"),
+            pl.col("content")
+            .str.extract_all(r"(?m)^import\s+(\S+)$")
+            .list.eval(pl.element().str.replace(r"^import\s+", ""))
+            # comma-joined (module keys contain no commas): survives the
+            # arrow->pandas->arrow round trip that list<string> does not
+            .list.join(",")
+            .fill_null("")
+            .alias("imports"),
+        ).with_columns(
+            pl.when(pl.col("g1").is_null())
+            .then(pl.lit(""))
+            .otherwise(pl.col("g1") + "." + pl.col("g2"))
+            .alias("module_key")
+        )
         cols = {
             "repo": batch["repo"],
             "path": batch["path"],
             "commit": batch["commit"],
             "lang": batch["lang"],
             "vertex_id": pa.array(vid),
-            "module_key": pa.array(modkey, pa.string()),
-            "imports": pa.array(imports, pa.string()),
+            "module_key": parsed["module_key"].to_arrow().cast(pa.string()),
+            "imports": parsed["imports"].to_arrow().cast(pa.string()),
         }
         if self.with_sha:
-            cols["sha256"] = sha256_hex(content)
+            cols["sha256"] = sha256_hex(batch["content"].to_pylist())
         return pa.table(cols)
 
 
@@ -351,7 +377,7 @@ def corpus_ingest(
     from ..functions.bucketing import (
         bucketed_group_combine,
         count_distinct_rows,
-        sum_by_int_keys,
+        string_hash64,
     )
 
     def winner_filter(t: pa.Table) -> pa.Table:
@@ -403,12 +429,16 @@ def corpus_ingest(
     # stdio.h effect) is applied inside the bucket, where ALL of a module's
     # definitions live: deterministic first `max_targets_per_module` sorted
     # target ids (truncation semantics, like the pair-expansion cap).
+    # module_key crosses the exchange as an int64 hash (string_hash64):
+    # the key is EPHEMERAL (edges are (src, dst) — the string never reaches
+    # the output), so fixed-width ints halve the shuffle bytes and keep the
+    # bucket combine pure-numpy; collision semantics documented on the helper
     def def_rows(t: pa.Table) -> pa.Table:
         keep = pc.not_equal(t["module_key"], "")
         t = t.filter(keep)
         return pa.table(
             {
-                "module_key": t["module_key"],
+                "mk": pa.array(string_hash64(t["module_key"])),
                 "vid": t["vertex_id"],
                 "is_def": pa.array(np.ones(t.num_rows, np.int8)),
             }
@@ -416,15 +446,19 @@ def corpus_ingest(
 
     def import_rows(t: pa.Table) -> pa.Table:
         src_ids = t["vertex_id"].to_numpy()
-        imp = t["imports"].to_pylist()
-        counts = np.fromiter(
-            (m.count(",") + 1 if m else 0 for m in imp), np.int64, count=len(imp)
-        )
-        flat_mods = [mk for m in imp if m for mk in m.split(",")]
-        flat_src = np.repeat(src_ids, counts)
+        col = t["imports"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        # split the comma-joined import list arrow-side, flatten, hash
+        lists = pc.split_pattern(col, ",")
+        flat = lists.flatten()
+        counts = pc.list_value_length(lists).to_numpy(zero_copy_only=False)
+        # empty imports string splits to [""] — drop those rows by masking
+        mask = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        flat_src = np.repeat(src_ids, counts)[mask]
         return pa.table(
             {
-                "module_key": pa.array(flat_mods, pa.string()),
+                "mk": pa.array(string_hash64(flat.filter(pa.array(mask)))),
                 "vid": pa.array(flat_src),
                 "is_def": pa.array(np.zeros(len(flat_src), np.int8)),
             }
@@ -436,14 +470,10 @@ def corpus_ingest(
     )
 
     def join_imports(t: pa.Table) -> pa.Table:
-        # factorize module_key once (dense codes; code identity == string
-        # identity, order irrelevant), then the ref⋈def equi-join is a
-        # searchsorted segment expansion over the code-sorted capped defs —
-        # no string merge, no pandas
-        col = t["module_key"]
-        enc = (col.combine_chunks() if isinstance(col, pa.ChunkedArray)
-               else col).dictionary_encode()
-        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        # the ref⋈def equi-join on the int64 module hash is a searchsorted
+        # segment expansion over the hash-sorted capped defs — no string
+        # merge, no pandas
+        codes = t["mk"].to_numpy()
         vid = t["vid"].to_numpy()
         is_def = t["is_def"].to_numpy(zero_copy_only=False).astype(bool)
         dc, dv = codes[is_def], vid[is_def]
@@ -493,16 +523,17 @@ def corpus_ingest(
         return fn
 
     import_partials = bucketed_group_combine(
-        defs_ds.union(refs_ds), ["module_key"], join_imports, coalesce=False
+        defs_ds.union(refs_ds), ["mk"], join_imports, coalesce=False
     ).map_batches(_append_kind(0), batch_format="pyarrow")
 
     # --- co-commit edges (from the slim projection — no content read) ------
+    # ckey is likewise ephemeral → int64 hash through the exchange
     cc_in = slim.map_batches(
         lambda t: pa.table(
             {
-                "ckey": pc.binary_join_element_wise(
-                    t["repo"], t["commit"], "@"
-                ),
+                "ckey": pa.array(string_hash64(
+                    pc.binary_join_element_wise(t["repo"], t["commit"], "@")
+                )),
                 "vertex_id": t["vertex_id"],
             }
         ),
@@ -516,10 +547,18 @@ def corpus_ingest(
 
     # --- shared-path edges -------------------------------------------------
     if include_copath:
-        cp_in = slim.select_columns(["path", "vertex_id"])
+        cp_in = slim.map_batches(
+            lambda t: pa.table(
+                {
+                    "pkey": pa.array(string_hash64(t["path"])),
+                    "vertex_id": t["vertex_id"],
+                }
+            ),
+            batch_format="pyarrow",
+        )
         parts.append(
             keyed_self_pairs(
-                cp_in, "path", "vertex_id", cap=cap, final_sum=False
+                cp_in, "pkey", "vertex_id", cap=cap, final_sum=False
             ).map_batches(_append_kind(2), batch_format="pyarrow")
         )
 
