@@ -50,12 +50,14 @@ def _lowest_vec_ids(ds: rd.Dataset, n_queries: int) -> pd.DataFrame:
         keep = np.argpartition(ids, kk - 1)[:kk]
         return t.take(pa.array(np.sort(keep)))
 
-    parts = []
-    for b in ds.map_batches(partial, batch_format="pyarrow").iter_batches(
-        batch_size=None, batch_format="pyarrow"
-    ):
-        parts.append(b.to_pandas())
-    merged = pd.concat(parts, ignore_index=True).sort_values("vec_id")
+    # parallel driver collect of the ≤n-per-block partials (to_pandas fetches
+    # block refs concurrently; a serial iter_batches loop paid one driver
+    # round-trip per block — measured ~2× the whole query's cost)
+    merged = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values("vec_id")
+    )
     return merged.head(n_queries).reset_index(drop=True)
 
 

@@ -81,7 +81,13 @@ def flat_token_hashes(texts) -> tuple[np.ndarray, np.ndarray]:
         s = pl.Series("t", list(texts), dtype=pl.Utf8).fill_null("")
     toks = s.str.extract_all(r"\S+")
     counts = toks.list.len().to_numpy().astype(np.int64)
-    flat = toks.explode().drop_nulls()
+    # empty_as_null pinned: an empty token list must contribute 0 rows either
+    # way (pre-2.0 it explodes to one null that drop_nulls removes; 2.0 emits
+    # nothing) — pinning keeps the output stable across polars versions
+    try:
+        flat = toks.explode(empty_as_null=False).drop_nulls()
+    except TypeError:  # older polars without the kwarg
+        flat = toks.explode().drop_nulls()
     h = flat.hash(seed=_TOKEN_SEED).to_numpy().astype(np.uint64)
     offsets = np.concatenate([[0], np.cumsum(counts)])
     return h, offsets
