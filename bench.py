@@ -76,6 +76,10 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
         lambda t: t, batch_format="pyarrow"
     )
     bucketed_group_combine(warm, ["id"], lambda t: t).materialize()
+    # untimed plasma page warmup (same rationale as the ingest bench: this
+    # host serializes object-store file page CREATION globally; a long-lived
+    # cluster's store is warm) — sized to the headline's working set
+    _warm_plasma(float(os.environ.get("GRAFT_PLASMA_WARM_GB", "4")))
 
     # derive the co-purchase link graph ONCE; all four graph algorithms share
     # the materialized edge table (the realistic pipeline shape), and

@@ -40,7 +40,12 @@ import pyarrow as pa
 import ray
 import ray.data as rd
 
-from ..functions.bucketing import bucketed_group_combine, int_bucket, sum_by_int_key
+from ..functions.bucketing import (
+    bucketed_group_combine,
+    int_bucket,
+    partition_group_combine,
+    sum_by_int_key,
+)
 from ..graph.build import _pairs_from_sorted_key_items
 from .partitioned import index_state, _row_lists
 
@@ -100,14 +105,9 @@ def _degree_index(simple: rd.Dataset, P: int):
             }
         )
 
-    ds = (
-        simple.map_batches(partials, batch_format="pyarrow")
-        .repartition(P)  # coalesce: sort cost tracks input block count
-        .groupby("part")
-        .map_groups(combine, batch_format="pyarrow")
-        .repartition(max(1, P // 4))
-        .materialize()
-    )
+    ds = partition_group_combine(
+        simple.map_batches(partials, batch_format="pyarrow"), "part", P, combine
+    ).materialize()
     index, _ = index_state(ds, [])
     return ds, index
 
@@ -223,13 +223,7 @@ def triangle_counts_dataset(
             }
         )
 
-    parts_ds = (
-        oriented.repartition(P)
-        .groupby("part")
-        .map_groups(build_part, batch_format="pyarrow")
-        .repartition(max(1, P // 2))
-        .materialize()
-    )
+    parts_ds = partition_group_combine(oriented, "part", P, build_part).materialize()
     probe_index, _ = index_state(parts_ds, [])
     probe_index_ref = ray.put(probe_index)
 

@@ -32,7 +32,7 @@ import pyarrow as pa
 import ray
 import ray.data as rd
 
-from ..functions.bucketing import int_bucket
+from ..functions.bucketing import int_bucket, partition_group_combine
 from .partitioned import (
     build_partitioned_graph,
     init_state,
@@ -183,12 +183,9 @@ def wl_relabel_partitioned(
         msgs = g.blocks.map_batches(
             _make_msg_fn(handles_ref, g.P), batch_format="pyarrow"
         )
-        new_state = (
-            msgs.union(seed)
-            .groupby("part")
-            .map_groups(_make_update_fn(handles_ref), batch_format="pyarrow")
-            .materialize()
-        )
+        new_state = partition_group_combine(
+            msgs.union(seed), "part", g.P, _make_update_fn(handles_ref)
+        ).materialize()
         state_index, _ = index_state(new_state, [])
         state_ds = new_state
 

@@ -67,7 +67,9 @@ def string_bucket(col, num_buckets: int) -> np.ndarray:
     return (h % np.uint64(num_buckets)).astype(np.int64)
 
 
-def add_bucket(batch: pa.Table, keys: list[str], num_buckets: int) -> pa.Table:
+def bucket_values(batch: pa.Table, keys: list[str], num_buckets: int) -> np.ndarray:
+    """The bucket id of every row (same hash family as ``add_bucket`` —
+    the two MUST agree so raw and Dataset exchange paths route alike)."""
     acc = np.zeros(batch.num_rows, dtype=np.uint64)
     for k in keys:
         col = batch[k]
@@ -80,10 +82,112 @@ def add_bucket(batch: pa.Table, keys: list[str], num_buckets: int) -> pa.Table:
             h = pl.from_arrow(pa.table({"s": c}))["s"].hash(seed=42).to_numpy()
         acc = acc * np.uint64(1099511628211) + h
     if num_buckets & (num_buckets - 1) == 0:
-        b = (acc & np.uint64(num_buckets - 1)).astype(np.int64)
-    else:
-        b = (acc % np.uint64(num_buckets)).astype(np.int64)
+        return (acc & np.uint64(num_buckets - 1)).astype(np.int64)
+    return (acc % np.uint64(num_buckets)).astype(np.int64)
+
+
+def add_bucket(batch: pa.Table, keys: list[str], num_buckets: int) -> pa.Table:
+    b = bucket_values(batch, keys, num_buckets)
     return batch.append_column("_bucket", pa.array(b))
+
+
+def _split_by_bucket_task(block, keys: list[str], num_buckets: int,
+                          identity: bool = False):
+    """Map side of the raw exchange: ONE packed return per block — the block
+    stably sorted by bucket plus the per-bucket offsets (P separate returns
+    would pay plasma's per-object seal cost; a reducer slices its range
+    zero-copy from the shared sorted block instead). With ``identity`` the
+    single key column already IS the bucket id in [0, num_buckets)."""
+    t = block if isinstance(block, pa.Table) else pa.table(block)
+    if t.num_rows == 0:
+        return None
+    if identity:
+        b = t[keys[0]].to_numpy()
+    else:
+        b = bucket_values(t, keys, num_buckets)
+    order = np.argsort(b, kind="stable")  # stable: in-block row order is kept
+    sb = b[order]
+    offsets = np.searchsorted(sb, np.arange(num_buckets + 1))
+    return t.take(pa.array(order)), offsets
+
+
+def _reduce_bucket_task(combine, p: int, *splits):
+    """Reduce side: concat this bucket's slices in block order (deterministic)
+    and run the vectorized combine. Returns (table_or_None, had_input)."""
+    parts = []
+    for s in splits:
+        if s is None:
+            continue
+        t, off = s
+        lo, hi = int(off[p]), int(off[p + 1])
+        if hi > lo:
+            parts.append(t.slice(lo, hi - lo))
+    if not parts:
+        return None, 0
+    merged = parts[0] if len(parts) == 1 else pa.concat_tables(parts)
+    return combine(merged.combine_chunks()), 1
+
+
+_raw_split_remote = None
+_raw_reduce_remote = None
+
+
+def _raw_remotes():
+    """Lazily-created ray.remote wrappers (keeps module import ray-free)."""
+    global _raw_split_remote, _raw_reduce_remote
+    if _raw_split_remote is None:
+        import ray
+
+        _raw_split_remote = ray.remote(_split_by_bucket_task)
+        _raw_reduce_remote = ray.remote(num_returns=2)(_reduce_bucket_task)
+    return _raw_split_remote, _raw_reduce_remote
+
+
+def _raw_exchange(ds: rd.Dataset, keys: list[str], combine, num_buckets: int,
+                  identity: bool) -> rd.Dataset | None:
+    """Hand-scheduled hash shuffle (split per block → reduce per bucket).
+    Returns None when the input is empty (caller picks the empty plan)."""
+    import ray
+
+    mat = ds.materialize()
+    refs = [
+        ref
+        for bundle in mat.iter_internal_ref_bundles()
+        for ref in bundle.block_refs
+    ]
+    if not refs:
+        return None
+    split_r, reduce_r = _raw_remotes()
+    splits = [split_r.remote(r, keys, num_buckets, identity) for r in refs]
+    outs, flags = [], []
+    for p in range(num_buckets):
+        o, f = reduce_r.remote(combine, p, *splits)
+        outs.append(o)
+        flags.append(f)
+    keep = [o for o, f in zip(outs, ray.get(flags)) if f]
+    if not keep:
+        return None
+    return rd.from_arrow_refs(keep)
+
+
+def partition_group_combine(
+    ds: rd.Dataset, part_col: str, num_parts: int, combine
+) -> rd.Dataset:
+    """Raw exchange keyed on an EXISTING partition-id column (values must lie
+    in [0, num_parts)): each reduce task sees all rows of one partition id,
+    column intact. Replaces ``repartition(P).groupby(col).map_groups`` —
+    same result set, ~3× lower orchestration floor (no Dataset sort)."""
+    import os
+
+    if os.environ.get("GRAFT_RAW_EXCHANGE", "1") != "0":
+        out = _raw_exchange(ds, [part_col], combine, num_parts, identity=True)
+        if out is not None:
+            return out
+    return (
+        ds.repartition(num_parts)
+        .groupby(part_col)
+        .map_groups(combine, batch_format="pyarrow")
+    )
 
 
 def bucketed_group_combine(
@@ -93,26 +197,50 @@ def bucketed_group_combine(
     num_buckets: int = 32,
     spread: bool = False,
     coalesce: bool = True,
+    raw: bool | None = None,
 ) -> rd.Dataset:
     """Hash-partitioned exchange on ``keys`` + vectorized per-bucket combine.
 
     ``combine(table: pa.Table) -> pa.Table`` sees ALL rows of its bucket
-    (with the ``_bucket`` column dropped) and must aggregate per key itself
-    — vectorized (np.unique / bincount / pandas groupby), never per-row.
+    and must aggregate per key itself — vectorized (np.unique / bincount /
+    pandas groupby), never per-row. A bucket's rows arrive concatenated in
+    deterministic block order (stable in-block order), so combines see a
+    reproducible row order; they must not DEPEND on any particular order
+    beyond that reproducibility (same contract the sort path had).
 
-    With ``coalesce`` (default) the input is repartitioned to
-    ``num_buckets`` blocks before the sort exchange: the sort's scheduling
-    cost grows with input block count (measured ~1.3 s at 64 tiny blocks vs
-    ~0.3 s coalesced), and small pipelines arrive with cpu-count-many tiny
-    read blocks. The coalesce itself is a cheap streaming split/merge (no
-    sort), but it IS one extra write+read wave through the object store —
-    pass ``coalesce=False`` when the input is already bucket-width (e.g.
-    the output of a previous bucketed exchange). At cluster scale,
-    ``num_buckets`` must be a small multiple of total cores anyway, so the
-    pre-exchange block width stays sane there too. ``spread`` is retained
-    for API compatibility (its repartition is now the default coalesce).
+    Two physical plans:
+
+    - ``raw`` (default): hand-scheduled hash shuffle on raw Ray tasks — one
+      split task per input block (block stably sorted by bucket + offsets,
+      ONE packed plasma object) and one reduce task per bucket that slices
+      its range zero-copy from every split output and combines. This skips
+      the Dataset repartition+sort operator pair entirely: the per-exchange
+      orchestration floor drops ~3× (measured 0.9 s → 0.3 s on a 1.2 M-row
+      exchange at 32 CPUs; same shape as the superstep engine's measured
+      21 s → 0.5 s). On one node the reducer's whole-block fetch is a shared
+      plasma mmap; on a multi-node cluster it over-fetches (P-1)/P of each
+      remote block — for cluster deployment prefer raw=False for the very
+      widest exchanges, or keep blocks node-local (the superstep path bakes
+      explicit routing for exactly this reason).
+    - ``raw=False``: the Dataset plan — ``map_batches(add_bucket)`` [→
+      ``repartition`` when ``coalesce``] → ``groupby("_bucket").map_groups``.
+      ``Dataset.groupby(key).aggregate(...)`` itself is never used (its
+      per-key path measured ~5 s for 20 k groups at any data size).
+
+    ``GRAFT_RAW_EXCHANGE=0`` flips the default to the Dataset plan.
+    ``spread`` is retained for API compatibility.
     """
     del spread
+    if raw is None:
+        import os
+
+        raw = os.environ.get("GRAFT_RAW_EXCHANGE", "1") != "0"
+    if raw:
+        out = _raw_exchange(ds, keys, combine, num_buckets, identity=False)
+        if out is not None:
+            return out
+        # empty input (or every bucket empty): fall through to the Dataset
+        # plan, which yields a well-formed empty result cheaply
     bucketed = ds.map_batches(
         lambda t: add_bucket(t, keys, num_buckets), batch_format="pyarrow"
     )
