@@ -125,7 +125,10 @@ def _reduce_bucket_task(combine, p: int, *splits):
     if not parts:
         return None, 0
     merged = parts[0] if len(parts) == 1 else pa.concat_tables(parts)
-    return combine(merged.combine_chunks()), 1
+    out = combine(merged.combine_chunks())
+    if not isinstance(out, pa.Table):  # pandas-returning combines
+        out = pa.Table.from_pandas(out, preserve_index=False)
+    return out, 1
 
 
 _raw_split_remote = None

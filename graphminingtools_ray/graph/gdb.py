@@ -584,9 +584,18 @@ def graph_measures(gdb_vertices: rd.Dataset, gdb_edges: rd.Dataset) -> rd.Datase
         ),
         batch_format="pyarrow",
     )
-    return v_rows.union(e_rows).groupby("graph_id").map_groups(
-        _group_kernel, batch_format="pandas"
-    )
+    def per_bucket(t: pa.Table) -> pd.DataFrame:
+        # one exchange task per hash bucket of graph_ids; the per-graph
+        # kernel runs in a plain pandas loop inside the bucket — Ray's
+        # per-group map_groups machinery costs ~ms per group, which
+        # dominates at corpus scale (thousands of small graphs per task)
+        df = t.to_pandas()
+        outs = [_group_kernel(g) for _, g in df.groupby("graph_id", sort=True)]
+        return pd.concat(outs, ignore_index=True)
+
+    from ..functions.bucketing import bucketed_group_combine
+
+    return bucketed_group_combine(v_rows.union(e_rows), ["graph_id"], per_bucket)
 
 
 # --- the gf filter DSL (executables/filter.h dispatch re-expressed) ---------
