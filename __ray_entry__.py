@@ -79,6 +79,27 @@ def _poset_minhash_sketches(sf_dir: str):
     )
 
 
+def _poset_projection_embeddings(sf_dir: str):
+    """Random-projection approximate full-space pattern embeddings
+    (reference minhashing.c:747-790
+    fullEmbeddingProjectionApproximationForTrees): evaluate a seeded random
+    pattern subset per graph, poset propagation decides the rest; sparse
+    (graph_id, pattern_id, value in {1,-1}) output. Not SQL-expressible
+    (monotone DAG propagation) — soundness + distributed-vs-local parity
+    oracles in tests/test_poset_minhash.py."""
+    from graphminingtools_ray.pipelines.levelwise import levelwise_tree_mining
+    from graphminingtools_ray.pipelines.mining import order_graph_edges_full
+    from graphminingtools_ray.pipelines.poset_minhash import (
+        poset_projection_embeddings,
+    )
+
+    frequent = levelwise_tree_mining(sf_dir, max_edges=2, min_support=3)
+    patterns = sorted(set(frequent["pattern"].tolist()))
+    return poset_projection_embeddings(
+        order_graph_edges_full(sf_dir), patterns, projection_size=5, seed=11
+    )
+
+
 def _gdb_blockchain_measures(sf_dir: str):
     """Full gf measure table (incl. round-2 kernels: outerplanarity, block
     degree/criticality, ST estimate, non-iso cycles/spanning trees) over a
@@ -167,6 +188,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gdb_blockchain_measures": _gdb_blockchain_measures,
         "tree_sampling_suite": _tree_sampling_suite,
         "poset_minhash_sketches": _poset_minhash_sketches,
+        "poset_projection_embeddings": _poset_projection_embeddings,
         # documents: dedup family + text analysis
         "dedup_exact": text_q.dedup_exact,
         "doc_stats": text_q.doc_stats,

@@ -313,6 +313,37 @@ def bfs_feature_set(
     return out
 
 
+def projection_embedding_for_graph(
+    poset: TreePoset,
+    projection: list[int],
+    g_vertices: dict,
+    g_edges: list,
+    match_op=None,
+) -> tuple[np.ndarray, int]:
+    """Dot-product approximation by random projection
+    (minhashing.c:747-790 fullEmbeddingProjectionApproximationForTrees):
+    evaluate (at most) the patterns in ``projection``, propagate each result
+    through the poset, and return the induced PARTIAL embedding of the graph
+    into the full pattern space — an int8 array indexed by pattern_id − 1
+    with value 1 (known match), −1 (known non-match) or 0 (undecided).
+    Propagation means a projection of size s can decide far more than s
+    coordinates. Second return: explicit evaluations spent (≤ len(projection),
+    less when earlier propagation already decided a projected pattern)."""
+    match_op = match_op or make_match_op("subtree", 0)
+    state = np.zeros(poset.n, dtype=np.int8)
+    state[0] = 1  # the empty pattern matches everything
+    n_eval = 0
+    for pid in projection:
+        if state[pid] == 0:
+            pv, pe = poset.vertices[pid - 1], poset.edges[pid - 1]
+            n_eval += 1
+            if match_op(pv, pe, g_vertices, g_edges):
+                _propagate_match(poset, pid, state)
+            else:
+                _propagate_nonmatch(poset, pid, state)
+    return state[1:].copy(), n_eval
+
+
 def positive_border_size(poset: TreePoset, matched: set[int]) -> int:
     """Number of maximal matched patterns + the empty pattern if nothing
     matched above it (getPositiveBorderSize semantics, minhashing.c:411-421:
@@ -384,6 +415,67 @@ def poset_minhash_sketches(
         )
 
     return bucketed_group_combine(graph_edges, ["graph_id"], sketch_bucket)
+
+
+def poset_projection_embeddings(
+    graph_edges: rd.Dataset,
+    patterns: list[str],
+    projection_size: int = 8,
+    seed: int = 42,
+    operator: str = "subtree",
+    threshold: float = 0,
+) -> rd.Dataset:
+    """Random-projection approximate embeddings of every transaction graph
+    into the full pattern space (minhashing.c:747-790): a seeded random
+    subset of ``projection_size`` pattern ids is drawn once on the driver and
+    broadcast; each graph evaluates only those patterns and lets poset
+    propagation decide the rest. Output is SPARSE — one row per DECIDED
+    (graph_id, pattern_id) with value ∈ {1, −1}; undecided coordinates are
+    the implicit zeros of the reference's {0,1,−1} output array.
+    ``n_evaluations`` (per graph, repeated on its rows) records the explicit
+    embedding-operator calls actually spent."""
+    poset = TreePoset(patterns)
+    rng = np.random.default_rng(seed)
+    projection = (
+        (rng.permutation(poset.n - 1)[: min(projection_size, poset.n - 1)] + 1)
+        .tolist()
+        if poset.n > 1
+        else []
+    )
+    plan_ref = ray.put({"poset": poset, "projection": projection})
+
+    def embed_bucket(t: pa.Table) -> pa.Table:
+        plan_ = ray.get(plan_ref)
+        po, proj = plan_["poset"], plan_["projection"]
+        match_op = make_match_op(operator, threshold)
+        df = t.to_pandas()
+        gids, pids, vals, evals = [], [], [], []
+        for gid, g in df.groupby("graph_id", sort=False):
+            vertices: dict = {}
+            edges = []
+            for r in g.itertuples():
+                vertices[int(r.va)] = r.ba
+                vertices[int(r.vb)] = r.bb
+                edges.append((int(r.va), int(r.vb), r.le))
+            emb, n_eval = projection_embedding_for_graph(
+                po, proj, vertices, edges, match_op
+            )
+            nz = np.flatnonzero(emb)
+            gids.append(np.full(len(nz), int(gid), np.int64))
+            pids.append((nz + 1).astype(np.int64))
+            vals.append(emb[nz].astype(np.int64))
+            evals.append(np.full(len(nz), n_eval, np.int64))
+        e = np.empty(0, np.int64)
+        return pa.table(
+            {
+                "graph_id": np.concatenate(gids) if gids else e,
+                "pattern_id": np.concatenate(pids) if pids else e,
+                "value": np.concatenate(vals) if vals else e,
+                "n_evaluations": np.concatenate(evals) if evals else e,
+            }
+        )
+
+    return bucketed_group_combine(graph_edges, ["graph_id"], embed_bucket)
 
 
 def sketch_jaccard_estimate(

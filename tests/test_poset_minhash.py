@@ -238,3 +238,84 @@ def test_distributed_sketches_match_local():
                 )
             else:
                 assert r["pattern_id"] == -1
+
+
+def test_projection_embedding_sound_and_propagated():
+    """fullEmbeddingProjectionApproximationForTrees semantics
+    (minhashing.c:747-790): every 1 is a true match, every -1 a true
+    non-match (vs the brute-force matched set), every projected pattern is
+    decided, and explicit evaluations never exceed the projection size."""
+    from graphminingtools_ray.pipelines.poset_minhash import (
+        projection_embedding_for_graph,
+    )
+
+    rng = random.Random(7)
+    poset = TreePoset(PATTERNS)
+    nrng = __import__("numpy").random.default_rng(7)
+    for _ in range(30):
+        vertices, edges = _random_graph(rng)
+        matched = _brute_matched(poset, vertices, edges)
+        k = rng.randint(0, poset.n - 1)
+        projection = (nrng.permutation(poset.n - 1)[:k] + 1).tolist()
+        emb, n_eval = projection_embedding_for_graph(
+            poset, projection, vertices, edges
+        )
+        assert n_eval <= len(projection)
+        for pid in projection:
+            assert emb[pid - 1] != 0  # projected patterns are always decided
+        for pid in range(1, poset.n):
+            v = emb[pid - 1]
+            if v == 1:
+                assert pid in matched
+            elif v == -1:
+                assert pid not in matched
+
+
+def test_distributed_projection_embeddings_match_local():
+    """Bucketed pipeline == local kernel per graph; sparse output layout."""
+    from graphminingtools_ray.pipelines.levelwise import levelwise_tree_mining
+    from graphminingtools_ray.pipelines.mining import order_graph_edges_full
+    from graphminingtools_ray.pipelines.poset_minhash import (
+        poset_projection_embeddings,
+        projection_embedding_for_graph,
+    )
+    import numpy as np
+
+    sf_dir = "/root/testdata/sf0.001"
+    frequent = levelwise_tree_mining(sf_dir, max_edges=2, min_support=3)
+    patterns = sorted(set(frequent["pattern"].tolist()))
+    ds = poset_projection_embeddings(
+        order_graph_edges_full(sf_dir), patterns, projection_size=5, seed=11
+    )
+    got = ds.to_pandas().sort_values(["graph_id", "pattern_id"]).reset_index(
+        drop=True
+    )
+    assert set(got.columns) == {
+        "graph_id", "pattern_id", "value", "n_evaluations"
+    }
+    assert set(got["value"].unique()) <= {1, -1}
+
+    poset = TreePoset(patterns)
+    rng = np.random.default_rng(11)
+    projection = (
+        rng.permutation(poset.n - 1)[: min(5, poset.n - 1)] + 1
+    ).tolist()
+    edges_df = order_graph_edges_full(sf_dir).to_pandas()
+    for gid in sorted(got["graph_id"].unique())[:20]:
+        g = edges_df[edges_df["graph_id"] == gid]
+        vertices, edges = {}, []
+        for r in g.itertuples():
+            vertices[int(r.va)] = r.ba
+            vertices[int(r.vb)] = r.bb
+            edges.append((int(r.va), int(r.vb), r.le))
+        emb, n_eval = projection_embedding_for_graph(
+            poset, projection, vertices, edges
+        )
+        rows = got[got["graph_id"] == gid]
+        expect = {
+            (pid + 1, int(v)) for pid, v in enumerate(emb) if v != 0
+        }
+        assert {
+            (int(r.pattern_id), int(r.value)) for r in rows.itertuples()
+        } == expect
+        assert (rows["n_evaluations"] == n_eval).all()
