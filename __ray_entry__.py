@@ -100,6 +100,18 @@ def _poset_projection_embeddings(sf_dir: str):
     )
 
 
+def _opk_features(sf_dir: str):
+    """Outerplanar block-and-bridge-tree kernel (reference opk.c:
+    biconnected decomposition -> BB-tree with canonical outerplanar block
+    labels -> depth-bounded BFS-ball canonical strings from every BB-tree
+    node). Rows-only (canonical strings / Hamiltonian-cycle embeddings are
+    not SQL-expressible); invariance + hand-built + distributed-parity
+    oracles in tests/test_opk.py."""
+    from graphminingtools_ray.pipelines.opk import opk_features
+
+    return opk_features(sf_dir, depth=3)
+
+
 def _gdb_blockchain_measures(sf_dir: str):
     """Full gf measure table (incl. round-2 kernels: outerplanarity, block
     degree/criticality, ST estimate, non-iso cycles/spanning trees) over a
@@ -189,6 +201,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tree_sampling_suite": _tree_sampling_suite,
         "poset_minhash_sketches": _poset_minhash_sketches,
         "poset_projection_embeddings": _poset_projection_embeddings,
+        "opk_features": _opk_features,
         # documents: dedup family + text analysis
         "dedup_exact": text_q.dedup_exact,
         "doc_stats": text_q.doc_stats,

@@ -271,8 +271,8 @@ def _count_simple_cycles(n: int, adj_simple: list[set], cap: int = 100000):
     return count // 2, lengths
 
 
-def _block_outerplanar(block_edges: list[tuple[int, int]]) -> bool:
-    """Exact outerplanarity of ONE biconnected component (reference scope
+def _outerplanar_embedding(block_edges: list[tuple[int, int]]):
+    """Outerplanar embedding of ONE biconnected component (reference scope
     ``outerplanar.c:71-353``, Mitchell's recognition re-derived for the
     engine's small per-transaction blocks): a biconnected graph with ≥3
     vertices is outerplanar iff it has a Hamiltonian cycle (necessarily its
@@ -281,11 +281,16 @@ def _block_outerplanar(block_edges: list[tuple[int, int]]) -> bool:
     fine for the small blocks this engine's transactions have; correctness
     does not depend on which Hamiltonian cycle is found (a crossing-free
     chord set for ANY Hamiltonian cycle is an outerplanar embedding, and an
-    outerplanar biconnected graph has exactly one Hamiltonian cycle)."""
+    outerplanar biconnected graph has exactly one Hamiltonian cycle).
+
+    Returns None when not outerplanar; otherwise
+    ``(verts, cycle, chords)`` in ORIGINAL vertex ids, where ``cycle`` is
+    the Hamiltonian-cycle vertex order (None for trivial ≤2-vertex blocks)
+    and ``chords`` the non-cycle edges as (a, b) pairs."""
     verts = sorted({x for e in block_edges for x in e})
     nb = len(verts)
     if nb <= 2:
-        return True
+        return verts, None, []
     idx = {v: i for i, v in enumerate(verts)}
     adj = [set() for _ in range(nb)]
     eset = set()
@@ -298,7 +303,7 @@ def _block_outerplanar(block_edges: list[tuple[int, int]]) -> bool:
         eset.add((min(ia, ib), max(ia, ib)))
     # quick reject: outerplanar graphs have m <= 2n - 3
     if len(eset) > 2 * nb - 3:
-        return False
+        return None
 
     # Hamiltonian cycle search from vertex 0
     path = [0]
@@ -321,21 +326,31 @@ def _block_outerplanar(block_edges: list[tuple[int, int]]) -> bool:
 
     cyc = ham(0)
     if cyc is None:
-        return False
+        return None
     pos = {v: i for i, v in enumerate(cyc)}
-    chords = []
+    chords = []  # chord endpoints as CYCLE POSITIONS (for crossing check)
+    chord_verts = []  # same chords as local vertex indices
     for a, b in eset:
         pa_, pb_ = pos[a], pos[b]
         if abs(pa_ - pb_) in (1, nb - 1):
             continue  # cycle edge
         chords.append((min(pa_, pb_), max(pa_, pb_)))
+        chord_verts.append((a, b))
     for i in range(len(chords)):
         a1, b1 = chords[i]
         for j in range(i + 1, len(chords)):
             a2, b2 = chords[j]
             if (a1 < a2 < b1 < b2) or (a2 < a1 < b2 < b1):
-                return False  # crossing chords
-    return True
+                return None  # crossing chords
+    return (
+        verts,
+        [verts[i] for i in cyc],
+        [(verts[a], verts[b]) for a, b in chord_verts],
+    )
+
+
+def _block_outerplanar(block_edges: list[tuple[int, int]]) -> bool:
+    return _outerplanar_embedding(block_edges) is not None
 
 
 def _spanning_tree_estimate(bcc_edge_lists, n_components: int) -> int:
