@@ -216,6 +216,70 @@ def opk_graph_features(
     return feats
 
 
+def outerplanarity_json_rows(graph_edges: rd.Dataset) -> rd.Dataset:
+    """The ``outerplanaritytest`` executable's JSON output
+    (``executables/outerplanaritytest.c``, format per
+    ``outerplanaritytestHelp.txt``): one object per graph,
+    ``{"graph": id, "hamiltonianCycles": {blockNo: [vertex ids, arbitrary
+    start]}, "isOuterplanar": bool}`` — the cycle map may be non-empty even
+    for non-outerplanar graphs (it holds the cycles of the outerplanar
+    blocks). Block numbering is engine decomposition order (the reference's
+    is traversal order — both arbitrary but deterministic). Returns a
+    Dataset of (graph_id, json) rows; write with ``ds.write_json``."""
+    import json as _json
+
+    def per_graph(t: pa.Table) -> pa.Table:
+        from .patterns import _graph_structs
+
+        df = t.to_pandas()
+        gids, docs = [], []
+        for gid, g in df.groupby("graph_id", sort=False):
+            vertices, gedges = _graph_structs(g)
+            verts = sorted(vertices)
+            idx = {v: i for i, v in enumerate(verts)}
+            adj_i: list[list[int]] = [[] for _ in verts]
+            for a, b, _le in gedges:
+                if a == b:
+                    continue
+                adj_i[idx[a]].append(idx[b])
+                adj_i[idx[b]].append(idx[a])
+            _, _, _, _, _, bcc = _bridges_and_blocks(len(verts), adj_i)
+            cycles: dict[str, list[int]] = {}
+            outerplanar = True
+            bno = 0
+            for comp in bcc:
+                if len(comp) == 1:
+                    continue  # bridge: no cycle, never disqualifies
+                bno += 1
+                emb = _outerplanar_embedding(
+                    [(verts[i], verts[j]) for i, j in comp]
+                )
+                if emb is None:
+                    outerplanar = False
+                    continue
+                _, cyc, _ = emb
+                cycles[str(bno)] = cyc
+            gids.append(int(gid))
+            docs.append(
+                _json.dumps(
+                    {
+                        "graph": int(gid),
+                        "hamiltonianCycles": cycles,
+                        "isOuterplanar": outerplanar,
+                    },
+                    sort_keys=True,
+                )
+            )
+        return pa.table(
+            {
+                "graph_id": pa.array(gids, pa.int64()),
+                "json": pa.array(docs, pa.string()),
+            }
+        )
+
+    return bucketed_group_combine(graph_edges, ["graph_id"], per_graph)
+
+
 def opk_features(sf_dir: str, depth: int = 3) -> rd.Dataset:
     """Distributed opk feature map over the per-order graph DB: one row per
     (graph_id, kind, feature) with the within-graph multiplicity ``count``

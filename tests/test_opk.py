@@ -160,3 +160,51 @@ def test_distributed_opk_matches_local():
         assert {
             (r.kind, r.feature): int(r.count) for r in rows.itertuples()
         } == agg
+
+
+def test_outerplanarity_json_rows():
+    """outerplanaritytest JSON shape: cycles are true Hamiltonian cycles of
+    their blocks, isOuterplanar matches the gdb measure, non-outerplanar
+    graphs may still list cycles of their outerplanar blocks."""
+    import json
+
+    import ray.data as rd
+
+    from graphminingtools_ray.pipelines.opk import outerplanarity_json_rows
+
+    rows = []
+    # graph 1: two triangles sharing a vertex (outerplanar, 2 cycles)
+    tri2 = [(0, 1), (1, 2), (0, 2), (2, 3), (3, 4), (2, 4)]
+    rows += [
+        {"graph_id": 1, "va": a, "ba": "A", "vb": b, "bb": "A", "le": "e"}
+        for a, b in tri2
+    ]
+    # graph 2: K4 plus a pendant triangle at vertex 0 (NOT outerplanar, but
+    # the triangle block still yields a cycle)
+    k4 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    g2 = k4 + [(0, 4), (4, 5), (0, 5)]
+    rows += [
+        {"graph_id": 2, "va": a, "ba": "A", "vb": b, "bb": "A", "le": "e"}
+        for a, b in g2
+    ]
+    ds = outerplanarity_json_rows(rd.from_items(rows))
+    got = {
+        int(r["graph_id"]): json.loads(r["json"])
+        for r in ds.to_pandas().to_dict("records")
+    }
+    assert got[1]["isOuterplanar"] is True
+    assert got[2]["isOuterplanar"] is False
+    assert len(got[1]["hamiltonianCycles"]) == 2
+    assert sorted(
+        sorted(c) for c in got[1]["hamiltonianCycles"].values()
+    ) == [[0, 1, 2], [2, 3, 4]]
+    # K4 block yields no cycle; the pendant triangle block does
+    g2_cycles = list(got[2]["hamiltonianCycles"].values())
+    assert len(g2_cycles) == 1 and sorted(g2_cycles[0]) == [0, 4, 5]
+    # cycles are genuine cycles of the graph: consecutive pairs are edges
+    eset = {(min(a, b), max(a, b)) for a, b in tri2}
+    for cyc in got[1]["hamiltonianCycles"].values():
+        k = len(cyc)
+        for i in range(k):
+            a, b = cyc[i], cyc[(i + 1) % k]
+            assert (min(a, b), max(a, b)) in eset
