@@ -112,6 +112,16 @@ def _opk_features(sf_dir: str):
     return opk_features(sf_dir, depth=3)
 
 
+def _ngram_jaccard_dup(sf_dir: str):
+    """EXACT word-3-gram Jaccard near-dup pairs over the df<=64-capped
+    shingle space, threshold 0.3 — the non-probabilistic twin of
+    minhash_near_dup, fully SQL-expressible (oracle reproduces the shingle
+    space, the df cut, and the Jaccard arithmetic verbatim)."""
+    from graphminingtools_ray.pipelines.text_q import ngram_jaccard_dup
+
+    return ngram_jaccard_dup(sf_dir, threshold=0.3, df_max=64)
+
+
 def _gdb_blockchain_measures(sf_dir: str):
     """Full gf measure table (incl. round-2 kernels: outerplanarity, block
     degree/criticality, ST estimate, non-iso cycles/spanning trees) over a
@@ -210,6 +220,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_scores": text_q.quality_scores,
         "word_freq_topk": text_q.word_freq_topk,
         "minhash_near_dup": text_q.minhash_near_dup,
+        "ngram_jaccard_dup": _ngram_jaccard_dup,
         "simhash_fingerprints": text_q.simhash_fingerprints,
         "winnow_fingerprints": text_q.winnow_fingerprints,
         "media_features": text_q.media_features,
@@ -504,6 +515,38 @@ def oracle_sql() -> dict[str, str]:
                                trim(COALESCE(text, '')), '\s+')) AS token
                   FROM documents WHERE trim(COALESCE(text, '')) <> '')
             GROUP BY token ORDER BY n DESC, token LIMIT 20
+        """,
+        "ngram_jaccard_dup": r"""
+            WITH toks AS (
+                SELECT doc_id,
+                       regexp_extract_all(COALESCE(text, ''), '\S+') AS ts
+                FROM documents
+            ), sh AS (
+                SELECT DISTINCT doc_id, s FROM (
+                    SELECT doc_id,
+                           unnest(list_transform(range(1, len(ts) - 1),
+                                  i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS s
+                    FROM toks
+                )
+            ), kept AS (
+                SELECT s FROM sh GROUP BY s HAVING COUNT(*) <= 64
+            ), shk AS (
+                SELECT sh.doc_id, sh.s FROM sh JOIN kept USING (s)
+            ), sizes AS (
+                SELECT doc_id, COUNT(*)::BIGINT AS n FROM shk GROUP BY doc_id
+            ), inter AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                       COUNT(*)::BIGINT AS n_inter
+                FROM shk a JOIN shk b ON a.s = b.s AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            )
+            SELECT doc_a, doc_b, n_inter, sa.n AS n_a, sb.n AS n_b,
+                   CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) AS jaccard
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = inter.doc_a
+            JOIN sizes sb ON sb.doc_id = inter.doc_b
+            WHERE CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) >= 0.3
+            ORDER BY doc_a, doc_b
         """,
         "ann_topk": """
             WITH q AS (SELECT vec_id AS qid, embedding AS qe

@@ -325,3 +325,164 @@ def media_features(sf_dir: str):
         batch_size=256,
         concurrency=actor_pool(),
     )
+
+
+def ngram_jaccard_dup(
+    sf_dir: str, threshold: float = 0.5, df_max: int = 64, as_pandas: bool = True
+):
+    """EXACT n-gram-Jaccard near-duplicate pairs (the non-probabilistic twin
+    of ``minhash_near_dup``) over the document-frequency-capped shingle
+    space: word-3-gram shingles appearing in more than ``df_max`` documents
+    are dropped globally (the standard stopword-shingle cut — at corpus
+    scale a ubiquitous shingle contributes O(df²) pairs and no signal), then
+    every pair sharing ≥1 kept shingle gets its exact Jaccard
+    |A∩B| / (|A|+|B|−|A∩B|) over the kept space and survives iff
+    ≥ ``threshold``. The cap is part of the OPERATOR SEMANTICS and is
+    applied identically in the SQL oracle, so results match exactly (shingle
+    hashes are 64-bit; parity with string shingles assumes no collision —
+    astronomically safe and asserted by the oracle at test scale).
+
+    Four bucketed exchanges, never all-pairs, nothing driver-scale:
+      1. keyed on shingle: global df per shingle lives in one bucket → df
+         cut, per-shingle doc pairs (a<b) partial-counted, per-doc
+         kept-shingle-count partials; one tagged stream (size rows have
+         doc_b = −1; assumes doc_id ≥ 0).
+      2. keyed on (doc_a, doc_b): exact int sums → |A∩B| and |A|.
+      3. keyed on doc_a: attach n_a to pairs; size rows ride along.
+      4. keyed on doc_b: attach n_b, Jaccard + threshold inside the bucket.
+
+    Returns (doc_a, doc_b, n_inter, n_a, n_b, jaccard) sorted."""
+    from ..functions.bucketing import (
+        bucketed_group_combine,
+        group_boundaries,
+        sum_by_int_keys,
+    )
+    from ..graph.build import _pairs_from_sorted_key_items
+    from ..stages.dedup import shingle_sets_batch
+
+    def long_rows(t: pa.Table) -> pa.Table:
+        texts = [x if x is not None else "" for x in t["text"].to_pylist()]
+        sets = shingle_sets_batch(texts)
+        sizes = np.array([len(s) for s in sets], np.int64)
+        doc = np.repeat(t["doc_id"].to_numpy(), sizes)
+        sh = (
+            np.concatenate(sets).astype(np.int64)
+            if sizes.sum()
+            else np.empty(0, np.int64)
+        )
+        return pa.table({"sh": sh, "doc": doc})
+
+    long = _docs(sf_dir).map_batches(long_rows, batch_format="pyarrow")
+
+    def df_cut_pairs(t: pa.Table) -> pa.Table:
+        sh = t["sh"].to_numpy()
+        doc = t["doc"].to_numpy()
+        order = np.lexsort((doc, sh))
+        sh_s, doc_s = sh[order], doc[order]
+        n = len(sh_s)
+        if n:
+            flag = np.empty(n, bool)
+            flag[0] = True
+            np.not_equal(sh_s[1:], sh_s[:-1], out=flag[1:])
+            starts = np.flatnonzero(flag)
+        else:
+            starts = np.empty(0, np.int64)
+        # group id per row, df per shingle group ((doc, sh) rows are
+        # globally distinct, so group size == document frequency)
+        gid = np.zeros(n, np.int64)
+        gid[starts] = 1
+        gid = np.cumsum(gid) - 1
+        df = np.diff(np.append(starts, n))
+        keep = df[gid] <= df_max
+        doc_k, gid_k = doc_s[keep], gid[keep]
+        ud, cnt = (
+            np.unique(doc_k, return_counts=True)
+            if len(doc_k)
+            else (np.empty(0, np.int64), np.empty(0, np.int64))
+        )
+        a, b = _pairs_from_sorted_key_items(gid_k, doc_k, df_max + 1)
+        if len(a):
+            sc, pstarts, _ = group_boundaries([a, b])
+            pa_, pb_ = sc[0][pstarts], sc[1][pstarts]
+            pcnt = np.diff(np.append(pstarts, len(a)))
+        else:
+            pa_ = pb_ = pcnt = np.empty(0, np.int64)
+        return pa.table(
+            {
+                "doc_a": np.concatenate([ud, pa_]),
+                "doc_b": np.concatenate([np.full(len(ud), -1, np.int64), pb_]),
+                "cnt": np.concatenate([cnt.astype(np.int64), pcnt]),
+            }
+        )
+
+    tagged = bucketed_group_combine(long, ["sh"], df_cut_pairs)
+    summed = bucketed_group_combine(
+        tagged, ["doc_a", "doc_b"], sum_by_int_keys(["doc_a", "doc_b"], "cnt")
+    )
+
+    def _split_sizes(t: pa.Table):
+        da = t["doc_a"].to_numpy()
+        db = t["doc_b"].to_numpy()
+        c = t["cnt"].to_numpy()
+        is_size = db == -1
+        s_doc = da[is_size]
+        s_n = c[is_size]
+        order = np.argsort(s_doc, kind="stable")
+        return da[~is_size], db[~is_size], c[~is_size], s_doc[order], s_n[order]
+
+    def attach_a(t: pa.Table) -> pa.Table:
+        da, db, c, s_doc, s_n = _split_sizes(t)
+        n_a = s_n[np.searchsorted(s_doc, da)] if len(da) else np.empty(0, np.int64)
+        # pair rows re-keyed on doc_b; size rows re-emitted under their doc
+        return pa.table(
+            {
+                "doc_a": np.concatenate([db, s_doc]),  # the NEW key column
+                "doc_b": np.concatenate([da, np.full(len(s_doc), -1, np.int64)]),
+                "cnt": np.concatenate([c, s_n]),
+                "n_a": np.concatenate([n_a, np.zeros(len(s_doc), np.int64)]),
+            }
+        )
+
+    keyed_b = bucketed_group_combine(summed, ["doc_a"], attach_a)
+
+    def attach_b_filter(t: pa.Table) -> pa.Table:
+        db = t["doc_a"].to_numpy()  # key column currently holds doc_b
+        da = t["doc_b"].to_numpy()
+        c = t["cnt"].to_numpy()
+        na = t["n_a"].to_numpy()
+        is_size = da == -1
+        s_doc = db[is_size]
+        s_n = c[is_size]
+        order = np.argsort(s_doc, kind="stable")
+        s_doc, s_n = s_doc[order], s_n[order]
+        da, db, c, na = da[~is_size], db[~is_size], c[~is_size], na[~is_size]
+        nb = s_n[np.searchsorted(s_doc, db)] if len(db) else np.empty(0, np.int64)
+        jac = c.astype(np.float64) / (na + nb - c)
+        m = jac >= threshold
+        return pa.table(
+            {
+                "doc_a": da[m],
+                "doc_b": db[m],
+                "n_inter": c[m],
+                "n_a": na[m],
+                "n_b": nb[m],
+                "jaccard": jac[m],
+            }
+        )
+
+    verified = bucketed_group_combine(keyed_b, ["doc_a"], attach_b_filter)
+    if not as_pandas:
+        return verified
+    out = verified.to_pandas()
+    if len(out) == 0:
+        return pd.DataFrame(
+            {
+                "doc_a": pd.Series([], dtype=np.int64),
+                "doc_b": pd.Series([], dtype=np.int64),
+                "n_inter": pd.Series([], dtype=np.int64),
+                "n_a": pd.Series([], dtype=np.int64),
+                "n_b": pd.Series([], dtype=np.int64),
+                "jaccard": pd.Series([], dtype=np.float64),
+            }
+        )
+    return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)

@@ -169,3 +169,45 @@ def test_winnow_stats_vs_per_doc_bruteforce(k, w):
             else 0
         )
         assert fp_min[i] == exp, (k, w, i)
+
+
+def test_ngram_jaccard_dup_bruteforce():
+    """ngram_jaccard_dup == single-process brute force (string 3-gram
+    shingles, df<=cap cut, exact Jaccard) at sf0.001 — independent of the
+    DuckDB oracle; also pins the hashed-shingle == string-shingle parity."""
+    import pyarrow.parquet as pq
+
+    from graphminingtools_ray.pipelines.text_q import ngram_jaccard_dup
+
+    sf = "/root/testdata/sf0.001"
+    threshold, df_max = 0.3, 64
+    got = ngram_jaccard_dup(sf, threshold=threshold, df_max=df_max)
+
+    t = pq.read_table(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+    sh: dict[int, set] = {}
+    for d, x in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+        toks = (x or "").split()
+        sh[int(d)] = {
+            tuple(toks[i : i + 3]) for i in range(len(toks) - 2)
+        }
+    from collections import Counter
+
+    df_counts = Counter(s for ss in sh.values() for s in ss)
+    kept = {d: {s for s in ss if df_counts[s] <= df_max} for d, ss in sh.items()}
+    expect = []
+    ids = sorted(kept)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            inter = len(kept[a] & kept[b])
+            if inter == 0:
+                continue
+            union = len(kept[a]) + len(kept[b]) - inter
+            j = inter / union
+            if j >= threshold:
+                expect.append((a, b, inter, len(kept[a]), len(kept[b]), j))
+    got_t = [
+        (int(r.doc_a), int(r.doc_b), int(r.n_inter), int(r.n_a),
+         int(r.n_b), float(r.jaccard))
+        for r in got.itertuples()
+    ]
+    assert got_t == sorted(expect)
