@@ -123,6 +123,10 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
     timed("sessionize", lambda: consume(relational.sessionize(sf_dir)))
     timed("dedup_exact", lambda: consume(text_q.dedup_exact(sf_dir)))
     timed("minhash_near_dup", lambda: consume(text_q.minhash_near_dup(sf_dir)))
+    timed(
+        "ngram_jaccard_dup",
+        lambda: consume(text_q.ngram_jaccard_dup(sf_dir, threshold=0.3)),
+    )
     timed("word_freq_topk", lambda: consume(text_q.word_freq_topk(sf_dir)))
     timed("ann_topk", lambda: consume(embeddings_q.ann_topk(sf_dir)))
 
