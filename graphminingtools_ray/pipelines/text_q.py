@@ -342,6 +342,13 @@ def ngram_jaccard_dup(
     hashes are 64-bit; parity with string shingles assumes no collision —
     astronomically safe and asserted by the oracle at test scale).
 
+    Scale note: exchange 1 moves the (shingle, doc) long table — token-scale
+    bytes, the EXACT operator's inherent floor (every distinct shingle
+    occurrence must meet its global document frequency once). The df cap
+    bounds the pair side; when token-scale exchange is too much,
+    ``minhash_near_dup`` is the sub-linear sketch path over the same
+    shingle space.
+
     Four bucketed exchanges, never all-pairs, nothing driver-scale:
       1. keyed on shingle: global df per shingle lives in one bucket → df
          cut, per-shingle doc pairs (a<b) partial-counted, per-doc
