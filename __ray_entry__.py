@@ -227,6 +227,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # embeddings: similarity search + near-dup
         "ann_topk": embeddings_q.ann_topk,
         "ann_topk_lsh": embeddings_q.ann_topk_lsh,
+        "ann_topk_ivf": embeddings_q.ann_topk_ivf,
         "embedding_near_dup": embeddings_q.embedding_near_dup,
         # canonical tree strings (cstring executable semantics)
         "order_tree_cstrings": trees.order_tree_cstrings,

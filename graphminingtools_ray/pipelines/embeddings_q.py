@@ -228,3 +228,119 @@ def embedding_near_dup(sf_dir: str, threshold: float = 0.3,
             {"vec_a": pd.Series([], dtype=np.int64), "vec_b": pd.Series([], dtype=np.int64)}
         )
     return out.sort_values(["vec_a", "vec_b"]).reset_index(drop=True)
+
+
+def _spherical_kmeans(sample: np.ndarray, n_lists: int, iters: int) -> np.ndarray:
+    """Deterministic spherical k-means (cosine IVF coarse quantizer): init =
+    first ``n_lists`` sample rows (caller passes a vec_id-sorted sample, so
+    the init is block-order-free), assign by max dot, recompute + renormalize;
+    empty cells keep their previous centroid."""
+    X = _normalize(sample)
+    C = X[:n_lists].copy()
+    for _ in range(iters):
+        a = np.argmax(X @ C.T, axis=1)
+        acc = np.zeros_like(C)
+        np.add.at(acc, a, X)
+        counts = np.bincount(a, minlength=n_lists)
+        nz = counts > 0
+        C[nz] = acc[nz] / counts[nz, None]
+        C = _normalize(C)
+    return C
+
+
+def ann_topk_ivf(
+    sf_dir: str,
+    n_queries: int = 16,
+    k: int = 5,
+    n_lists: int = 32,
+    n_probe: int = 8,
+    sample_cap: int = 2048,
+    iters: int = 8,
+    seed: int = 7,
+):
+    """Approximate top-k via IVF (inverted-file) cells — the second
+    documented scale path next to ``ann_topk_lsh``: a spherical-k-means
+    coarse quantizer is trained once on a seeded hash-sample (driver-side,
+    bounded by ``sample_cap``), broadcast with the query matrix; every batch
+    assigns its vectors to their nearest centroid cell and each query scores
+    ONLY vectors in its own ``n_probe`` closest cells (true per-query IVF
+    probe lists, not a shared filter). At corpus scale the assignment pass
+    would bucket-materialize the cell lists once and reuse them across query
+    batches; for a one-shot query set the fused scan is strictly cheaper.
+    Recall vs the brute-force baseline is asserted in tests, not 100% by
+    design. Deterministic in ``seed``."""
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    # seeded hash-sample for centroid training (~1/4 of rows, capped)
+    mult = np.uint64(0x9E3779B97F4A7C15 ^ (seed * 0x10001))
+
+    def sample_batch(t: pa.Table) -> pa.Table:
+        ids = t["vec_id"].to_numpy()
+        h = (ids.astype(np.uint64) * mult) >> np.uint64(32)
+        return t.filter(pa.array((h % np.uint64(4)) == 0))
+
+    sample_pdf = (
+        ds.map_batches(sample_batch, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values("vec_id")
+        .head(sample_cap)
+    )
+    sample_mat = np.stack(sample_pdf["embedding"].to_numpy()).astype(np.float64)
+    n_lists = max(1, min(n_lists, len(sample_mat)))
+    n_probe = min(n_probe, n_lists)
+    cents = _spherical_kmeans(sample_mat, n_lists, iters)
+
+    q_pdf = _lowest_vec_ids(ds, n_queries)
+    q_ids = q_pdf["vec_id"].to_numpy(np.int64)
+    q_mat = np.stack(q_pdf["embedding"].to_numpy()).astype(np.float64)
+    qn = _normalize(q_mat)
+    # per-query probe lists: n_probe closest cells; (Q, n_lists) bool mask
+    q_cell_sims = qn @ cents.T
+    probe_cells = np.argpartition(-q_cell_sims, n_probe - 1, axis=1)[:, :n_probe]
+    probe_mask = np.zeros((len(q_ids), n_lists), dtype=bool)
+    np.put_along_axis(probe_mask, probe_cells, True, axis=1)
+    ref = ray.put((q_ids, qn, cents, probe_mask))
+
+    def batch_topk(batch: pa.Table) -> pa.Table:
+        _q_ids, _qn, _cents, _mask = ray.get(ref)
+        ids, mat = _emb_to_numpy(batch)
+        vn = _normalize(mat)
+        cell = np.argmax(vn @ _cents.T, axis=1)
+        any_probe = _mask.any(axis=0)[cell]  # in at least one query's list
+        ids, vn, cell = ids[any_probe], vn[any_probe], cell[any_probe]
+        if len(ids) == 0:
+            return pa.table(
+                {"qid": np.empty(0, np.int64),
+                 "neighbor_id": np.empty(0, np.int64),
+                 "cos": np.empty(0, np.float64)}
+            )
+        sims = vn @ _qn.T  # (B, Q)
+        sims[~_mask[:, cell].T] = -np.inf  # per-query probe restriction
+        kk = min(k + 1, len(ids))
+        top = np.argpartition(-sims, kk - 1, axis=0)[:kk]
+        qcol, ncol, scol = [], [], []
+        for qi in range(len(_q_ids)):
+            cand = top[:, qi]
+            keep = np.isfinite(sims[cand, qi])
+            qcol.append(np.full(keep.sum(), _q_ids[qi], dtype=np.int64))
+            ncol.append(ids[cand][keep])
+            scol.append(sims[cand, qi][keep])
+        return pa.table(
+            {"qid": np.concatenate(qcol), "neighbor_id": np.concatenate(ncol),
+             "cos": np.concatenate(scol)}
+        )
+
+    cand = ds.map_batches(batch_topk, batch_format="pyarrow").to_pandas()
+    cand = cand[cand["qid"] != cand["neighbor_id"]]
+    cand = cand.sort_values(
+        ["qid", "cos", "neighbor_id"], ascending=[True, False, True]
+    )
+    out = cand.groupby("qid", sort=True).head(k).copy()
+    out["rank"] = out.groupby("qid").cumcount() + 1
+    return pd.DataFrame(
+        {
+            "qid": out["qid"].to_numpy(np.int64),
+            "neighbor_id": out["neighbor_id"].to_numpy(np.int64),
+            "rank": out["rank"].to_numpy(np.int64),
+        }
+    )
