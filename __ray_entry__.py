@@ -187,6 +187,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "filter_project_revenue": relational.filter_project_revenue,
         "nation_revenue": relational.nation_revenue,
         "topk_orders": relational.topk_orders,
+        "q3_shipping_priority": relational.q3_shipping_priority,
         "events_hourly": relational.events_hourly,
         "sessionize": relational.sessionize,
         "mktsegment_distinct": relational.mktsegment_distinct,
@@ -363,6 +364,22 @@ def oracle_sql() -> dict[str, str]:
         "topk_orders": """
             SELECT o_orderkey, o_custkey, o_totalprice
             FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+        """,
+        "q3_shipping_priority": """
+            SELECT l_orderkey,
+                   CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                            * (100 - CAST(ROUND(l_discount * 100) AS BIGINT)))
+                        AS BIGINT) AS revenue_e4,
+                   o_orderdate, o_orderpriority
+            FROM customer
+            JOIN orders ON c_custkey = o_custkey
+            JOIN lineitem ON l_orderkey = o_orderkey
+            WHERE c_mktsegment = 'BUILDING'
+              AND o_orderdate < TIMESTAMP '1998-06-15'
+              AND l_shipdate > TIMESTAMP '1998-06-15'
+            GROUP BY l_orderkey, o_orderdate, o_orderpriority
+            ORDER BY revenue_e4 DESC, l_orderkey
+            LIMIT 10
         """,
         "events_hourly": """
             SELECT date_trunc('hour', ts) AS hour, event_type,

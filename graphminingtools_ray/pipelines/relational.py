@@ -218,3 +218,123 @@ def mktsegment_distinct(sf_dir: str):
         .groupby("c_mktsegment")
         .aggregate(Count(alias_name="n_customers"))
     )
+
+
+def q3_shipping_priority(
+    sf_dir: str,
+    segment: str = "BUILDING",
+    cutoff: str = "1998-06-15",
+    k: int = 10,
+):
+    """TPC-H Q3 shape: customer(segment) ⋈ orders(date < cutoff) ⋈
+    lineitem(shipdate > cutoff) → per-order revenue, top-k by
+    (revenue desc, orderkey asc). Join plan for scale: the CUSTOMER side is
+    dimension-scale and broadcast (sorted key array via ``ray.put``, binary
+    search per batch); ORDERS and LINEITEM are both fact-scale, so they meet
+    in ONE bucketed exchange keyed on orderkey (lineitem pre-aggregates
+    revenue per orderkey inside each map task first). Top-k never sorts
+    globally: each bucket emits its local top-k, the driver merges k×buckets
+    rows. Revenue is EXACT int64 in 1e-4 currency units (extendedprice and
+    discount are 2-decimal), so oracle agreement is integer equality."""
+    from ..functions.bucketing import bucketed_group_combine
+
+    cust = read_table(
+        sf_dir, "customer", columns=["c_custkey", "c_mktsegment"]
+    ).to_pandas()
+    keys = np.sort(
+        cust.loc[cust["c_mktsegment"] == segment, "c_custkey"]
+        .to_numpy(np.int64)
+    )
+    ref = ray.put(keys)
+    cut = np.datetime64(cutoff)
+
+    def order_rows(t: pa.Table) -> pa.Table:
+        ks = ray.get(ref)
+        ck = t["o_custkey"].to_numpy()
+        od = t["o_orderdate"].to_numpy()
+        pos = np.searchsorted(ks, ck)
+        pos[pos >= len(ks)] = 0
+        m = (ks[pos] == ck) & (od < cut) if len(ks) else np.zeros(len(ck), bool)
+        return pa.table(
+            {
+                "k": t["o_orderkey"].to_numpy()[m],
+                "revenue_e4": np.zeros(int(m.sum()), np.int64),
+                "odate_ns": od[m].astype("datetime64[ns]").astype(np.int64),
+                "prio": t["o_orderpriority"].filter(pa.array(m)),
+                "is_order": np.ones(int(m.sum()), np.int8),
+            }
+        )
+
+    def line_rows(t: pa.Table) -> pa.Table:
+        sd = t["l_shipdate"].to_numpy()
+        m = sd > cut
+        ok = t["l_orderkey"].to_numpy()[m]
+        e_c = np.rint(
+            t["l_extendedprice"].to_numpy(zero_copy_only=False)[m] * 100
+        ).astype(np.int64)
+        d_c = np.rint(
+            t["l_discount"].to_numpy(zero_copy_only=False)[m] * 100
+        ).astype(np.int64)
+        rev = e_c * (100 - d_c)
+        # batch-local combiner: partial revenue sum per orderkey
+        uk, inv = np.unique(ok, return_inverse=True)
+        acc = np.zeros(len(uk), np.int64)
+        np.add.at(acc, inv, rev)
+        return pa.table(
+            {
+                "k": uk,
+                "revenue_e4": acc,
+                "odate_ns": np.zeros(len(uk), np.int64),
+                "prio": pa.array([""] * len(uk), pa.string()),
+                "is_order": np.zeros(len(uk), np.int8),
+            }
+        )
+
+    orders = read_table(
+        sf_dir, "orders",
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"],
+    ).map_batches(order_rows, batch_format="pyarrow")
+    lines = read_table(
+        sf_dir, "lineitem",
+        columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    ).map_batches(line_rows, batch_format="pyarrow")
+
+    def join_topk(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        is_o = df["is_order"] == 1
+        o = df[is_o]
+        rev = (
+            df[~is_o].groupby("k", sort=False)["revenue_e4"].sum()
+        )
+        j = o[o["k"].isin(rev.index)].copy()
+        if len(j) == 0:
+            return pa.table(
+                {"l_orderkey": np.empty(0, np.int64),
+                 "revenue_e4": np.empty(0, np.int64),
+                 "odate_ns": np.empty(0, np.int64),
+                 "o_orderpriority": pa.array([], pa.string())}
+            )
+        j["revenue_e4"] = rev[j["k"]].to_numpy()
+        j = j.sort_values(["revenue_e4", "k"], ascending=[False, True]).head(k)
+        return pa.table(
+            {
+                "l_orderkey": j["k"].to_numpy(np.int64),
+                "revenue_e4": j["revenue_e4"].to_numpy(np.int64),
+                "odate_ns": j["odate_ns"].to_numpy(np.int64),
+                "o_orderpriority": pa.array(j["prio"].tolist(), pa.string()),
+            }
+        )
+
+    part = bucketed_group_combine(orders.union(lines), ["k"], join_topk)
+    out = part.to_pandas()
+    out = out.sort_values(
+        ["revenue_e4", "l_orderkey"], ascending=[False, True]
+    ).head(k).reset_index(drop=True)
+    return pd.DataFrame(
+        {
+            "l_orderkey": out["l_orderkey"].to_numpy(np.int64),
+            "revenue_e4": out["revenue_e4"].to_numpy(np.int64),
+            "o_orderdate": pd.to_datetime(out["odate_ns"].to_numpy()),
+            "o_orderpriority": out["o_orderpriority"],
+        }
+    )
