@@ -188,6 +188,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nation_revenue": relational.nation_revenue,
         "topk_orders": relational.topk_orders,
         "q3_shipping_priority": relational.q3_shipping_priority,
+        "click_view_asof": relational.click_view_asof,
+        "events_sliding": relational.events_sliding,
         "events_hourly": relational.events_hourly,
         "sessionize": relational.sessionize,
         "mktsegment_distinct": relational.mktsegment_distinct,
@@ -364,6 +366,27 @@ def oracle_sql() -> dict[str, str]:
         "topk_orders": """
             SELECT o_orderkey, o_custkey, o_totalprice
             FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+        """,
+        "click_view_asof": """
+            WITH clicks AS (SELECT event_id, ts, user_id FROM events
+                            WHERE event_type = 'click'),
+                 views AS (SELECT event_id AS view_event_id, ts AS view_ts,
+                                  user_id FROM events
+                           WHERE event_type = 'view')
+            SELECT c.event_id, c.user_id,
+                   COALESCE(v.view_event_id, -1) AS view_event_id
+            FROM clicks c ASOF LEFT JOIN views v
+              ON c.user_id = v.user_id AND v.view_ts <= c.ts
+            ORDER BY c.event_id
+        """,
+        "events_sliding": """
+            SELECT to_timestamp(CAST(floor(epoch(ts) / 900) AS BIGINT) * 900
+                                - i * 900)::TIMESTAMP AS window_start,
+                   event_type, COUNT(*) AS n_events,
+                   CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+                       AS sum_value_c
+            FROM events, unnest([0, 1, 2, 3]) AS t(i)
+            GROUP BY 1, 2 ORDER BY 1, 2
         """,
         "q3_shipping_priority": """
             SELECT l_orderkey,

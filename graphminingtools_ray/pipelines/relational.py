@@ -338,3 +338,130 @@ def q3_shipping_priority(
             "o_orderpriority": out["o_orderpriority"],
         }
     )
+
+
+def click_view_asof(sf_dir: str):
+    """Keyed AS-OF JOIN — one of the custom-operator family (as-of / range /
+    window) the Dataset API lacks, expressed as a composition per the
+    engine's standard recipe: for every 'click' event, the LATEST 'view'
+    event of the same user at-or-before the click's timestamp (−1 when
+    none; ties view.ts == click.ts match, like SQL ASOF's v.ts <= c.ts).
+    ONE bucketed exchange keyed on user_id; inside a bucket the classic
+    vectorized as-of merge: lexsort (user, ts, views-before-clicks), running
+    maximum over view row indices, same-user validity check — no per-row
+    loop, no global sort. Equal-timestamp DUPLICATE views of one user are
+    tie-broken arbitrarily (sub-microsecond event data makes this
+    unobservable; documented for parity audits)."""
+    import pyarrow.compute as pc2
+
+    from ..functions.bucketing import bucketed_group_combine
+
+    ds = read_table(
+        sf_dir, "events", columns=["event_id", "ts", "user_id", "event_type"]
+    )
+
+    def tag(t: pa.Table) -> pa.Table:
+        is_click = pc2.equal(t["event_type"], "click")
+        is_view = pc2.equal(t["event_type"], "view")
+        m = pc2.or_(is_click, is_view)
+        t2 = t.filter(m)
+        return pa.table(
+            {
+                "user_id": t2["user_id"],
+                "ts_ns": t2["ts"].cast(pa.int64()),
+                "event_id": t2["event_id"],
+                "is_view": pc2.equal(t2["event_type"], "view").cast(pa.int8()),
+            }
+        )
+
+    tagged = ds.map_batches(tag, batch_format="pyarrow")
+
+    def asof_bucket(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy()
+        ts = t["ts_ns"].to_numpy()
+        eid = t["event_id"].to_numpy()
+        isv = t["is_view"].to_numpy()
+        order = np.lexsort((1 - isv, ts, u))  # views first at equal (u, ts)
+        u, ts, eid, isv = u[order], ts[order], eid[order], isv[order]
+        n = len(u)
+        idx = np.where(isv == 1, np.arange(n), -1)
+        last = np.maximum.accumulate(idx) if n else idx
+        is_click = isv == 0
+        li = last[is_click]
+        ok = li >= 0
+        ok[ok] &= u[li[ok]] == u[np.flatnonzero(is_click)[ok]]
+        view_eid = np.where(ok, eid[np.maximum(li, 0)], -1)
+        return pa.table(
+            {
+                "event_id": eid[is_click],
+                "user_id": u[is_click],
+                "view_event_id": view_eid.astype(np.int64),
+            }
+        )
+
+    out = bucketed_group_combine(tagged, ["user_id"], asof_bucket).to_pandas()
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+def events_sliding(sf_dir: str, window_min: int = 60, hop_min: int = 15):
+    """Sliding (hopping) window aggregate — window 60 min, hop 15 min: every
+    event lands in window/hop = 4 windows; per (window_start, event_type)
+    emit event count and exact integer-cents value sum. Window starts are
+    epoch-aligned hop multiples (engine: ts_ns // hop_ns; oracle:
+    floor(epoch/900)*900 — identical alignment). Per-batch combiner (each
+    batch pre-aggregates its 4× expanded rows) → one bucketed exchange keyed
+    (window, type)."""
+    from ..functions.bucketing import bucketed_group_combine
+
+    n_sub = window_min // hop_min
+    hop_ns = hop_min * 60 * 10**9
+    ds = read_table(sf_dir, "events", columns=["ts", "event_type", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        ts = t["ts"].cast(pa.timestamp("ns")).cast(pa.int64()).to_numpy()
+        cents = np.rint(
+            t["value"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        k = ts // hop_ns
+        widx = (np.repeat(k, n_sub)
+                - np.tile(np.arange(n_sub, dtype=np.int64), len(k)))
+        et_codes, et_dict = pd.factorize(
+            t["event_type"].to_pandas(), sort=True
+        )
+        df = pd.DataFrame(
+            {
+                "w": widx,
+                "e": np.repeat(et_codes, n_sub),
+                "c": np.repeat(cents, n_sub),
+            }
+        )
+        g = df.groupby(["w", "e"], sort=False).agg(
+            n_events=("c", "size"), sum_value_c=("c", "sum")
+        ).reset_index()
+        return pa.table(
+            {
+                "window_ns": (g["w"] * hop_ns).to_numpy(np.int64),
+                "event_type": pa.array(
+                    et_dict[g["e"].to_numpy()], pa.string()
+                ),
+                "n_events": g["n_events"].to_numpy(np.int64),
+                "sum_value_c": g["sum_value_c"].to_numpy(np.int64),
+            }
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow")
+
+    def combine(t: pa.Table) -> pd.DataFrame:
+        df = t.to_pandas()
+        return (
+            df.groupby(["window_ns", "event_type"], sort=True)
+            .agg(n_events=("n_events", "sum"), sum_value_c=("sum_value_c", "sum"))
+            .reset_index()
+        )
+
+    out = bucketed_group_combine(
+        parts, ["window_ns", "event_type"], combine
+    ).to_pandas()
+    out["window_start"] = pd.to_datetime(out.pop("window_ns"))
+    out = out[["window_start", "event_type", "n_events", "sum_value_c"]]
+    return out.sort_values(["window_start", "event_type"]).reset_index(drop=True)
