@@ -189,6 +189,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "topk_orders": relational.topk_orders,
         "q3_shipping_priority": relational.q3_shipping_priority,
         "click_view_asof": relational.click_view_asof,
+        "click_view_range": relational.click_view_range,
         "events_sliding": relational.events_sliding,
         "events_hourly": relational.events_hourly,
         "sessionize": relational.sessionize,
@@ -378,6 +379,19 @@ def oracle_sql() -> dict[str, str]:
             FROM clicks c ASOF LEFT JOIN views v
               ON c.user_id = v.user_id AND v.view_ts <= c.ts
             ORDER BY c.event_id
+        """,
+        "click_view_range": """
+            WITH clicks AS (SELECT event_id, ts, user_id FROM events
+                            WHERE event_type = 'click'),
+                 views AS (SELECT ts AS view_ts, user_id FROM events
+                           WHERE event_type = 'view')
+            SELECT c.event_id, c.user_id,
+                   COUNT(v.view_ts) AS n_views
+            FROM clicks c LEFT JOIN views v
+              ON v.user_id = c.user_id
+             AND v.view_ts <= c.ts
+             AND v.view_ts > c.ts - INTERVAL '30 minutes'
+            GROUP BY 1, 2 ORDER BY 1
         """,
         "events_sliding": """
             SELECT to_timestamp(CAST(floor(epoch(ts) / 900) AS BIGINT) * 900

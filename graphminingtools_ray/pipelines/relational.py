@@ -465,3 +465,71 @@ def events_sliding(sf_dir: str, window_min: int = 60, hop_min: int = 15):
     out["window_start"] = pd.to_datetime(out.pop("window_ns"))
     out = out[["window_start", "event_type", "n_events", "sum_value_c"]]
     return out.sort_values(["window_start", "event_type"]).reset_index(drop=True)
+
+
+def click_view_range(sf_dir: str, window_min: int = 30):
+    """Keyed RANGE JOIN (band join) — completes the as-of/range/window
+    custom-operator family: for every 'click', the COUNT of same-user
+    'view' events in the half-open window (click.ts − 30 min, click.ts].
+    ONE bucketed exchange keyed on user_id; inside a bucket the counts come
+    from the merge-tag trick, fully vectorized: views and two probe rows per
+    click (left/right window bounds) are lexsorted by (user, ts,
+    views-before-probes), a running view counter is read at both probe
+    positions, and the difference is the in-window count (cross-user
+    prefix contamination cancels in the difference because both probes sit
+    inside the same user's sort span)."""
+    import pyarrow.compute as pc2
+
+    from ..functions.bucketing import bucketed_group_combine
+
+    win_ns = window_min * 60 * 10**9
+    ds = read_table(
+        sf_dir, "events", columns=["event_id", "ts", "user_id", "event_type"]
+    )
+
+    def tag(t: pa.Table) -> pa.Table:
+        is_click = pc2.equal(t["event_type"], "click")
+        is_view = pc2.equal(t["event_type"], "view")
+        t2 = t.filter(pc2.or_(is_click, is_view))
+        return pa.table(
+            {
+                "user_id": t2["user_id"],
+                "ts_ns": t2["ts"].cast(pa.timestamp("ns")).cast(pa.int64()),
+                "event_id": t2["event_id"],
+                "is_view": pc2.equal(t2["event_type"], "view").cast(pa.int8()),
+            }
+        )
+
+    tagged = ds.map_batches(tag, batch_format="pyarrow")
+
+    def range_bucket(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy()
+        ts = t["ts_ns"].to_numpy()
+        eid = t["event_id"].to_numpy()
+        isv = t["is_view"].to_numpy() == 1
+        cu, cts, ceid = u[~isv], ts[~isv], eid[~isv]
+        vu, vts = u[isv], ts[isv]
+        nc, nv = len(cu), len(vu)
+        # merged rows: views (tag 0) then right probes (tag 1) then left
+        # probes (tag 1) at equal (user, ts) — both bounds count views <= ts
+        mu = np.concatenate([vu, cu, cu])
+        mts = np.concatenate([vts, cts, cts - win_ns])
+        mtag = np.concatenate(
+            [np.zeros(nv, np.int8), np.ones(2 * nc, np.int8)]
+        )
+        order = np.lexsort((mtag, mts, mu))
+        cum = np.cumsum(mtag[order] == 0)
+        pos = np.empty(len(order), np.int64)
+        pos[order] = np.arange(len(order))
+        right = cum[pos[nv : nv + nc]]
+        left = cum[pos[nv + nc :]]
+        return pa.table(
+            {
+                "event_id": ceid,
+                "user_id": cu,
+                "n_views": (right - left).astype(np.int64),
+            }
+        )
+
+    out = bucketed_group_combine(tagged, ["user_id"], range_bucket).to_pandas()
+    return out.sort_values("event_id").reset_index(drop=True)
