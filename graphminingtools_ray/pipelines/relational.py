@@ -38,46 +38,52 @@ def q1_pricing_summary(sf_dir: str):
         ],
     )
 
-    def derive(t: pa.Table) -> pa.Table:
+    def derive_partial(t: pa.Table) -> pa.Table:
         t = t.filter(pc.less_equal(t["l_shipdate"], pa.scalar(pd.Timestamp("1998-09-02"))))
-        # money columns are exact 2-decimal values: do the derived-price
-        # aggregates in integer cents so sums are EXACT and independent of
-        # summation order (float sums round-trip differently between engines)
+        # money columns are exact 2-decimal values: do EVERY aggregate in
+        # scaled integers so sums are EXACT and independent of summation
+        # order (float sums round-trip differently between engines), and
+        # pre-aggregate per batch — the final combine is 6 rows × #batches,
+        # so no shuffle operator is needed at all (partial+final pattern,
+        # searchTree.c:372-456 shape)
         ep_c = np.rint(t["l_extendedprice"].to_numpy(zero_copy_only=False) * 100).astype(np.int64)
         disc_pct = np.rint(t["l_discount"].to_numpy(zero_copy_only=False) * 100).astype(np.int64)
         tax_pct = np.rint(t["l_tax"].to_numpy(zero_copy_only=False) * 100).astype(np.int64)
-        disc_price_e4 = ep_c * (100 - disc_pct)
-        charge_e6 = disc_price_e4 * (100 + tax_pct)
-        return pa.table(
+        qty_c = np.rint(t["l_quantity"].to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        df = pd.DataFrame(
             {
-                "l_returnflag": t["l_returnflag"],
-                "l_linestatus": t["l_linestatus"],
-                "l_quantity": t["l_quantity"],
-                "l_extendedprice": t["l_extendedprice"],
-                "disc_price_e4": disc_price_e4,
-                "charge_e6": charge_e6,
+                "l_returnflag": t["l_returnflag"].to_pandas(),
+                "l_linestatus": t["l_linestatus"].to_pandas(),
+                "sum_qty_c": qty_c,
+                "sum_base_price_c": ep_c,
+                "sum_disc_price_e4": ep_c * (100 - disc_pct),
+                "sum_charge_e6": ep_c * (100 - disc_pct) * (100 + tax_pct),
             }
         )
+        g = df.groupby(["l_returnflag", "l_linestatus"], sort=False).agg(
+            sum_qty_c=("sum_qty_c", "sum"),
+            sum_base_price_c=("sum_base_price_c", "sum"),
+            sum_disc_price_e4=("sum_disc_price_e4", "sum"),
+            sum_charge_e6=("sum_charge_e6", "sum"),
+            count_order=("sum_qty_c", "size"),
+        ).reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
 
+    parts = ds.map_batches(derive_partial, batch_format="pyarrow").to_pandas()
     out = (
-        ds.map_batches(derive, batch_format="pyarrow")
-        .groupby(["l_returnflag", "l_linestatus"])
-        .aggregate(
-            Sum("l_quantity", alias_name="sum_qty"),
-            Sum("l_extendedprice", alias_name="sum_base_price"),
-            Sum("disc_price_e4", alias_name="sum_disc_price_e4"),
-            Sum("charge_e6", alias_name="sum_charge_e6"),
-            Count(alias_name="count_order"),
-        )
-        .to_pandas()
+        parts.groupby(["l_returnflag", "l_linestatus"], sort=True)
+        .sum()
+        .reset_index()
     )
-    # sum_qty (integral values) and sum_base_price (2-decimal values) are
-    # exact at 2-decimal rounding; the scaled sums are already exact ints
-    for c in ["sum_qty", "sum_base_price"]:
-        out[c] = round_half_away(out[c], 2)
+    out["sum_qty"] = round_half_away(out.pop("sum_qty_c") / 100.0, 2)
+    out["sum_base_price"] = round_half_away(out.pop("sum_base_price_c") / 100.0, 2)
     out["sum_disc_price_e4"] = out["sum_disc_price_e4"].astype(np.int64)
     out["sum_charge_e6"] = out["sum_charge_e6"].astype(np.int64)
-    return out
+    out["count_order"] = out["count_order"].astype(np.int64)
+    return out[
+        ["l_returnflag", "l_linestatus", "sum_qty", "sum_base_price",
+         "sum_disc_price_e4", "sum_charge_e6", "count_order"]
+    ]
 
 
 def filter_project_revenue(sf_dir: str):
@@ -118,29 +124,42 @@ def nation_revenue(sf_dir: str):
     no shuffle join (SURVEY §7.3 broadcast rule)."""
     cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_nationkey"]).to_pandas()
     nat = read_table(sf_dir, "nation", columns=["n_nationkey", "n_name"]).to_pandas()
-    c2n = dict(zip(cust["c_custkey"], cust["c_nationkey"]))
-    n2name = dict(zip(nat["n_nationkey"], nat["n_name"]))
-    ref = ray.put((c2n, n2name))
+    order = np.argsort(cust["c_custkey"].to_numpy())
+    ck_sorted = cust["c_custkey"].to_numpy()[order]
+    nk_of_ck = cust["c_nationkey"].to_numpy()[order]
+    ref = ray.put((ck_sorted, nk_of_ck))
 
-    def attach(t: pa.Table) -> pa.Table:
-        c2n_, n2name_ = ray.get(ref)
-        ck = t["o_custkey"].to_numpy()
-        names = [n2name_[c2n_[int(c)]] for c in ck]
+    def attach_partial(t: pa.Table) -> pa.Table:
+        # broadcast binary-search lookup (no per-row Python) + per-batch
+        # partial aggregate keyed on the INT nationkey (25 groups — the
+        # final combine is tiny, no shuffle operator needed); totalprice is
+        # an exact 2-decimal value → sum in integer cents
+        ck_s, nk_ = ray.get(ref)
+        nk = nk_[np.searchsorted(ck_s, t["o_custkey"].to_numpy())]
+        cents = np.rint(
+            t["o_totalprice"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        uk, inv = np.unique(nk, return_inverse=True)
+        rev = np.zeros(len(uk), np.int64)
+        np.add.at(rev, inv, cents)
         return pa.table(
-            {"n_name": pa.array(names, pa.string()), "o_totalprice": t["o_totalprice"]}
+            {
+                "n_nationkey": uk.astype(np.int64),
+                "revenue_c": rev,
+                "n_orders": np.bincount(inv, minlength=len(uk)).astype(np.int64),
+            }
         )
 
-    out = (
+    parts = (
         read_table(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
-        .map_batches(attach, batch_format="pyarrow")
-        .groupby("n_name")
-        .aggregate(
-            Sum("o_totalprice", alias_name="revenue"), Count(alias_name="n_orders")
-        )
+        .map_batches(attach_partial, batch_format="pyarrow")
         .to_pandas()
     )
-    out["revenue"] = round_half_away(out["revenue"], 2)
-    return out
+    out = parts.groupby("n_nationkey", sort=True).sum().reset_index()
+    out = out.merge(nat, on="n_nationkey", how="left")
+    out["revenue"] = round_half_away(out.pop("revenue_c") / 100.0, 2)
+    out["n_orders"] = out["n_orders"].astype(np.int64)
+    return out[["n_name", "revenue", "n_orders"]]
 
 
 def topk_orders(sf_dir: str, k: int = 10):
@@ -154,23 +173,27 @@ def events_hourly(sf_dir: str):
     SURVEY §2.9 — Ray Data has no watermarks; windows are keyed groupbys)."""
     ds = read_table(sf_dir, "events", columns=["ts", "event_type", "value"])
 
-    def win(t: pa.Table) -> pa.Table:
-        # value is an exact 2-decimal quantity → aggregate in integer cents
-        value_c = np.rint(t["value"].to_numpy(zero_copy_only=False) * 100).astype(np.int64)
-        return pa.table(
+    def win_partial(t: pa.Table) -> pa.Table:
+        # value is an exact 2-decimal quantity → aggregate in integer cents;
+        # pre-aggregate per batch (hour×type groups are few) so the final
+        # combine is tiny and no shuffle operator is needed
+        df = pd.DataFrame(
             {
-                "hour": pc.floor_temporal(t["ts"], unit="hour"),
-                "event_type": t["event_type"],
-                "value_c": value_c,
+                "hour": pc.floor_temporal(t["ts"], unit="hour").to_pandas(),
+                "event_type": t["event_type"].to_pandas(),
+                "value_c": np.rint(
+                    t["value"].to_numpy(zero_copy_only=False) * 100
+                ).astype(np.int64),
             }
         )
+        g = df.groupby(["hour", "event_type"], sort=False).agg(
+            n_events=("value_c", "size"), sum_value_c=("value_c", "sum")
+        ).reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
 
-    out = (
-        ds.map_batches(win, batch_format="pyarrow")
-        .groupby(["hour", "event_type"])
-        .aggregate(Count(alias_name="n_events"), Sum("value_c", alias_name="sum_value_c"))
-        .to_pandas()
-    )
+    parts = ds.map_batches(win_partial, batch_format="pyarrow").to_pandas()
+    out = parts.groupby(["hour", "event_type"], sort=True).sum().reset_index()
+    out["n_events"] = out["n_events"].astype(np.int64)
     out["sum_value_c"] = out["sum_value_c"].astype(np.int64)
     return out
 
