@@ -188,6 +188,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nation_revenue": relational.nation_revenue,
         "topk_orders": relational.topk_orders,
         "q3_shipping_priority": relational.q3_shipping_priority,
+        "q5_local_supplier_volume": relational.q5_local_supplier_volume,
         "click_view_asof": relational.click_view_asof,
         "click_view_range": relational.click_view_range,
         "events_sliding": relational.events_sliding,
@@ -379,6 +380,20 @@ def oracle_sql() -> dict[str, str]:
             FROM clicks c ASOF LEFT JOIN views v
               ON c.user_id = v.user_id AND v.view_ts <= c.ts
             ORDER BY c.event_id
+        """,
+        "q5_local_supplier_volume": """
+            SELECT r_name, n_name,
+                   CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                            * (100 - CAST(ROUND(l_discount * 100) AS BIGINT)))
+                        AS BIGINT) AS revenue_e4
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN supplier ON l_suppkey = s_suppkey
+                         AND s_nationkey = c_nationkey
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY 1, 2 ORDER BY 1, 2
         """,
         "click_view_range": """
             WITH clicks AS (SELECT event_id, ts, user_id FROM events

@@ -556,3 +556,107 @@ def click_view_range(sf_dir: str, window_min: int = 30):
 
     out = bucketed_group_combine(tagged, ["user_id"], range_bucket).to_pandas()
     return out.sort_values("event_id").reset_index(drop=True)
+
+
+def q5_local_supplier_volume(sf_dir: str):
+    """TPC-H Q5 shape (local supplier volume): revenue from lineitems whose
+    SUPPLIER and ordering CUSTOMER sit in the same nation, per (region,
+    nation). Join plan: customer/supplier/nation/region are dimension-scale
+    → broadcast as sorted key arrays (binary search per batch); lineitem and
+    orders are both fact-scale → ONE bucketed exchange keyed on orderkey.
+    Lineitem rows pre-aggregate (orderkey, supplier-nation) partials inside
+    each map task; the bucket combine attaches the order's customer nation,
+    keeps equal-nation rows, and emits nation-keyed partials — the driver
+    final is nation-cardinality-scale. Revenue is exact int64 1e-4 units."""
+    from ..functions.bucketing import bucketed_group_combine
+
+    cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_nationkey"]).to_pandas()
+    supp = read_table(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"]).to_pandas()
+    nat = read_table(sf_dir, "nation").to_pandas()
+    reg = read_table(sf_dir, "region").to_pandas()
+
+    def sorted_map(df, k, v):
+        o = np.argsort(df[k].to_numpy())
+        return df[k].to_numpy()[o], df[v].to_numpy()[o]
+
+    ck, cn = sorted_map(cust, "c_custkey", "c_nationkey")
+    sk, sn = sorted_map(supp, "s_suppkey", "s_nationkey")
+    ref = ray.put((ck, cn, sk, sn))
+
+    def order_rows(t: pa.Table) -> pa.Table:
+        ck_, cn_, _, _ = ray.get(ref)
+        c_nat = cn_[np.searchsorted(ck_, t["o_custkey"].to_numpy())]
+        n = t.num_rows
+        return pa.table(
+            {
+                "k": t["o_orderkey"].to_numpy(),
+                "nat": c_nat.astype(np.int64),
+                "rev_e4": np.zeros(n, np.int64),
+                "is_order": np.ones(n, np.int8),
+            }
+        )
+
+    def line_rows(t: pa.Table) -> pa.Table:
+        _, _, sk_, sn_ = ray.get(ref)
+        s_nat = sn_[np.searchsorted(sk_, t["l_suppkey"].to_numpy())]
+        e_c = np.rint(
+            t["l_extendedprice"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        d_c = np.rint(
+            t["l_discount"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        rev = e_c * (100 - d_c)
+        ok = t["l_orderkey"].to_numpy()
+        # batch-local combiner keyed (orderkey, supplier nation)
+        from ..functions.bucketing import group_boundaries
+
+        sc, starts, order = group_boundaries([ok, s_nat.astype(np.int64)])
+        n = len(ok)
+        acc = (
+            np.add.reduceat(rev[order], starts) if len(starts)
+            else np.empty(0, np.int64)
+        )
+        return pa.table(
+            {
+                "k": sc[0][starts] if len(starts) else np.empty(0, np.int64),
+                "nat": sc[1][starts] if len(starts) else np.empty(0, np.int64),
+                "rev_e4": acc,
+                "is_order": np.zeros(len(starts), np.int8),
+            }
+        )
+
+    orders = read_table(
+        sf_dir, "orders", columns=["o_orderkey", "o_custkey"]
+    ).map_batches(order_rows, batch_format="pyarrow")
+    lines = read_table(
+        sf_dir, "lineitem", columns=["l_orderkey", "l_suppkey",
+                                     "l_extendedprice", "l_discount"]
+    ).map_batches(line_rows, batch_format="pyarrow")
+
+    def join_bucket(t: pa.Table) -> pa.Table:
+        k = t["k"].to_numpy()
+        nat = t["nat"].to_numpy()
+        rev = t["rev_e4"].to_numpy()
+        iso = t["is_order"].to_numpy() == 1
+        o_k, o_nat = k[iso], nat[iso]
+        order = np.argsort(o_k, kind="stable")
+        o_k, o_nat = o_k[order], o_nat[order]
+        lk, lnat, lrev = k[~iso], nat[~iso], rev[~iso]
+        pos = np.searchsorted(o_k, lk)
+        pos_c = np.minimum(pos, max(len(o_k) - 1, 0))
+        m = (len(o_k) > 0) & (o_k[pos_c] == lk) & (o_nat[pos_c] == lnat)
+        un, inv = np.unique(lnat[m], return_inverse=True)
+        acc = np.zeros(len(un), np.int64)
+        np.add.at(acc, inv, lrev[m])
+        return pa.table({"n_nationkey": un, "revenue_e4": acc})
+
+    parts = bucketed_group_combine(
+        orders.union(lines), ["k"], join_bucket
+    ).to_pandas()
+    out = parts.groupby("n_nationkey", sort=True).sum().reset_index()
+    out = out.merge(nat, on="n_nationkey").merge(
+        reg, left_on="n_regionkey", right_on="r_regionkey"
+    )
+    out = out[["r_name", "n_name", "revenue_e4"]]
+    out["revenue_e4"] = out["revenue_e4"].astype(np.int64)
+    return out.sort_values(["r_name", "n_name"]).reset_index(drop=True)
