@@ -226,6 +226,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "word_freq_topk": text_q.word_freq_topk,
         "minhash_near_dup": text_q.minhash_near_dup,
         "ngram_jaccard_dup": _ngram_jaccard_dup,
+        "token_counts": text_q.token_counts,
         "simhash_fingerprints": text_q.simhash_fingerprints,
         "winnow_fingerprints": text_q.winnow_fingerprints,
         "media_features": text_q.media_features,
@@ -585,6 +586,15 @@ def oracle_sql() -> dict[str, str]:
                                trim(COALESCE(text, '')), '\s+')) AS token
                   FROM documents WHERE trim(COALESCE(text, '')) <> '')
             GROUP BY token ORDER BY n DESC, token LIMIT 20
+        """,
+        "token_counts": r"""
+            SELECT doc_id,
+                   len(regexp_extract_all(COALESCE(text, ''), '\S+'))::BIGINT
+                       AS n_ws_tokens,
+                   len(regexp_extract_all(COALESCE(text, ''),
+                       '''(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+'))::BIGINT
+                       AS n_bpe_tokens
+            FROM documents
         """,
         "ngram_jaccard_dup": r"""
             WITH toks AS (

@@ -493,3 +493,32 @@ def ngram_jaccard_dup(
             }
         )
     return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+
+
+# GPT2-style pretokenizer, minus the \s+(?!\S) lookahead pieces (neither
+# Rust regex nor RE2 supports lookahead; whitespace runs are simply not
+# counted as tokens). Leftmost-first alternation semantics agree between
+# polars (Rust regex) and DuckDB (RE2) — parity is oracle-verified.
+BPE_ISH_RE = r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+"
+
+
+def token_counts(sf_dir: str) -> rd.Dataset:
+    """Per-document token counting two ways (a training-data-pipeline
+    staple): whitespace tokens (``\\S+`` runs) and BPE-ish pretokenizer
+    tokens (``BPE_ISH_RE``). One vectorized polars pass per batch, no
+    exchange — embarrassingly parallel."""
+    from ..stages.text import _pl_utf8
+
+    def fn(t: pa.Table) -> pa.Table:
+        s = _pl_utf8(t["text"])
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_ws_tokens": s.str.count_matches(r"\S+")
+                .to_numpy().astype(np.int64),
+                "n_bpe_tokens": s.str.count_matches(BPE_ISH_RE)
+                .to_numpy().astype(np.int64),
+            }
+        )
+
+    return _docs(sf_dir).map_batches(fn, batch_format="pyarrow")
