@@ -16,7 +16,6 @@ import pyarrow as pa
 import ray
 import ray.data as rd
 
-from ..functions.rounding import round_half_away
 from ..sources.tables import read_table
 
 

@@ -12,8 +12,6 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
-import ray.data as rd
-from ray.data.aggregate import Count
 
 from ..algos.components import connected_components
 from ..algos.pagerank import pagerank

@@ -33,7 +33,6 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 import ray
-import ray.data as rd
 
 from ..functions.bucketing import bucketed_group_combine
 from .mining import _n_graphs, order_graph_edges_full

@@ -36,7 +36,6 @@ Deviations from the reference, for parity auditing:
 
 from __future__ import annotations
 
-import pandas as pd
 import pyarrow as pa
 import ray.data as rd
 

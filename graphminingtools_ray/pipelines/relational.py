@@ -14,8 +14,7 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray
-import ray.data as rd
-from ray.data.aggregate import Count, Sum
+from ray.data.aggregate import Count
 
 from ..functions.rounding import round_half_away
 from ..sources.tables import read_table

@@ -82,7 +82,6 @@ def write_libsvm(
     graph's features; each bucket task writes its own ``part-<bucket>.svm``
     file (resumable layout: rerun overwrites whole parts). Returns the
     number of graphs written."""
-    import numpy as np
     import pandas as pd
     import pyarrow as pa
 

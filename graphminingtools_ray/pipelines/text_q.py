@@ -6,7 +6,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 import ray.data as rd
-from ray.data.aggregate import Count, Min, Sum
+from ray.data.aggregate import Count
 
 from ..context import actor_pool
 from ..functions.rounding import round_half_away

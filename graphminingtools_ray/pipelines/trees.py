@@ -10,7 +10,6 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 import ray
-import ray.data as rd
 
 from ..functions.bucketing import bucketed_group_combine
 from ..functions.cstring import canonical_tree_string
