@@ -208,7 +208,8 @@ def connected_components_partitioned(
         if ckpt is not None:
             ckpt.commit(
                 it, parts_sorted,
-                meta={"changed": changed, "converged": converged},
+                meta={"changed": changed, "converged": converged,
+                      "seconds": dt, "n_edges": g.n_edges},
             )
         if converged:
             break

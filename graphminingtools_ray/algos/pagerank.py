@@ -313,10 +313,14 @@ def pagerank_partitioned(
             }
         )
         if ckpt is not None:
+            # lineage carries the superstep metrics too (SURVEY §4: wall
+            # time + edges processed logged to the lineage record)
             ckpt.commit(
                 it, parts_sorted,
                 meta={"delta_inf": delta, "converged": delta < tol,
-                      "dangling_mass": dmass},
+                      "dangling_mass": dmass, "seconds": dt,
+                      "edges_per_sec": g.n_edges / dt if dt > 0 else None,
+                      "n_edges": g.n_edges},
             )
         next_check += 1
         if delta < tol:
