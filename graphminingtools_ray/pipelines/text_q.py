@@ -76,12 +76,29 @@ def word_freq_topk(sf_dir: str, k: int = 20):
     groupby(token).sum → deterministic (n desc, token asc) top-k."""
 
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
-        counts: dict[str, int] = {}
-        for t in batch["text"].fillna(""):
-            for tok in t.split():
-                counts[tok] = counts.get(tok, 0) + 1
+        # vectorized batch-local combiner: one polars split/explode/
+        # value_counts pass (no per-token Python loop)
+        import polars as pl
+
+        from ..stages.text import _pl_utf8
+
+        toks = (
+            _pl_utf8(batch["text"])
+            .str.extract_all(r"\S+")
+            .explode()
+            .drop_nulls()
+        )
+        if len(toks) == 0:
+            return pd.DataFrame(
+                {"token": pd.Series([], dtype=str),
+                 "partial": pd.Series([], dtype=np.int64)}
+            )
+        vc = toks.value_counts()
         return pd.DataFrame(
-            {"token": list(counts), "partial": np.fromiter(counts.values(), np.int64)}
+            {
+                "token": vc["t"].to_list(),
+                "partial": vc["count"].to_numpy().astype(np.int64),
+            }
         )
 
     from ..functions.bucketing import bucketed_group_combine
