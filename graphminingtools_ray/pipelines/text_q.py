@@ -159,8 +159,9 @@ def minhash_near_dup(sf_dir: str, threshold: float = 0.3, bucket_cap: int = 256)
     SH_T = pa.list_(pa.uint64())
 
     def shingle_rows(t: pa.Table) -> pa.Table:
-        texts = [x if x is not None else "" for x in t["text"].to_pylist()]
-        sets = shingle_sets_batch(texts)
+        # Arrow path into the shingle hasher: zero-copy into polars, no
+        # per-doc Python str materialization (bit-identical hash family)
+        sets = shingle_sets_batch(pa.compute.fill_null(t["text"], ""))
         return pa.table(
             {
                 "k": t["doc_id"],
@@ -385,8 +386,9 @@ def ngram_jaccard_dup(
     from ..stages.dedup import shingle_sets_batch
 
     def long_rows(t: pa.Table) -> pa.Table:
-        texts = [x if x is not None else "" for x in t["text"].to_pylist()]
-        sets = shingle_sets_batch(texts)
+        # Arrow path into the shingle hasher: zero-copy into polars, no
+        # per-doc Python str materialization (bit-identical hash family)
+        sets = shingle_sets_batch(pa.compute.fill_null(t["text"], ""))
         sizes = np.array([len(s) for s in sets], np.int64)
         doc = np.repeat(t["doc_id"].to_numpy(), sizes)
         sh = (
