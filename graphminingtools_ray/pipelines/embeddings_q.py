@@ -177,51 +177,128 @@ def ann_topk_lsh(
 
 
 def embedding_near_dup(sf_dir: str, threshold: float = 0.3,
-                       chunk_rows: int = 2048):
+                       chunk_rows: int = 2048, tile_rows: int = 8192):
     """Blocked embedding near-dup: candidate pairs restricted to equal
     ``label`` (the blocking key), cosine > threshold, a < b.
 
-    Hash-bucketed exchange keyed on label (replacing the per-key
-    ``map_groups`` path); within a bucket, each label block's pairwise
-    cosine runs in row CHUNKS of ``chunk_rows`` against the block, so a
-    skewed hot label bounds MEMORY at chunk×block instead of block² (the
-    O(block²) FLOPs are the semantics — exact all-pairs within a block —
-    but a hot key can no longer blow up a worker heap)."""
+    Skew handling is TWO-LEVEL — the O(n_label²) FLOPs are the semantics
+    (exact all-pairs within a block), but neither memory nor a single
+    task's wall time may scale with a hot label:
+
+    1. a cheap label-size pass (per-batch partial counts → label-scale
+       driver final) decides each label's chunk count
+       nc = ceil(n / tile_rows);
+    2. every vector of a tiled label (nc > 1) is fanned out to its nc
+       TILES — vector in chunk c (seeded hash of vec_id) participates in
+       tiles (c, j) for j ≥ c as the row side and (i, c) for i < c as the
+       column side (the standard distributed all-pairs tiling; data
+       inflation × nc applies only to the hot labels);
+    3. ONE bucketed exchange keyed (label, tile_i, tile_j) — each tile task
+       multiplies its row chunk against its column chunk (≤ tile_rows² per
+       TASK, and within the task the matmul still runs in ``chunk_rows``
+       strips for heap bounds). Tiles partition the pair space, so no
+       dedup pass is needed.
+    Labels with nc == 1 take the same path with a single (0, 0) tile."""
     from ..functions.bucketing import bucketed_group_combine
 
     ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding", "label"])
 
-    def combine(t: pa.Table) -> pa.Table:
-        labels = np.asarray(t["label"].to_pylist(), dtype=object)
+    # pass 1: label sizes (label-scale final on the driver — label is a
+    # BLOCKING key, its cardinality is modest by construction)
+    def size_partial(t: pa.Table) -> pa.Table:
+        # label-type-agnostic partial counts (labels may be int or string)
+        vc = t["label"].to_pandas().value_counts()
+        g = pd.DataFrame({"label": vc.index, "n": vc.to_numpy(np.int64)})
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    sizes = (
+        ds.map_batches(size_partial, batch_format="pyarrow")
+        .to_pandas()
+        .groupby("label")["n"].sum()
+    )
+    nc_of = {
+        lab: int(-(-n // tile_rows)) for lab, n in sizes.items()
+    }
+    nc_ref = ray.put(nc_of)
+
+    def fan_out(t: pa.Table) -> pa.Table:
+        nc_ = ray.get(nc_ref)
+        labels = t["label"].to_pandas()
         ids = t["vec_id"].to_numpy()
+        ncs = labels.map(nc_).to_numpy(np.int64)
+        chunk = (ids.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+                 >> np.uint64(33)).astype(np.int64) % np.maximum(ncs, 1)
+        # vector in chunk c of an nc-tiled label joins nc tiles:
+        # (min(c,k), max(c,k)) for k in 0..nc-1
+        reps = np.repeat(np.arange(len(ids)), ncs)
+        k = (np.arange(ncs.sum()) -
+             np.repeat(np.cumsum(ncs) - ncs, ncs))  # 0..nc-1 per vector
+        c = chunk[reps]
+        ti = np.minimum(c, k)
+        tj = np.maximum(c, k)
+        col = t["embedding"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        return pa.table(
+            {
+                "label": t["label"].take(pa.array(reps)),
+                "ti": ti,
+                "tj": tj,
+                "chunk": c,
+                "vec_id": ids[reps],
+                "embedding": col.take(pa.array(reps)),
+            }
+        )
+
+    tiled = ds.map_batches(fan_out, batch_format="pyarrow")
+
+    def tile_combine(t: pa.Table) -> pa.Table:
+        labels = t["label"].to_pandas()
+        ids = t["vec_id"].to_numpy()
+        ch = t["chunk"].to_numpy()
+        ti_all = t["ti"].to_numpy()
+        tj_all = t["tj"].to_numpy()
         col = t["embedding"]
         if isinstance(col, pa.ChunkedArray):
             col = col.combine_chunks()
         flat = col.values.to_numpy(zero_copy_only=False).astype(np.float64)
         mat = _normalize(flat.reshape(len(ids), -1))
         a_out, b_out = [], []
-        for lab in np.unique(labels):
-            m = labels == lab
-            bids = ids[m]
-            bmat = mat[m]
-            nb = len(bids)
-            for lo_ in range(0, nb, chunk_rows):
-                hi_ = min(lo_ + chunk_rows, nb)
-                sims = bmat[lo_:hi_] @ bmat.T  # (chunk, nb)
+        # group rows by (label, ti, tj) — a bucket can hold many tiles
+        gdf = pd.DataFrame({"label": labels, "ti": ti_all, "tj": tj_all})
+        groups = gdf.groupby(["label", "ti", "tj"], sort=True).indices
+        for (lab, ti, tj), idxs in groups.items():
+            idxs = np.asarray(idxs)
+            rows = idxs[ch[idxs] == ti]
+            cols = idxs[ch[idxs] == tj]
+            rid, rmat = ids[rows], mat[rows]
+            cid, cmat = ids[cols], mat[cols]
+            diag = ti == tj
+            for lo_ in range(0, len(rid), chunk_rows):
+                hi_ = min(lo_ + chunk_rows, len(rid))
+                sims = rmat[lo_:hi_] @ cmat.T
                 ai, bi = np.nonzero(sims > threshold)
-                ai = ai + lo_
-                keep = ai < bi  # upper triangle only
-                a_out.append(np.minimum(bids[ai[keep]], bids[bi[keep]]))
-                b_out.append(np.maximum(bids[ai[keep]], bids[bi[keep]]))
+                ra = rid[ai + lo_]
+                rb = cid[bi]
+                keep = ra < rb if diag else ra != rb
+                a_out.append(np.minimum(ra[keep], rb[keep]))
+                b_out.append(np.maximum(ra[keep], rb[keep]))
         if not a_out:
             return pa.table(
                 {"vec_a": np.empty(0, np.int64), "vec_b": np.empty(0, np.int64)}
             )
-        return pa.table(
-            {"vec_a": np.concatenate(a_out), "vec_b": np.concatenate(b_out)}
-        )
+        a = np.concatenate(a_out)
+        b = np.concatenate(b_out)
+        # off-diagonal tiles may emit (a,b) twice? no — chunks partition the
+        # label and each unordered chunk pair owns exactly one tile; but an
+        # off-diagonal pair is computed once (row side ti, col side tj), so
+        # no dedup is needed. Sort for determinism inside the bucket.
+        order = np.lexsort((b, a))
+        return pa.table({"vec_a": a[order], "vec_b": b[order]})
 
-    out = bucketed_group_combine(ds, ["label"], combine).to_pandas()
+    out = bucketed_group_combine(
+        tiled, ["label", "ti", "tj"], tile_combine
+    ).to_pandas()
     if len(out) == 0:
         return pd.DataFrame(
             {"vec_a": pd.Series([], dtype=np.int64), "vec_b": pd.Series([], dtype=np.int64)}

@@ -236,3 +236,16 @@ def test_ann_ivf_recall():
     # determinism
     again = ann_topk_ivf(SF)
     assert approx.equals(again)
+
+
+def test_embedding_near_dup_tiled_matches_untiled():
+    """Two-level tile fan-out (hot-label skew path) == single-tile path ==
+    the SQL oracle's all-pairs semantics: forcing every label into multiple
+    chunks (tile_rows below the label sizes) must not change the pair set."""
+    from graphminingtools_ray.pipelines.embeddings_q import embedding_near_dup
+
+    base = embedding_near_dup(SF)
+    tiled = embedding_near_dup(SF, tile_rows=8)
+    tiled_strips = embedding_near_dup(SF, tile_rows=8, chunk_rows=5)
+    assert base.equals(tiled)
+    assert base.equals(tiled_strips)
