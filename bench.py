@@ -450,6 +450,72 @@ def run_pagerank_scaling(num_cpus: int) -> dict:
     }
 
 
+def run_cc_big(num_cpus: int) -> dict:
+    """Connected components over the pinned 512M-edge bench graph — the
+    second north-star op measured on the same superstep substrate as
+    `--pagerank` (min-label propagation to fixpoint; per-superstep seconds
+    reported, build excluded)."""
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=num_cpus,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from graphminingtools_ray.context import configure
+
+    configure()
+    import ray.data as rd
+
+    from graphminingtools_ray.algos.components import (
+        connected_components_partitioned,
+    )
+    from graphminingtools_ray.graph.build import symmetrize
+
+    path = ensure_bench_graph()
+    t0 = time.perf_counter()
+    state_ds, g, info = connected_components_partitioned(
+        symmetrize(rd.read_parquet(path)), num_state_partitions=8
+    )
+    total = time.perf_counter() - t0
+    secs = [round(s["seconds"], 3) for s in info["supersteps"]]
+    n_components = None
+    if state_ds is not None:
+        # bench readout only: per-partition distinct labels → one small
+        # unique on the driver (each partition row holds its label list;
+        # distinct-per-partition first, so only label-scale data merges)
+        import numpy as np_
+
+        from graphminingtools_ray.algos.partitioned import _row_lists
+
+        parts = []
+        for b in state_ds.iter_batches(batch_size=None, batch_format="pyarrow"):
+            for i in range(b.num_rows):
+                (vals,) = _row_lists(b, i, ["values"])
+                parts.append(np_.unique(vals))
+        n_components = int(
+            len(np_.unique(np_.concatenate(parts))) if parts else 0
+        )
+    ray.shutdown()
+    mean_step = sum(secs) / max(1, len(secs))
+    return {
+        "metric": "CC supersteps to fixpoint on the 512M-edge bench graph "
+        "(symmetrized: 1.02B half-edges)",
+        "value": round(total, 3),
+        "unit": "sec",
+        "iterations": info["iterations"],
+        "converged": info["converged"],
+        "n_components": n_components,
+        "superstep_sec": secs,
+        "n_edges": g.n_edges,
+        "edges_per_sec_per_superstep": round(g.n_edges / mean_step, 1)
+        if mean_step > 0 else None,
+        "num_cpus": num_cpus,
+    }
+
+
 def run_scaling(sf_dir: str, lo: int = 8, hi: int = 32) -> dict:
     ensure_bench_corpus()  # generate once, before either subprocess runs
     ensure_bench_graph()
@@ -557,5 +623,7 @@ if __name__ == "__main__":
         print(json.dumps(run_ingest_scaling(num_cpus)))
     elif "--pagerank" in sys.argv:
         print(json.dumps(run_pagerank_scaling(num_cpus)))
+    elif "--cc" in sys.argv:
+        print(json.dumps(run_cc_big(num_cpus)))
     else:
         print(json.dumps(run_benchmarks(sf_dir, num_cpus)))
