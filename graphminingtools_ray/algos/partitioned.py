@@ -136,6 +136,26 @@ def get_part(index: dict, part: int, cols: list[str]):
     return _row_lists(ray.get(ref), row, cols)
 
 
+class PartCache:
+    """Per-task cache of fetched state-index partitions (zero-copy plasma
+    reads, shared per node). ``get(part)`` → tuple of numpy list-column
+    views, or None for an absent partition."""
+
+    def __init__(self, index: dict, cols: list[str]):
+        self.index = index
+        self.cols = cols
+        self.cache: dict[int, tuple | None] = {}
+
+    def get(self, part: int):
+        if part not in self.cache:
+            if part not in self.index:
+                self.cache[part] = None
+            else:
+                ref, row = self.index[part]
+                self.cache[part] = tuple(_row_lists(ray.get(ref), row, self.cols))
+        return self.cache[part]
+
+
 # ---------------------------------------------------------------------------
 # partitioned graph build
 # ---------------------------------------------------------------------------

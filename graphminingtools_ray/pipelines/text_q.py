@@ -5,6 +5,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import ray
 import ray.data as rd
 from ray.data.aggregate import Count
 
@@ -128,74 +129,117 @@ def word_freq_topk(sf_dir: str, k: int = 20):
     )
 
 
-def minhash_near_dup(sf_dir: str, threshold: float = 0.3, bucket_cap: int = 256):
+def minhash_near_dup(sf_dir: str, threshold: float = 0.3, bucket_cap: int = 256,
+                     num_parts: int = 32):
     """MinHash+LSH near-dup: signature → band buckets → candidate pairs →
     exact Jaccard verify (guide pattern; reference analog minhashing.c).
 
-    FULLY DISTRIBUTED (no driver-side candidate set): candidate pairs stay a
-    Dataset end-to-end —
-      0. ONE scan of the docs computes each doc's sorted-unique shingle set
-         (materialized, compact ``list<uint64>``); MinHash signatures are
-         derived FROM the sets (min over a set == min over the raw shingle
-         stream, bit-identical), so text is tokenized/hashed exactly once;
-      1. band rows → bucketed exchange on (band_id, band_hash) → vectorized
-         per-bucket pair expansion (``bucket_cap`` bounds the quadratic
-         blowup of a degenerate all-identical LSH bucket: sorted doc ids,
-         first ``bucket_cap`` kept — deterministic truncation semantics);
-      2. pairs ⋈ shingle sets on doc_a (bucketed exchange; pair dedup happens
-         here — all pairs sharing doc_a land in one bucket);
-      3. (pairs+sh_a) ⋈ shingle sets on doc_b + batch-vectorized exact
-         Jaccard, threshold filter inside the bucket.
+    FULLY DISTRIBUTED (no driver-side candidate set), with the shingle
+    payload crossing the wire exactly ONCE (the partitioned-probe-index
+    pattern also used by the triangle closing-edge probe):
+      0. ONE scan of the docs computes each doc's sorted-unique shingle set;
+         MinHash signatures are derived FROM the sets (min over a set ==
+         min over the raw shingle stream, bit-identical), so text is
+         tokenized/hashed exactly once;
+      1. ONE heavy exchange partitions the shingle sets by part(doc_id)
+         into P state rows ((ids, off, flat) CSR layout, 64-bit offsets)
+         pinned in the object store; the driver holds {part: block_ref}
+         only. P scales with the corpus, so a state row stays node-sized;
+      2. band rows derived from the state rows → bucketed exchange on
+         (band_id, band_hash) → vectorized per-bucket pair expansion
+         (``bucket_cap`` bounds the quadratic blowup of a degenerate
+         all-identical LSH bucket: sorted doc ids, first ``bucket_cap``
+         kept — deterministic truncation semantics);
+      3. ONE pair-scale exchange keyed part(doc_a): global pair dedup in
+         the bucket (every (a, *) pair of a doc lands in its partition's
+         bucket), shingle sets for both sides fetched zero-copy from the
+         state index, exact-Jaccard verify + threshold filter in place.
     Only the verified survivors (tiny) reach the driver. Deterministic.
 
     Returns (doc_a, doc_b, jaccard) for verified pairs, sorted."""
-    from ..functions.bucketing import bucketed_group_combine
+    from ..algos.partitioned import PartCache, index_state
+    from ..functions.bucketing import (
+        bucketed_group_combine,
+        int_bucket,
+        partition_group_combine,
+    )
     from ..graph.build import _pairs_from_sorted_key_items
-
-    docs = _docs(sf_dir)
-
     from ..stages.dedup import jaccard_sorted_sets, shingle_sets_batch
 
-    SH_T = pa.list_(pa.uint64())
+    docs = _docs(sf_dir)
+    P = num_parts
+    SH_T = pa.large_list(pa.uint64())
 
     def shingle_rows(t: pa.Table) -> pa.Table:
         # Arrow path into the shingle hasher: zero-copy into polars, no
         # per-doc Python str materialization (bit-identical hash family)
         sets = shingle_sets_batch(pa.compute.fill_null(t["text"], ""))
+        doc_ids = t["doc_id"].to_numpy()
         return pa.table(
             {
-                "k": t["doc_id"],
-                "other": pa.array(np.zeros(t.num_rows, np.int64)),
+                "part": int_bucket(doc_ids, P),
+                "doc_id": doc_ids,
                 "sh": pa.array(sets, SH_T),
-                "is_pair": pa.array(np.zeros(t.num_rows, np.int8)),
             }
         )
 
-    # materialized once: reused by the band stage AND both attach exchanges
-    # (lazy Datasets re-execute per consumer; the shingle pass is worth
-    # caching — it is the only scan of the raw text in this pipeline)
-    shingles_tagged = docs.map_batches(
-        shingle_rows, batch_format="pyarrow"
+    def build_state(t: pa.Table) -> pa.Table:
+        part = int(t["part"][0].as_py())
+        ids = t["doc_id"].to_numpy()
+        sh = t["sh"].combine_chunks() if isinstance(t["sh"], pa.ChunkedArray) else t["sh"]
+        flat = sh.values.to_numpy(zero_copy_only=False).astype(np.uint64)
+        off = sh.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        counts = np.diff(off)
+        order = np.argsort(ids, kind="stable")  # doc ids are unique
+        cnts = counts[order]
+        starts = off[:-1][order]
+        new_off = np.concatenate([[0], np.cumsum(cnts)])
+        src = np.repeat(starts - new_off[:-1], cnts) + np.arange(new_off[-1])
+        return pa.table(
+            {
+                "part": pa.array([part], pa.int64()),
+                "ids": pa.array([ids[order]], pa.list_(pa.int64())),
+                "off": pa.array([new_off], pa.list_(pa.int64())),
+                "flat": pa.array([flat[src]], SH_T),
+            }
+        )
+
+    # ONE exchange moves the shingle payload; the state rows are reused by
+    # the band stage AND the verify stage (zero-copy object-store reads)
+    state_ds = partition_group_combine(
+        docs.map_batches(shingle_rows, batch_format="pyarrow"),
+        "part", P, build_state,
     ).materialize()
+    state_index, _ = index_state(state_ds, [])
+    state_index_ref = ray.put(state_index)
 
     hasher = MinHasher()
 
     def band_rows(t: pa.Table) -> pa.Table:
-        sh = t["sh"].combine_chunks() if isinstance(t["sh"], pa.ChunkedArray) else t["sh"]
-        flat = sh.values.to_numpy(zero_copy_only=False).astype(np.uint64)
-        offsets = sh.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
-        bh = hasher.band_hashes(hasher.signatures_from_flat(flat, offsets))
-        doc_ids = t["k"].to_numpy()
+        out = []
         nb = hasher.bands
-        return pa.table(
-            {
-                "doc_id": np.repeat(doc_ids, nb),
-                "band_id": np.tile(np.arange(nb, dtype=np.int64), t.num_rows),
-                "band_hash": bh.ravel(),
-            }
-        )
+        for row in range(t.num_rows):
+            ids = t["ids"][row].values.to_numpy(zero_copy_only=False)
+            off = t["off"][row].values.to_numpy(zero_copy_only=False)
+            flat = t["flat"][row].values.to_numpy(zero_copy_only=False).astype(np.uint64)
+            bh = hasher.band_hashes(hasher.signatures_from_flat(flat, off))
+            out.append(
+                pa.table(
+                    {
+                        "doc_id": np.repeat(ids, nb),
+                        "band_id": np.tile(np.arange(nb, dtype=np.int64), len(ids)),
+                        "band_hash": bh.ravel(),
+                    }
+                )
+            )
+        if not out:
+            return pa.table(
+                {"doc_id": np.empty(0, np.int64), "band_id": np.empty(0, np.int64),
+                 "band_hash": np.empty(0, np.int64)}
+            )
+        return pa.concat_tables(out)
 
-    bands = shingles_tagged.map_batches(band_rows, batch_format="pyarrow")
+    bands = state_ds.map_batches(band_rows, batch_format="pyarrow", batch_size=1)
 
     def pair_gen(t: pa.Table) -> pa.Table:
         packed = np.stack(
@@ -214,86 +258,36 @@ def minhash_near_dup(sf_dir: str, threshold: float = 0.3, bucket_cap: int = 256)
 
     cand = bucketed_group_combine(bands, ["band_id", "band_hash"], pair_gen)
 
-    def tag_pairs(t: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "k": t["doc_a"],
-                "other": t["doc_b"],
-                "sh": pa.array([None] * t.num_rows, SH_T),
-                "is_pair": pa.array(np.ones(t.num_rows, np.int8)),
-            }
+    def add_part(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "part", pa.array(int_bucket(t["doc_a"].to_numpy(), P))
         )
 
-    def _split(t: pa.Table):
-        is_pair = t["is_pair"].to_numpy(zero_copy_only=False) == 1
-        mask = pa.array(is_pair)
-        return t.filter(mask), t.filter(pa.compute.invert(mask))
-
-    def _sh_list(col) -> list:
-        arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
-        return [
-            v.values.to_numpy(zero_copy_only=False)
-            for v in arr
-        ]
-
-    def attach_a(t: pa.Table) -> pa.Table:
-        pr, tx = _split(t)
-        # global pair dedup: every (doc_a, *) pair of this doc_a is in this
-        # bucket, so a bucket-local dedup is a global one
-        pk = np.stack([pr["k"].to_numpy(), pr["other"].to_numpy()], axis=1)
+    def verify(t: pa.Table) -> pa.Table:
+        cache = PartCache(ray.get(state_index_ref), ["ids", "off", "flat"])
+        # global pair dedup: part is a function of doc_a, so every (a, *)
+        # pair of a doc lands in this one bucket
+        pk = np.stack([t["doc_a"].to_numpy(), t["doc_b"].to_numpy()], axis=1)
         uniqp = np.unique(pk, axis=0)
-        ka = uniqp[:, 0]
-        kb = uniqp[:, 1]
-        tk = tx["k"].to_numpy()
-        torder = np.argsort(tk, kind="stable")
-        tk_s = tk[torder]
-        sh_sets = _sh_list(tx["sh"])
-        pos = np.searchsorted(tk_s, ka)
-        sh_a = [sh_sets[torder[p]] for p in pos]  # every doc_a has a doc row
-        # re-key on doc_b for the second join; carry sh_a
-        return pa.table(
-            {
-                "k": kb,
-                "other": ka,
-                "sh": pa.array(sh_a, SH_T),
-                "is_pair": pa.array(np.ones(len(kb), np.int8)),
-            }
-        )
+        ka, kb = uniqp[:, 0], uniqp[:, 1]
 
-    keyed_a = bucketed_group_combine(
-        cand.map_batches(tag_pairs, batch_format="pyarrow").union(shingles_tagged),
-        ["k"],
-        attach_a,
-    )
+        def fetch(doc_ids: np.ndarray) -> list:
+            out: list = [None] * len(doc_ids)
+            parts = int_bucket(doc_ids, P)
+            for p in np.unique(parts):
+                ids_p, off_p, flat_p = cache.get(int(p))
+                m = np.flatnonzero(parts == p)
+                pos = np.searchsorted(ids_p, doc_ids[m])
+                for i, q in zip(m, pos):
+                    out[i] = flat_p[off_p[q]: off_p[q + 1]]
+            return out
 
-    def attach_b_verify(t: pa.Table) -> pa.Table:
-        pr, tx = _split(t)
-        if pr.num_rows == 0:
-            return pa.table(
-                {"doc_a": np.empty(0, np.int64), "doc_b": np.empty(0, np.int64),
-                 "jaccard": np.empty(0, np.float64)}
-            )
-        kb = pr["k"].to_numpy()
-        ka = pr["other"].to_numpy()
-        sh_a = _sh_list(pr["sh"])
-        tk = tx["k"].to_numpy()
-        torder = np.argsort(tk, kind="stable")
-        tk_s = tk[torder]
-        sh_sets = _sh_list(tx["sh"])
-        pos = np.searchsorted(tk_s, kb)
-        sh_b = [sh_sets[torder[p]] for p in pos]
-        jac = jaccard_sorted_sets(sh_a, sh_b)
+        jac = jaccard_sorted_sets(fetch(ka), fetch(kb))
         m = jac >= threshold
-        return pa.table(
-            {
-                "doc_a": ka[m],
-                "doc_b": kb[m],
-                "jaccard": jac[m],
-            }
-        )
+        return pa.table({"doc_a": ka[m], "doc_b": kb[m], "jaccard": jac[m]})
 
-    verified = bucketed_group_combine(
-        keyed_a.union(shingles_tagged), ["k"], attach_b_verify
+    verified = partition_group_combine(
+        cand.map_batches(add_part, batch_format="pyarrow"), "part", P, verify
     )
     out = verified.to_pandas()
     if len(out) == 0:
