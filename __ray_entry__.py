@@ -223,6 +223,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "connected_components": graph_queries.components_query,
         "pagerank": graph_queries.pagerank_query,
         "wl_relabel_1": graph_queries.wl_relabel_query,
+        "label_propagation": graph_queries.label_propagation_query,
+        "label_propagation_2": graph_queries.label_propagation_2_query,
         "egonet_edges": graph_queries.egonet_query,
         # levelwise mining level 1 (lwm_initAndCollect semantics)
         "frequent_vertex_labels": mining.frequent_vertex_labels,
@@ -509,6 +511,37 @@ def oracle_sql() -> dict[str, str]:
                 SELECT e.dst, reach.r FROM reach, e WHERE e.src = reach.v
             )
             SELECT v AS vertex_id, MIN(r)::BIGINT AS component FROM reach GROUP BY v
+        """,
+        # two synchronous LPA supersteps, vote + winner rule (max count,
+        # tie -> min label, one self-vote) unrolled twice — certifies the
+        # engine's exact voting arithmetic; the fixpoint variant
+        # (label_propagation) is iterative and checked by pytest oracles
+        "label_propagation_2": f"""
+            WITH {_OP}, {_E0}, {_E_SYM},
+            verts AS (SELECT DISTINCT src AS v FROM e),
+            lab0 AS (SELECT v, v AS label FROM verts),
+            votes1 AS (
+                SELECT e.dst AS v, l.label, COUNT(*)::BIGINT AS c
+                FROM e JOIN lab0 l ON l.v = e.src GROUP BY 1, 2
+                UNION ALL SELECT v, label, 1 FROM lab0
+            ),
+            sum1 AS (SELECT v, label, SUM(c) AS c FROM votes1 GROUP BY 1, 2),
+            lab1 AS (
+                SELECT v, label FROM (
+                    SELECT v, label, ROW_NUMBER() OVER (
+                        PARTITION BY v ORDER BY c DESC, label ASC) AS rn
+                    FROM sum1) WHERE rn = 1
+            ),
+            votes2 AS (
+                SELECT e.dst AS v, l.label, COUNT(*)::BIGINT AS c
+                FROM e JOIN lab1 l ON l.v = e.src GROUP BY 1, 2
+                UNION ALL SELECT v, label, 1 FROM lab1
+            ),
+            sum2 AS (SELECT v, label, SUM(c) AS c FROM votes2 GROUP BY 1, 2)
+            SELECT v AS vertex_id, label FROM (
+                SELECT v, label, ROW_NUMBER() OVER (
+                    PARTITION BY v ORDER BY c DESC, label ASC) AS rn
+                FROM sum2) WHERE rn = 1
         """,
         "wl_relabel_1": f"""
             WITH {_OP}, {_E0}, {_E_SYM}

@@ -1,0 +1,299 @@
+"""Distributed synchronous label propagation (community LPA).
+
+The north-star names label propagation as a first-class verb next to
+PageRank / CC / triangles. This is the classic community-detection rule
+(Raghavan, Albert & Kumara 2007, "Near linear time algorithm to detect
+community structures in large-scale networks"): every vertex starts with
+its own id as label; each superstep every vertex adopts the label that is
+MOST FREQUENT among its neighbors' current labels, ties broken by the
+SMALLEST label; stop when no label changes or after ``max_iter``
+supersteps.  (Distinct from ``algos.wl`` — WL relabels by the full
+multiset signature; LPA votes.)
+
+Determinism: all vote math is exact int64 counting, the winner rule
+(max count, then min label) is a total order, and the per-partition merge
+is order-free (integer sums), so runs are bit-identical regardless of Ray
+scheduling. ``include_self=True`` (default) adds one vote for the
+vertex's own current label — the standard damping that prevents the
+2-cycle label swap synchronous LPA exhibits on bipartite structures
+(label-swap oscillation is why the loop is also bounded by ``max_iter``;
+the reference rule itself does not guarantee synchronous convergence).
+
+Distribution shape: identical to ``algos.components`` — the 2D-grid
+co-partitioned substrate (``algos.partitioned``), one vote task per
+pinned CSR cell (pre-combining counts per (dst, label) inside the cell,
+so exchange entries are bounded by distinct (dst, label) pairs seen in
+the cell, sub-edge scale), ONE hand-scheduled hash shuffle keyed on
+part(dst), and a per-partition update task that merges votes and applies
+the winner rule. Nothing vertex- or edge-scale touches the driver.
+"""
+
+from __future__ import annotations
+
+import time
+
+import numpy as np
+import pyarrow as pa
+import ray
+import ray.data as rd
+
+from .partitioned import (
+    PartitionedCheckpoint,
+    build_partitioned_graph,
+    init_state,
+    state_to_arrays,
+    state_to_dataset,
+    unpack_panel_layout,
+    unpack_part_block,
+    _row_lists,
+)
+
+
+def _count_votes(dst_local: np.ndarray, labels: np.ndarray,
+                 counts: np.ndarray | None = None):
+    """Group-sum votes by (dst_local, label) — vectorized run-length over
+    the lexsorted pairs. Returns (dst, label, count) int64 arrays sorted
+    by (dst, label)."""
+    if not len(dst_local):
+        e = np.empty(0, np.int64)
+        return e, e, e
+    order = np.lexsort((labels, dst_local))
+    d = dst_local[order]
+    l = labels[order]
+    flag = np.empty(len(d), bool)
+    flag[0] = True
+    np.logical_or(d[1:] != d[:-1], l[1:] != l[:-1], out=flag[1:])
+    starts = np.flatnonzero(flag)
+    if counts is None:
+        c = np.diff(np.append(starts, len(d))).astype(np.int64)
+    else:
+        c = np.add.reduceat(counts[order].astype(np.int64), starts)
+    return d[starts].astype(np.int64), l[starts], c
+
+
+def _winners(dst: np.ndarray, label: np.ndarray, count: np.ndarray):
+    """Per-dst winner: max count, tie -> min label. Inputs grouped by
+    (dst, label); returns (dst_unique, winning_label)."""
+    order = np.lexsort((label, -count, dst))
+    d, l = dst[order], label[order]
+    flag = np.empty(len(d), bool)
+    flag[0] = True
+    np.not_equal(d[1:], d[:-1], out=flag[1:])
+    return d[flag], l[flag]
+
+
+@ray.remote
+def _vote_cell(block: pa.Table, layout: pa.Table, h: dict,
+               out_parts: list[int]):
+    """MAP side (same exchange contract as components._min_cell): per-edge
+    vote = src's current label for dst; pre-combined per (dst_local, label)
+    inside the cell. One panel table per dst part present."""
+    cache: dict[int, np.ndarray] = {}
+    by_part = {p: ([], [], [], []) for p in out_parts}
+    for row in range(block.num_rows):
+        part, srcs, src_index, dst_unique, dst_index, _ = unpack_part_block(
+            block, row
+        )
+        src_pos, panel_parts, _off, dst_local = unpack_panel_layout(
+            layout, row
+        )
+        if not len(panel_parts):
+            continue
+        if part not in cache:
+            vref, vrow = h["state"][part]
+            (labels_p,) = _row_lists(ray.get(vref), vrow, ["values"])
+            cache[part] = labels_p
+        labels_p = cache[part]
+        lab_edge = labels_p[src_pos][src_index]
+        dl_edge = dst_local[dst_index]
+        d, l, c = _count_votes(dl_edge, lab_edge)
+        block_id = int(block["block_id"][row].as_py())
+        bids, dl, ll, cl = by_part[int(panel_parts[0])]
+        bids.append(block_id)
+        dl.append(d.astype(np.int32))
+        ll.append(l)
+        cl.append(c)
+    out = []
+    for p in out_parts:
+        bids, dl, ll, cl = by_part[p]
+        out.append(pa.table(
+            {
+                "block_id": pa.array(bids, pa.int64()),
+                "dst": pa.array(dl, pa.list_(pa.int32())),
+                "label": pa.array(ll, pa.list_(pa.int64())),
+                "count": pa.array(cl, pa.list_(pa.int64())),
+            }
+        ))
+    return out[0] if len(out) == 1 else tuple(out)
+
+
+@ray.remote(num_returns=2)
+def _update_part(h: dict, part: int, iteration: int, include_self: bool,
+                 ckpt_tmp, digest, *panels: pa.Table):
+    """REDUCE side: merge this part's vote panels (order-free exact int64
+    sums), apply the winner rule, emit (state row, changed-count scalar)."""
+    import pyarrow.compute as pc
+
+    sref, srow = h["static"][part]
+    (ids_p,) = _row_lists(ray.get(sref), srow, ["ids"])
+    vref, vrow = h["state"][part]
+    (labels_old,) = _row_lists(ray.get(vref), vrow, ["values"])
+    n = len(ids_p)
+    dsts, labs, cnts = [], [], []
+    if panels:
+        t = pa.concat_tables(panels)
+        if t.num_rows:
+            dsts.append(pc.list_flatten(t["dst"].combine_chunks()).to_numpy(
+                zero_copy_only=False).astype(np.int64))
+            labs.append(pc.list_flatten(t["label"].combine_chunks()).to_numpy(
+                zero_copy_only=False))
+            cnts.append(pc.list_flatten(t["count"].combine_chunks()).to_numpy(
+                zero_copy_only=False))
+    if include_self:
+        dsts.append(np.arange(n, dtype=np.int64))
+        labs.append(labels_old.astype(np.int64, copy=False))
+        cnts.append(np.ones(n, np.int64))
+    new_labels = labels_old.copy()
+    if dsts:
+        d, l, c = _count_votes(
+            np.concatenate(dsts), np.concatenate(labs), np.concatenate(cnts)
+        )
+        wd, wl_ = _winners(d, l, c)
+        new_labels[wd] = wl_
+    changed = int(np.count_nonzero(new_labels != labels_old))
+    if ckpt_tmp is not None:
+        PartitionedCheckpoint.write_shard(
+            ckpt_tmp, iteration, part, digest, ids_p, new_labels
+        )
+    row_table = pa.table(
+        {
+            "part": pa.array([part], pa.int64()),
+            "values": pa.array([new_labels], pa.list_(pa.int64())),
+        }
+    )
+    return row_table, changed
+
+
+def label_propagation_partitioned(
+    edges_symmetric: rd.Dataset,
+    all_vertex_ids: np.ndarray | None = None,
+    max_iter: int = 20,
+    include_self: bool = True,
+    checkpoint_dir: str | None = None,
+    num_state_partitions: int = 8,
+):
+    """Core loop. -> (state_ds, graph, info). ``edges_symmetric`` must
+    contain both half-edges (``graph.symmetrize``). State stays
+    distributed; drain via ``state_to_dataset``."""
+    g = build_partitioned_graph(
+        edges_symmetric, P=num_state_partitions, extra_vertex_ids=all_vertex_ids
+    )
+    if g.n_vertices == 0:
+        return None, g, {"iterations": 0, "supersteps": []}
+
+    ckpt = (
+        PartitionedCheckpoint(checkpoint_dir, g.digest)
+        if checkpoint_dir is not None
+        else None
+    )
+    start_iter = 0
+    resumed_from = None
+    state_ds = state_index = None
+    if ckpt is not None:
+        latest = ckpt.latest_meta()
+        if latest is not None:
+            it, manifest = latest
+            meta = manifest.get("meta", {})
+            state_ds, state_index = ckpt.load_state(g, it, pa.int64())
+            start_iter = it + 1
+            resumed_from = it
+            if meta.get("converged") or it + 1 >= max_iter:
+                return state_ds, g, {
+                    "iterations": it + 1,
+                    "converged": bool(meta.get("converged")),
+                    "resumed_from": it,
+                    "supersteps": [],
+                }
+    if state_ds is None:
+        state_ds, state_index, _ = init_state(
+            g, lambda part, ids, outdeg: ids.copy(), pa.int64()
+        )
+
+    supersteps = []
+    converged = False
+    parts_sorted = list(g.parts)
+    row_refs: dict = {}
+    for it in range(start_iter, max_iter):
+        t0 = time.perf_counter()
+        handles_ref = ray.put({"static": g.static_index, "state": state_index})
+        tmp = ckpt.tmp_dir(it) if ckpt is not None else None
+        panel_refs: dict[int, list] = {p: [] for p in parts_sorted}
+        for bref, lref, dst_parts, _bid in g.panel_blocks:
+            refs = _vote_cell.options(num_returns=len(dst_parts)).remote(
+                bref, lref, handles_ref, dst_parts
+            )
+            if len(dst_parts) == 1:
+                refs = [refs]
+            for p, r in zip(dst_parts, refs):
+                panel_refs[p].append(r)
+        row_refs, chg_refs = {}, {}
+        for p in parts_sorted:
+            row_refs[p], chg_refs[p] = _update_part.remote(
+                handles_ref, p, it, include_self, tmp, g.digest,
+                *panel_refs[p]
+            )
+        changed_per_part = ray.get([chg_refs[p] for p in parts_sorted])
+        state_index = {p: (row_refs[p], 0) for p in parts_sorted}
+        state_ds = None
+        changed = int(sum(changed_per_part))
+        converged = changed == 0
+        dt = time.perf_counter() - t0
+        supersteps.append({"iteration": it, "seconds": dt, "changed": changed})
+        if ckpt is not None:
+            ckpt.commit(
+                it, parts_sorted,
+                meta={"changed": changed, "converged": converged,
+                      "seconds": dt, "n_edges": g.n_edges},
+            )
+        if converged:
+            break
+
+    if state_ds is None and row_refs:
+        state_ds = rd.from_arrow_refs([row_refs[p] for p in parts_sorted])
+    info = {
+        "iterations": len(supersteps) + start_iter,
+        "converged": converged,
+        "resumed_from": resumed_from,
+        "supersteps": supersteps,
+    }
+    return state_ds, g, info
+
+
+def label_propagation(
+    edges_symmetric: rd.Dataset,
+    all_vertex_ids: np.ndarray | None = None,
+    max_iter: int = 20,
+    include_self: bool = True,
+    checkpoint_dir: str | None = None,
+    num_state_partitions: int = 8,
+):
+    """-> (vertex_ids, labels, info) — numpy result delivery (test scale)."""
+    state_ds, g, info = label_propagation_partitioned(
+        edges_symmetric, all_vertex_ids, max_iter, include_self,
+        checkpoint_dir, num_state_partitions,
+    )
+    if state_ds is None:
+        return np.empty(0, np.int64), np.empty(0, np.int64), info
+    ids, labels = state_to_arrays(state_ds, g)
+    return ids, labels.astype(np.int64), info
+
+
+def label_propagation_dataset(edges_symmetric: rd.Dataset, **kw):
+    """Streaming result: Dataset of (vertex_id, label)."""
+    state_ds, g, info = label_propagation_partitioned(edges_symmetric, **kw)
+    if state_ds is None:
+        return rd.from_arrow(
+            pa.table({"vertex_id": pa.array([], pa.int64()),
+                      "label": pa.array([], pa.int64())})
+        ), info
+    return state_to_dataset(state_ds, g, "label"), info

@@ -14,6 +14,7 @@ import pandas as pd
 import pyarrow as pa
 
 from ..algos.components import connected_components
+from ..algos.labelprop import label_propagation
 from ..algos.pagerank import pagerank
 from ..algos.triangles import triangle_counts
 from ..algos.wl import wl_relabel
@@ -83,6 +84,30 @@ def egonet_query(sf_dir: str, min_weight: int = 3):
 
     edges = copurchase_edges(sf_dir).filter(expr=f"weight >= {min_weight}")
     return egonet_edges(edges)
+
+
+def label_propagation_query(sf_dir: str, min_weight: int = 3):
+    """Community LPA to fixpoint (bounded 20 supersteps) on the weight>=3
+    co-purchase subgraph (the dense full graph floods to one label; the
+    thresholded graph has real community structure). Iterative fixpoint →
+    no SQL oracle; exactness vs the brute-force voting oracle is covered
+    by tests/test_algos_micro.py."""
+    edges = copurchase_edges(sf_dir).filter(expr=f"weight >= {min_weight}")
+    ids, labels, _ = label_propagation(
+        symmetrize(edges.drop_columns(["weight"])), max_iter=20
+    )
+    return pd.DataFrame({"vertex_id": ids, "label": labels})
+
+
+def label_propagation_2_query(sf_dir: str):
+    """Exactly two synchronous LPA supersteps — SQL-expressible (the vote +
+    winner rule unrolled twice), so the driver hash-checks the voting
+    arithmetic and tie-break exactly."""
+    ids, labels, _ = label_propagation(
+        symmetrize(copurchase_edges(sf_dir).drop_columns(["weight"])),
+        max_iter=2,
+    )
+    return pd.DataFrame({"vertex_id": ids, "label": labels})
 
 
 def wl_relabel_query(sf_dir: str):

@@ -88,3 +88,36 @@ def triangles_oracle(pairs):
     A = (A > 0).astype(np.float64)
     per_vertex = (np.linalg.matrix_power(A, 3).diagonal() / 2).astype(np.int64)
     return ids, per_vertex, int(per_vertex.sum() // 3)
+
+
+def lpa_oracle(pairs, max_iter=20, include_self=True, extra_vertices=()):
+    """Synchronous majority-vote label propagation, engine contract
+    (algos.labelprop): votes count half-edge multiplicity in the
+    symmetrized multigraph (self-loops vote twice for the vertex itself),
+    winner = max count then min label, optional self-vote of weight 1."""
+    pairs = np.asarray(pairs, dtype=np.int64).reshape(-1, 2)
+    verts = sorted(set(np.unique(pairs).tolist()) | set(extra_vertices))
+    half = [(int(s), int(d)) for s, d in pairs] + [
+        (int(d), int(s)) for s, d in pairs
+    ]
+    labels = {v: v for v in verts}
+    for _ in range(max_iter):
+        votes = {v: {} for v in verts}
+        for s, d in half:
+            votes[d][labels[s]] = votes[d].get(labels[s], 0) + 1
+        if include_self:
+            for v in verts:
+                votes[v][labels[v]] = votes[v].get(labels[v], 0) + 1
+        new = {}
+        for v in verts:
+            if votes[v]:
+                best = max(votes[v].items(), key=lambda kv: (kv[1], -kv[0]))
+                new[v] = best[0]
+            else:
+                new[v] = labels[v]
+        if new == labels:
+            labels = new
+            break
+        labels = new
+    ids = np.array(verts, dtype=np.int64)
+    return ids, np.array([labels[int(v)] for v in ids], dtype=np.int64)

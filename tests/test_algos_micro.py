@@ -118,3 +118,66 @@ def test_triangles_star_zero():
     _, per_vertex, total = triangle_counts(edges_ds(STAR_HUB))
     assert total == 0
     assert per_vertex.sum() == 0
+
+
+@pytest.mark.parametrize("name", sorted(GRAPHS))
+def test_lpa_matches_oracle(name):
+    from graphminingtools_ray.algos import label_propagation
+    from .oracles import lpa_oracle
+
+    pairs = GRAPHS[name]
+    ids, labels, info = label_propagation(
+        symmetrize(edges_ds(pairs)), max_iter=10
+    )
+    oids, olabels = lpa_oracle(pairs, max_iter=10)
+    assert np.array_equal(ids, oids)
+    assert np.array_equal(labels, olabels)
+
+
+def test_lpa_random_graphs_match_oracle():
+    """Seeded ER graphs at several densities (multi-partition path) — the
+    engine's vote/tie-break rule must match the brute-force oracle exactly,
+    iteration by iteration to the same fixpoint."""
+    from graphminingtools_ray.algos import label_propagation
+    from .oracles import lpa_oracle
+
+    rng = np.random.default_rng(7)
+    for n, m in [(30, 40), (60, 90), (50, 200)]:
+        pairs = [
+            (int(a), int(b))
+            for a, b in rng.integers(0, n, size=(m, 2))
+            if a != b
+        ]
+        ids, labels, _ = label_propagation(
+            symmetrize(edges_ds(pairs)), max_iter=8, num_state_partitions=4
+        )
+        oids, olabels = lpa_oracle(pairs, max_iter=8)
+        assert np.array_equal(ids, oids)
+        assert np.array_equal(labels, olabels)
+
+
+def test_lpa_two_communities():
+    """Two dense 4-cliques joined by one bridge edge: LPA assigns one label
+    per clique (the min id of each clique)."""
+    from graphminingtools_ray.algos import label_propagation
+
+    c1 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    c2 = [(a, b) for a in range(10, 14) for b in range(a + 1, 14)]
+    pairs = c1 + c2 + [(3, 10)]
+    ids, labels, info = label_propagation(symmetrize(edges_ds(pairs)))
+    lab = dict(zip(ids.tolist(), labels.tolist()))
+    assert info["converged"]
+    assert len({lab[v] for v in range(4)}) == 1
+    assert len({lab[v] for v in range(10, 14)}) == 1
+    assert lab[0] != lab[10]
+
+
+def test_lpa_isolated_vertex_keeps_label():
+    from graphminingtools_ray.algos import label_propagation
+
+    ids, labels, _ = label_propagation(
+        symmetrize(edges_ds(TWO_COMP)),
+        all_vertex_ids=np.array([99], dtype=np.int64),
+    )
+    lab = dict(zip(ids.tolist(), labels.tolist()))
+    assert lab[99] == 99
