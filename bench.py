@@ -118,6 +118,15 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
         "wl_relabel_1",
         lambda: wl_relabel(sym, iterations=1, graph=sym_graph)[0].shape,
     )
+    from graphminingtools_ray.algos.labelprop import label_propagation
+
+    timed(
+        "label_propagation",
+        lambda: label_propagation(
+            symmetrize(edges.filter(expr="weight >= 3").drop_columns(["weight"])),
+            max_iter=20,
+        )[0].shape,
+    )
     timed("q1_pricing_summary", lambda: consume(relational.q1_pricing_summary(sf_dir)))
     timed("events_hourly", lambda: consume(relational.events_hourly(sf_dir)))
     timed("sessionize", lambda: consume(relational.sessionize(sf_dir)))
@@ -365,6 +374,11 @@ def _warm_plasma(gb: float) -> None:
     chunk = np.ones(1 << 28, np.uint8)  # 256 MB
     refs = [ray.put(chunk) for _ in range(max(0, int(gb * 4)))]
     del refs
+    # settle: the store reclaims the freed warm objects asynchronously; new
+    # object creation racing that reclaim measures allocator churn, not the
+    # engine (measured 12.4 s vs 3.7 s on the first post-warmup exchange
+    # stage). The pause is untimed like the warmup itself.
+    time.sleep(5)
 
 
 BENCH_GRAPH = "/tmp/graft_big_edges_v3"
@@ -516,6 +530,61 @@ def run_cc_big(num_cpus: int) -> dict:
     }
 
 
+def run_lpa_big(num_cpus: int) -> dict:
+    """Community label propagation over the pinned 512M-edge bench graph —
+    the third north-star op on the superstep substrate. LPA's exchange is
+    heavier than PageRank/CC (per-(dst, label) vote entries instead of one
+    partial per dst), so this is the substrate's stress datapoint. Fixed
+    supersteps (steady-state measurement; synchronous LPA has no convergence
+    guarantee), first superstep dropped as warmup."""
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=num_cpus,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from graphminingtools_ray.context import configure
+
+    configure()
+    import ray.data as rd
+
+    from graphminingtools_ray.algos.labelprop import (
+        label_propagation_partitioned,
+    )
+
+    path = ensure_bench_graph()
+    t0 = time.perf_counter()
+    # Same unsymmetrized 512M-edge graph and P=8 as --pagerank, so the
+    # superstep numbers are directly comparable on the same substrate load
+    # (votes flow src→dst along the directed edge view; the vote exchange —
+    # per-(dst, label) entries, edge-scale before labels coalesce — is
+    # exercised identically and is the point of this datapoint)
+    _, g, info = label_propagation_partitioned(
+        rd.read_parquet(path), max_iter=5, num_state_partitions=8,
+    )
+    total = time.perf_counter() - t0
+    secs = sorted(s["seconds"] for s in info["supersteps"][1:])
+    med = secs[len(secs) // 2] if secs else float("nan")
+    ray.shutdown()
+    return {
+        "metric": "LPA steady-state superstep seconds (median, first dropped) "
+        "on the directed 512M-edge bench graph",
+        "value": round(med, 3),
+        "unit": "sec",
+        "total_sec": round(total, 3),
+        "iterations": info["iterations"],
+        "superstep_sec": [round(s["seconds"], 3) for s in info["supersteps"]],
+        "changed": [s["changed"] for s in info["supersteps"]],
+        "n_edges": g.n_edges,
+        "edges_per_sec_per_superstep": round(g.n_edges / med, 1)
+        if med == med else None,
+        "num_cpus": num_cpus,
+    }
+
+
 def run_scaling(sf_dir: str, lo: int = 8, hi: int = 32) -> dict:
     ensure_bench_corpus()  # generate once, before either subprocess runs
     ensure_bench_graph()
@@ -625,5 +694,7 @@ if __name__ == "__main__":
         print(json.dumps(run_pagerank_scaling(num_cpus)))
     elif "--cc" in sys.argv:
         print(json.dumps(run_cc_big(num_cpus)))
+    elif "--lpa" in sys.argv:
+        print(json.dumps(run_lpa_big(num_cpus)))
     else:
         print(json.dumps(run_benchmarks(sf_dir, num_cpus)))

@@ -51,15 +51,46 @@ from .partitioned import (
 
 def _count_votes(dst_local: np.ndarray, labels: np.ndarray,
                  counts: np.ndarray | None = None):
-    """Group-sum votes by (dst_local, label) — vectorized run-length over
-    the lexsorted pairs. Returns (dst, label, count) int64 arrays sorted
-    by (dst, label)."""
+    """Group-sum votes by (dst_local, label). Returns (dst, label, count)
+    int64 arrays sorted by (dst, label).
+
+    Fast path: when (dst, label) packs into one non-negative int64
+    (dst_local is V/P-bounded and labels are vertex ids, so this holds for
+    any graph whose max-id × V/P product fits 2^62 — e.g. 10^9 vertices at
+    P=8), sort ONE packed key instead of a two-key lexsort — the vote
+    exchange is edge-scale in early supersteps, and the single-key sort is
+    the difference between the update task being sort-bound or not."""
     if not len(dst_local):
         e = np.empty(0, np.int64)
         return e, e, e
-    order = np.lexsort((labels, dst_local))
-    d = dst_local[order]
-    l = labels[order]
+    d64 = dst_local.astype(np.int64, copy=False)
+    l64 = labels.astype(np.int64, copy=False)
+    lmin = int(l64.min())
+    span = int(l64.max()) - lmin + 1
+    dmax = int(d64.max())
+    if lmin >= 0 and span < (1 << 62) // (dmax + 1):
+        key = d64 * span + (l64 - lmin)
+        if counts is None:
+            k = np.sort(key)
+            flag = np.empty(len(k), bool)
+            flag[0] = True
+            np.not_equal(k[1:], k[:-1], out=flag[1:])
+            starts = np.flatnonzero(flag)
+            c = np.diff(np.append(starts, len(k))).astype(np.int64)
+            ks = k[starts]
+            return ks // span, ks % span + lmin, c
+        order = np.argsort(key)
+        k = key[order]
+        flag = np.empty(len(k), bool)
+        flag[0] = True
+        np.not_equal(k[1:], k[:-1], out=flag[1:])
+        starts = np.flatnonzero(flag)
+        c = np.add.reduceat(counts[order].astype(np.int64), starts)
+        ks = k[starts]
+        return ks // span, ks % span + lmin, c
+    order = np.lexsort((l64, d64))
+    d = d64[order]
+    l = l64[order]
     flag = np.empty(len(d), bool)
     flag[0] = True
     np.logical_or(d[1:] != d[:-1], l[1:] != l[:-1], out=flag[1:])
@@ -68,18 +99,29 @@ def _count_votes(dst_local: np.ndarray, labels: np.ndarray,
         c = np.diff(np.append(starts, len(d))).astype(np.int64)
     else:
         c = np.add.reduceat(counts[order].astype(np.int64), starts)
-    return d[starts].astype(np.int64), l[starts], c
+    return d[starts], l[starts], c
 
 
 def _winners(dst: np.ndarray, label: np.ndarray, count: np.ndarray):
-    """Per-dst winner: max count, tie -> min label. Inputs grouped by
-    (dst, label); returns (dst_unique, winning_label)."""
-    order = np.lexsort((label, -count, dst))
-    d, l = dst[order], label[order]
-    flag = np.empty(len(d), bool)
+    """Per-dst winner: max count, tie -> min label. Input MUST be sorted by
+    (dst, label) — the ``_count_votes`` contract — which makes this three
+    O(n) contiguous passes (run boundaries + maximum.reduceat + first
+    masked position per run) instead of a 3-key lexsort: the lexsort was
+    the early-superstep bottleneck at 512M-edge scale, where vote entries
+    are edge-scale before labels coalesce. Returns (dst_unique, label)."""
+    if not len(dst):
+        return dst, label
+    flag = np.empty(len(dst), bool)
     flag[0] = True
-    np.not_equal(d[1:], d[:-1], out=flag[1:])
-    return d[flag], l[flag]
+    np.not_equal(dst[1:], dst[:-1], out=flag[1:])
+    starts = np.flatnonzero(flag)
+    gid = np.cumsum(flag) - 1
+    maxc = np.maximum.reduceat(count, starts)
+    pos = np.flatnonzero(count == maxc[gid])
+    # labels ascend within a run, so the FIRST max-count entry per run is
+    # the min-label tie-break; gid[pos] is ascending with every run present
+    firsts = pos[np.searchsorted(gid[pos], np.arange(len(starts)))]
+    return dst[firsts], label[firsts]
 
 
 @ray.remote

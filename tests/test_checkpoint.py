@@ -69,3 +69,16 @@ def test_cc_resume(tmp_path):
     assert info["resumed_from"] == 0
     assert np.array_equal(ids_a, ids_b)
     assert np.array_equal(lab_a, lab_b)
+
+
+def test_lpa_resume(tmp_path):
+    from graphminingtools_ray.algos import label_propagation
+
+    edges = symmetrize(edges_ds(PATH4))
+    ck = str(tmp_path / "lpa")
+    ids_a, lab_a, _ = label_propagation(edges, max_iter=6)
+    label_propagation(edges, max_iter=2, checkpoint_dir=ck)
+    ids_b, lab_b, info = label_propagation(edges, max_iter=6, checkpoint_dir=ck)
+    assert info["resumed_from"] == 1
+    assert np.array_equal(ids_a, ids_b)
+    assert np.array_equal(lab_a, lab_b)
