@@ -149,21 +149,35 @@ def _vote_cell(block: pa.Table, layout: pa.Table, h: dict,
         lab_edge = labels_p[src_pos][src_index]
         dl_edge = dst_local[dst_index]
         d, l, c = _count_votes(dl_edge, lab_edge)
+        # panels are edge-scale in early supersteps (one entry per distinct
+        # (dst, label) seen in the cell): labels that fit int32 travel as
+        # int32 (vertex-id labels usually do), counts always do (bounded by
+        # cell edge count) — halves the dominant shuffle bytes. The update
+        # side flattens per panel and upcasts, so cells may disagree.
+        if len(l) and l.min() >= 0 and l.max() < 2**31:
+            l = l.astype(np.int32)
         block_id = int(block["block_id"][row].as_py())
         bids, dl, ll, cl = by_part[int(panel_parts[0])]
         bids.append(block_id)
         dl.append(d.astype(np.int32))
         ll.append(l)
-        cl.append(c)
+        cl.append(c.astype(np.int32))
     out = []
     for p in out_parts:
         bids, dl, ll, cl = by_part[p]
+        ltype = pa.int32() if all(
+            a.dtype == np.int32 for a in ll
+        ) else pa.int64()
         out.append(pa.table(
             {
                 "block_id": pa.array(bids, pa.int64()),
                 "dst": pa.array(dl, pa.list_(pa.int32())),
-                "label": pa.array(ll, pa.list_(pa.int64())),
-                "count": pa.array(cl, pa.list_(pa.int64())),
+                "label": pa.array(
+                    [a.astype(np.int64) for a in ll] if ltype == pa.int64()
+                    else ll,
+                    pa.list_(ltype),
+                ),
+                "count": pa.array(cl, pa.list_(pa.int32())),
             }
         ))
     return out[0] if len(out) == 1 else tuple(out)
@@ -182,15 +196,17 @@ def _update_part(h: dict, part: int, iteration: int, include_self: bool,
     (labels_old,) = _row_lists(ray.get(vref), vrow, ["values"])
     n = len(ids_p)
     dsts, labs, cnts = [], [], []
-    if panels:
-        t = pa.concat_tables(panels)
-        if t.num_rows:
-            dsts.append(pc.list_flatten(t["dst"].combine_chunks()).to_numpy(
-                zero_copy_only=False).astype(np.int64))
-            labs.append(pc.list_flatten(t["label"].combine_chunks()).to_numpy(
-                zero_copy_only=False))
-            cnts.append(pc.list_flatten(t["count"].combine_chunks()).to_numpy(
-                zero_copy_only=False))
+    # flatten per panel (cells may disagree on int32-vs-int64 label width;
+    # vote sums are exact-int and order-free, so no canonical order needed)
+    for t in panels:
+        if not t.num_rows:
+            continue
+        dsts.append(pc.list_flatten(t["dst"].combine_chunks()).to_numpy(
+            zero_copy_only=False).astype(np.int64))
+        labs.append(pc.list_flatten(t["label"].combine_chunks()).to_numpy(
+            zero_copy_only=False).astype(np.int64))
+        cnts.append(pc.list_flatten(t["count"].combine_chunks()).to_numpy(
+            zero_copy_only=False).astype(np.int64))
     if include_self:
         dsts.append(np.arange(n, dtype=np.int64))
         labs.append(labels_old.astype(np.int64, copy=False))
