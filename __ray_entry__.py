@@ -183,10 +183,12 @@ def entry() -> Any:
     """Flagship pipeline at sf0.001: derive the co-purchase link graph from
     the lineitem table and run PageRank over it to convergence."""
     from graphminingtools_ray.context import configure
-    from graphminingtools_ray.pipelines.graph_queries import pagerank_query
+    from graphminingtools_ray.pipelines.graph_queries import (
+        pagerank_fixpoint_query,
+    )
 
     configure()
-    return pagerank_query(SF1)
+    return pagerank_fixpoint_query(SF1)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
@@ -222,6 +224,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "triangles_per_vertex": graph_queries.triangles_per_vertex_query,
         "connected_components": graph_queries.components_query,
         "pagerank": graph_queries.pagerank_query,
+        "pagerank_fixpoint": graph_queries.pagerank_fixpoint_query,
         "wl_relabel_1": graph_queries.wl_relabel_query,
         "label_propagation": graph_queries.label_propagation_query,
         "label_propagation_2": graph_queries.label_propagation_2_query,
@@ -345,6 +348,82 @@ def _quality_sql() -> str:
         )
         SELECT doc_id, ROUND(q, 6) AS quality FROM scored
     """
+
+
+def _pagerank_sql(k: int = 5, damping: float = 0.85) -> str:
+    """SQL twin of the engine's fixed-k PageRank (graph_queries.pagerank_query):
+    uniform 1/n start, r' = (1-d)/n + d*sum(r[src]/outdeg[src]) unrolled k
+    times. The symmetrized co-purchase graph has no dangling vertices (every
+    vertex comes from an edge endpoint), so the dangling term is 0. Both
+    sides round half-away to 9 decimals; the distributed-vs-DuckDB float-sum
+    order difference is ~1e-19 absolute against a 5e-10 rounding window.
+    MATERIALIZED CTEs prevent exponential inlining of the chained levels."""
+    head = f"""
+        WITH {_OP}, {_E0}, {_E_SYM},
+        verts AS MATERIALIZED (SELECT DISTINCT src AS v FROM e),
+        nn AS MATERIALIZED (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM verts),
+        deg AS MATERIALIZED (
+            SELECT src AS v, CAST(COUNT(*) AS DOUBLE) AS outdeg
+            FROM e GROUP BY 1),
+        r0 AS MATERIALIZED (SELECT v, 1.0 / (SELECT n FROM nn) AS r FROM verts)
+    """
+    levels = []
+    for i in range(1, k + 1):
+        levels.append(f"""
+        r{i} AS MATERIALIZED (
+            SELECT verts.v,
+                   (1.0 - {damping}) / (SELECT n FROM nn)
+                   + {damping} * COALESCE(s.c, 0.0) AS r
+            FROM verts LEFT JOIN (
+                SELECT e.dst AS v, SUM(p.r / deg.outdeg) AS c
+                FROM e JOIN r{i - 1} p ON p.v = e.src
+                       JOIN deg ON deg.v = e.src
+                GROUP BY e.dst) s ON s.v = verts.v
+        )""")
+    return (
+        head + "," + ",".join(levels)
+        + f' SELECT v AS vertex_id, ROUND(r, 9) AS "rank" FROM r{k}'
+    )
+
+
+def _lpa_sql(iters: int = 20, min_weight: int = 3) -> str:
+    """SQL twin of the LPA fixpoint query (graph_queries.label_propagation_query):
+    the synchronous vote + winner rule (max count, tie -> min label, one
+    self-vote) unrolled ``iters`` times over the weight>=min_weight subgraph.
+    Valid for the engine's early exit because a fixpoint is idempotent under
+    further supersteps and all arithmetic is exact int64, so labels after
+    min(fixpoint, iters) engine supersteps == labels after exactly ``iters``.
+    MATERIALIZED prevents exponential inlining (each level is referenced
+    twice by the next: vote join + self-vote union)."""
+    head = f"""
+        WITH {_OP},
+        e0 AS (SELECT a.p AS src, b.p AS dst FROM op a
+               JOIN op b ON a.o = b.o AND a.p < b.p
+               GROUP BY 1, 2 HAVING COUNT(*) >= {min_weight}),
+        e AS MATERIALIZED (SELECT src, dst FROM e0
+                           UNION ALL SELECT dst, src FROM e0),
+        verts AS MATERIALIZED (SELECT DISTINCT src AS v FROM e),
+        lab0 AS MATERIALIZED (SELECT v, v AS label FROM verts)
+    """
+    levels = []
+    for i in range(1, iters + 1):
+        levels.append(f"""
+        sum{i} AS MATERIALIZED (
+            SELECT v, label, SUM(c) AS c FROM (
+                SELECT e.dst AS v, l.label, COUNT(*)::BIGINT AS c
+                FROM e JOIN lab{i - 1} l ON l.v = e.src GROUP BY 1, 2
+                UNION ALL SELECT v, label, 1 FROM lab{i - 1}
+            ) GROUP BY 1, 2),
+        lab{i} AS MATERIALIZED (
+            SELECT v, label FROM (
+                SELECT v, label, ROW_NUMBER() OVER (
+                    PARTITION BY v ORDER BY c DESC, label ASC) AS rn
+                FROM sum{i}) WHERE rn = 1
+        )""")
+    return (
+        head + "," + ",".join(levels)
+        + f" SELECT v AS vertex_id, label FROM lab{iters}"
+    )
 
 
 # shared SQL fragments for the derived co-purchase graph
@@ -512,6 +591,8 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT v AS vertex_id, MIN(r)::BIGINT AS component FROM reach GROUP BY v
         """,
+        "pagerank": _pagerank_sql(k=5),
+        "label_propagation": _lpa_sql(iters=20, min_weight=3),
         # two synchronous LPA supersteps, vote + winner rule (max count,
         # tie -> min label, one self-vote) unrolled twice — certifies the
         # engine's exact voting arithmetic; the fixpoint variant

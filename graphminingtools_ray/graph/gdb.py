@@ -39,7 +39,8 @@ MEASURE_COLUMNS = [
     "n_self_loops", "spanning_trees", "n_simple_cycles", "n_bridge_trees",
     "max_blocks_per_component", "is_cactus",
     # round-2 kernel pack
-    "is_outerplanar", "max_block_degree", "n_articulation_points",
+    "is_outerplanar", "max_block_degree", "min_block_degree",
+    "n_articulation_points",
     "spanning_tree_estimate", "n_noniso_cycles", "n_noniso_spanning_trees",
     # round-2b kernel pack: Hamiltonian-path / local-easiness family
     "is_traceable_cactus", "is_weakly_traceable",
@@ -99,18 +100,29 @@ def measures_for_graph(n: int, edges: list[tuple[int, int]]) -> dict:
         adj_simple[w].add(v)
     n_cycles, cycle_lengths = _count_simple_cycles(n, adj_simple)
 
-    # round-2 kernels over the biconnected decomposition
+    # round-2 kernels over the biconnected decomposition.
+    # Two degree notions, both from the reference (listComponents.c:16-122):
+    #   criticality (computeCriticality)  = #biconnected comps containing v,
+    #     bridges INCLUDED — articulation points are criticality > 1;
+    #   block degree (computeBlockDegrees) = #comps with m > 1 containing v,
+    #     bridges EXCLUDED — feeds getMax/MinBlockDegree (filter.c:516-521),
+    #     so a tree has max_block_degree 0.
+    criticality = np.zeros(n, dtype=np.int64)
     block_deg = np.zeros(n, dtype=np.int64)
     for bes in bcc_edge_lists:
-        for v in {x for e in bes for x in e}:
-            block_deg[v] += 1
+        members = {x for e in bes for x in e}
+        for v in members:
+            criticality[v] += 1
+            if len(bes) > 1:
+                block_deg[v] += 1
     max_block_degree = int(block_deg.max()) if n else 0
-    n_articulation = int(np.count_nonzero(block_deg > 1))
+    min_block_degree = int(block_deg.min()) if n else 0
+    n_articulation = int(np.count_nonzero(criticality > 1))
     is_outerplanar = all(_block_outerplanar(bes) for bes in bcc_edge_lists)
     st_estimate = _spanning_tree_estimate(bcc_edge_lists, n_components)
     n_noniso_st = _noniso_spanning_trees(n, sorted(simple), st, connected)
 
-    trace_shape = _traceable_shape(block_deg, bcc_edge_lists)
+    trace_shape = _traceable_shape(criticality, bcc_edge_lists)
     is_traceable_cactus = bool(
         is_cactus and (n <= 1 or trace_shape == 2)
     )
@@ -138,6 +150,7 @@ def measures_for_graph(n: int, edges: list[tuple[int, int]]) -> dict:
         "spanning_trees": int(st),
         "is_outerplanar": bool(is_outerplanar),
         "max_block_degree": max_block_degree,
+        "min_block_degree": min_block_degree,
         "n_articulation_points": n_articulation,
         "spanning_tree_estimate": int(st_estimate),
         "n_noniso_cycles": len(cycle_lengths),

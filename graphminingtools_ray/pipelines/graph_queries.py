@@ -64,9 +64,26 @@ def components_query(sf_dir: str, min_weight: int = 2):
     return pd.DataFrame({"vertex_id": ids, "component": labels})
 
 
-def pagerank_query(sf_dir: str):
-    """No SQL oracle (iterative fixpoint): driver records rows-only; exactness
-    vs the NumPy oracle is covered by tests/test_algos_*."""
+def pagerank_query(sf_dir: str, k: int = 5):
+    """Exactly ``k`` power-iteration supersteps (tol=0 disables the
+    convergence early-exit) — the data-independent iteration count makes the
+    update rule SQL-expressible, so the driver hash-checks the full
+    arithmetic (uniform 1/n start, r' = (1-d)/n + d*sum(r[src]/outdeg[src]);
+    the symmetrized co-purchase graph has no dangling vertices). The
+    convergence variant is ``pagerank_fixpoint_query`` (rows-only)."""
+    ids, ranks, info = pagerank(
+        symmetrize(copurchase_edges(sf_dir).drop_columns(["weight"])), tol=0.0,
+        max_iter=k,
+    )
+    return pd.DataFrame(
+        {"vertex_id": ids, "rank": round_half_away(ranks, 9)}
+    )
+
+
+def pagerank_fixpoint_query(sf_dir: str):
+    """PageRank to L-inf convergence (the north-star fixpoint). No SQL oracle
+    (data-dependent iteration count): driver records rows-only; exactness vs
+    the NumPy oracle is covered by tests/test_algos_*."""
     ids, ranks, info = pagerank(
         symmetrize(copurchase_edges(sf_dir).drop_columns(["weight"])), tol=1e-6,
         max_iter=200,
@@ -89,9 +106,12 @@ def egonet_query(sf_dir: str, min_weight: int = 3):
 def label_propagation_query(sf_dir: str, min_weight: int = 3):
     """Community LPA to fixpoint (bounded 20 supersteps) on the weight>=3
     co-purchase subgraph (the dense full graph floods to one label; the
-    thresholded graph has real community structure). Iterative fixpoint →
-    no SQL oracle; exactness vs the brute-force voting oracle is covered
-    by tests/test_algos_micro.py."""
+    thresholded graph has real community structure). SQL-oracled despite the
+    early exit: synchronous voting is idempotent at a fixpoint and exact
+    integer arithmetic, so labels after min(fixpoint, 20) supersteps equal
+    labels after exactly 20 — the oracle unrolls all 20 (``_lpa_sql`` in
+    __ray_entry__). Per-superstep exactness also covered by
+    tests/test_algos_micro.py."""
     edges = copurchase_edges(sf_dir).filter(expr=f"weight >= {min_weight}")
     ids, labels, _ = label_propagation(
         symmetrize(edges.drop_columns(["weight"])), max_iter=20

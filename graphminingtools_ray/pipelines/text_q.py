@@ -46,7 +46,7 @@ def dedup_exact(sf_dir: str):
 
 
 def doc_stats(sf_dir: str):
-    return _docs(sf_dir).map_batches(TextStats(), batch_format="pandas")
+    return _docs(sf_dir).map_batches(TextStats(), batch_format="pyarrow")
 
 
 def lang_distribution(sf_dir: str):

@@ -37,17 +37,23 @@ def _pl_utf8(texts):
 
 
 class TextStats:
-    """n_chars / n_tokens per document. Token rule = runs of whitespace
-    (``text.strip().split()``) — matches the SQL oracle's
-    ``string_split_regex(trim(text), '\\s+')``."""
+    """n_chars / n_tokens per document. Token rule = runs of non-whitespace
+    (count of ``\\S+`` matches == ``len(text.strip().split())``) — matches
+    the SQL oracle's ``string_split_regex(trim(text), '\\s+')``. One
+    vectorized polars pass per Arrow batch (the ``count_matches`` idiom from
+    pipelines.text_q.token_counts — no per-row Python)."""
 
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        text = batch["text"].fillna("")
-        return pd.DataFrame(
+    def __call__(self, batch):
+        import pyarrow as pa
+
+        s = _pl_utf8(batch["text"])
+        return pa.table(
             {
                 "doc_id": batch["doc_id"],
-                "n_chars_computed": text.str.len().astype(np.int64),
-                "n_tokens": text.str.strip().str.split().map(len).astype(np.int64),
+                "n_chars_computed": s.str.len_chars()
+                .to_numpy().astype(np.int64),
+                "n_tokens": s.str.count_matches(r"\S+")
+                .to_numpy().astype(np.int64),
             }
         )
 

@@ -305,7 +305,19 @@ def test_kernel_pack_known_graphs():
     assert measures_for_graph(5, fan)["is_outerplanar"]
 
     mt = measures_for_graph(4, tree)
-    assert mt["n_articulation_points"] == 1 and mt["max_block_degree"] == 3
+    # blockDegree counts only m>1 components (listComponents.c:52-88,
+    # filter.c:516-521): a tree has no blocks, so max/min are 0; the
+    # articulation count uses criticality (bridges included).
+    assert mt["n_articulation_points"] == 1
+    assert mt["max_block_degree"] == 0 and mt["min_block_degree"] == 0
+    # two triangles sharing vertex 2, plus a pendant bridge at 0: vertex 2
+    # sits in two blocks (block degree 2), the pendant vertex 5 in none
+    bowtie = [(0, 1), (1, 2), (2, 0), (2, 3), (3, 4), (4, 2), (0, 5)]
+    mb = measures_for_graph(6, bowtie)
+    assert mb["max_block_degree"] == 2 and mb["min_block_degree"] == 0
+    assert mb["n_articulation_points"] == 2  # vertices 0 and 2
+    mc5b = measures_for_graph(5, C5)
+    assert mc5b["max_block_degree"] == 1 and mc5b["min_block_degree"] == 1
 
     mk4 = measures_for_graph(4, K4)
     assert mk4["spanning_trees"] == 16
