@@ -49,6 +49,24 @@ def _levelwise_trees(sf_dir: str):
     )
 
 
+def _levelwise_rooted(sf_dir: str):
+    """ROOTED levelwise mining (the reference's ``lwgr`` executable family:
+    lwmr_initAndCollect.c / lwmr_miningAndExtension.c /
+    treeEnumerationRooted.c): transactions are the per-order DIRECTED
+    graphs, patterns are canonical ROOTED trees, extension = frequent
+    directed edges, support = rooted embedding operator. Same relative
+    support parameterization as _levelwise_trees. Not SQL-expressible
+    (iterative candidate generation) — pytest brute-force oracle
+    (tests/test_levelwise.py::test_levelwise_rooted_matches_bruteforce)."""
+    from graphminingtools_ray.pipelines.levelwise import levelwise_rooted_mining
+    from graphminingtools_ray.pipelines.mining import _n_graphs
+
+    n = _n_graphs(sf_dir)
+    return levelwise_rooted_mining(
+        sf_dir, max_edges=3, min_support=max(2, round(0.0001 * n))
+    )
+
+
 def _cyclic_pattern_features(sf_dir: str):
     """cpk feature map (Horváth et al. cyclic pattern kernel; reference
     cpk.c): per graph, canonical simple-cycle strings + bridge-forest tree
@@ -235,6 +253,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "frequent_wedge_patterns": mining.frequent_wedge_patterns,
         "levelwise_paths": _levelwise_paths,
         "levelwise_trees": _levelwise_trees,
+        "levelwise_rooted": _levelwise_rooted,
         "cyclic_pattern_features": _cyclic_pattern_features,
         "tree_pattern_features": _tree_pattern_features,
         "gdb_blockchain_measures": _gdb_blockchain_measures,

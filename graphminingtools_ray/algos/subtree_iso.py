@@ -331,3 +331,79 @@ def tree_in_graph(
         return False
 
     return bt(0)
+
+
+def rooted_tree_in_digraph(
+    p_vertices: dict, p_edges: list, g_vertices: dict, g_edges: list
+) -> bool:
+    """ROOTED labeled pattern tree ⊑ DIRECTED labeled host graph: does some
+    host vertex v admit an injective embedding with root -> v and every
+    pattern edge (parent -> child, label) mapped to a host out-edge of the
+    parent's image with the same label? This is the rooted embedding
+    operator of the reference's lwgr family
+    (``/root/reference/lwmr_embeddingOperators.c:31-43``
+    rootedSubtreeComputationOperator ->
+    ``iterativeSubtreeIsomorphism.c:569-614,651`` — there a Shamir-Tsur DP
+    over forest transactions; here label-pruned backtracking, exact for
+    ARBITRARY digraph transactions, intended for small per-transaction
+    graphs). ``p_edges`` directed (parent, child, label); the pattern root
+    is the unique in-degree-0 vertex.
+    """
+    if len(p_vertices) > len(g_vertices):
+        return False
+    if not p_vertices:
+        return True
+    children: dict = {v: [] for v in p_vertices}
+    indeg = {v: 0 for v in p_vertices}
+    for p, c, el in p_edges:
+        children[p].append((c, el))
+        indeg[c] += 1
+    root = next(v for v in p_vertices if indeg[v] == 0)
+    g_out: dict = {v: [] for v in g_vertices}
+    for a, b, el in g_edges:
+        g_out[a].append((b, el))
+
+    # DFS order: each pattern vertex after the root attaches to its parent
+    dfs = [root]
+    attach: dict = {}
+    stack = [root]
+    while stack:
+        u = stack.pop()
+        for c, el in children[u]:
+            attach[c] = (u, el)
+            dfs.append(c)
+            stack.append(c)
+
+    assign: dict = {}
+    used: set = set()
+
+    def bt(i: int) -> bool:
+        if i == len(dfs):
+            return True
+        u = dfs[i]
+        ul = p_vertices[u]
+        if i == 0:
+            for v in g_vertices:
+                if g_vertices[v] != ul or v in used:
+                    continue
+                assign[u] = v
+                used.add(v)
+                if bt(i + 1):
+                    return True
+                used.discard(v)
+                del assign[u]
+            return False
+        parent, el = attach[u]
+        pv = assign[parent]
+        for w, hel in g_out[pv]:
+            if hel != el or w in used or g_vertices[w] != ul:
+                continue
+            assign[u] = w
+            used.add(w)
+            if bt(i + 1):
+                return True
+            used.discard(w)
+            del assign[u]
+        return False
+
+    return bt(0)

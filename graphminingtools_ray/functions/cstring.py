@@ -86,6 +86,53 @@ def canonical_tree_string(
     )
 
 
+def canonical_rooted_tree_string(
+    vertices: dict[int, str], edges: list[tuple[int, int, str]]
+) -> str | None:
+    """Canonical string of a ROOTED labeled tree — the rooted-mining pattern
+    identity (reference ``cs_Tree.c:24-126`` canonicalStringOfRootedTree, as
+    used by ``lwmr`` / treeEnumerationRooted.c:91): same grammar as the
+    unrooted form but serialized from the structural root (NO center
+    finding — rooted trees with the same shape but different roots are
+    distinct patterns). ``edges`` are DIRECTED (parent, child, edge_label);
+    the root is the unique in-degree-0 vertex. Returns None when the input
+    is not an out-tree (multiple roots / a vertex with two parents / a
+    cycle / disconnected). ``parse_cstring`` is the exact inverse: it
+    returns vertices in parse order with the root at id 0 and edges as
+    (parent, child, label)."""
+    n = len(vertices)
+    if n == 0 or len(edges) != n - 1:
+        return None
+    indeg = {v: 0 for v in vertices}
+    children: dict[int, list] = {v: [] for v in vertices}
+    for p, c, el in edges:
+        if p == c or p not in children or c not in children:
+            return None
+        indeg[c] += 1
+        children[p].append((c, el))
+    roots = [v for v in vertices if indeg[v] == 0]
+    if len(roots) != 1 or any(d > 1 for d in indeg.values()):
+        return None
+    root = roots[0]
+    # reachability from the root rules out a directed cycle living beside it
+    seen = {root}
+    stack = [root]
+    while stack:
+        v = stack.pop()
+        for c, _ in children[v]:
+            if c not in seen:
+                seen.add(c)
+                stack.append(c)
+    if len(seen) != n:
+        return None
+
+    def enc(v: int) -> str:
+        blocks = sorted(f"( {el} {enc(c)}) " for c, el in children[v])
+        return f"{vertices[v]} " + "".join(blocks)
+
+    return enc(root)
+
+
 def canonical_cycle(vlabels: list[str], elabels: list[str]) -> str:
     """Canonical string of a labeled simple cycle — reference semantics
     (``cs_Cycle.c:94-174``): the cycle visits vertices v0..v_{k-1} with

@@ -379,3 +379,274 @@ def _canon_tokens(toks: list[str]) -> str:
     fwd = "-".join(toks)
     bwd = "-".join(reversed(toks))
     return min(fwd, bwd)
+
+
+# ---------------------------------------------------------------------------
+# ROOTED levelwise mining (round 3 — the reference's `lwgr` executable family)
+# ---------------------------------------------------------------------------
+
+def _rooted_leaf_removals(pattern: str) -> list[str]:
+    """Rooted apriori parents: canonical strings of every (k-1)-edge rooted
+    subtree obtained by deleting one degree-1 vertex
+    (``treeEnumerationRooted.c:56-119`` aprioriCheckExtensionRootedReturnList
+    removes every leaf). Deleting a childless leaf keeps the root; deleting
+    the ROOT (legal when it has exactly one child) re-roots at that child —
+    sound because a rooted occurrence of the candidate restricted to the
+    child's subtree is a rooted occurrence of the parent pattern."""
+    from ..functions.cstring import canonical_rooted_tree_string, parse_cstring
+
+    vertices, edges = parse_cstring(pattern)
+    children: dict[int, list] = {v: [] for v in vertices}
+    for p, c, _ in edges:
+        children[p].append(c)
+    out = set()
+    for leaf in [v for v in vertices if not children[v] and v != 0]:
+        v2 = {v: l for v, l in vertices.items() if v != leaf}
+        e2 = [e for e in edges if e[1] != leaf]
+        c = canonical_rooted_tree_string(v2, e2)
+        if c is not None:
+            out.add(c)
+    if len(children[0]) == 1 and len(vertices) > 1:
+        v2 = {v: l for v, l in vertices.items() if v != 0}
+        e2 = [e for e in edges if e[0] != 0]
+        c = canonical_rooted_tree_string(v2, e2)
+        if c is not None:
+            out.add(c)
+    return sorted(out)
+
+
+def _rooted_extensions(
+    pattern: str, by_parent: dict[str, list[tuple[str, str]]]
+) -> set[str]:
+    """All canonical (k+1)-edge rooted trees obtained by attaching one
+    frequent DIRECTED edge as a new child at any vertex whose label matches
+    the edge's parent label (``treeEnumerationRooted.c:26-40``
+    extendRootedPatternAllWays: startPoint label selects the attach vertex,
+    endPoint label is the new child's label)."""
+    from ..functions.cstring import canonical_rooted_tree_string, parse_cstring
+
+    vertices, edges = parse_cstring(pattern)
+    out = set()
+    for u, ul in vertices.items():
+        for el, child_label in by_parent.get(ul, ()):
+            nid = len(vertices)
+            v2 = dict(vertices)
+            v2[nid] = child_label
+            c = canonical_rooted_tree_string(v2, edges + [(u, nid, el)])
+            if c is not None:
+                out.add(c)
+    return out
+
+
+@ray.remote
+def _extend_slice_rooted(
+    patterns: list[str],
+    by_parent: dict[str, list[tuple[str, str]]],
+    frequent_prev: set[str],
+) -> dict:
+    """Rooted candidate-generation fan-out: extend a slice of the frequent
+    set, apriori-filter, return {canonical: (pv, pe, need_triples, anchor)}
+    with DIRECTED (parent_label, edge_label, child_label) triples."""
+    from collections import Counter
+
+    from ..functions.cstring import parse_cstring
+
+    out = {}
+    for p in patterns:
+        for c in _rooted_extensions(p, by_parent):
+            if c in out:
+                continue
+            if all(s in frequent_prev for s in _rooted_leaf_removals(c)):
+                pv, pe = parse_cstring(c)
+                trips = sorted((pv[a], el, pv[b]) for a, b, el in pe)
+                out[c] = (pv, pe, Counter(trips), trips[0])
+    return out
+
+
+def levelwise_rooted_mining(
+    sf_dir: str,
+    max_edges: int = 3,
+    min_support: int = 3,
+):
+    """-> DataFrame (level, pattern, support): frequent ROOTED labeled trees
+    of the per-order DIRECTED graph DB (edge = consecutive line numbers,
+    oriented earlier -> later), level = VERTEX count (level 1 = single
+    vertices, level k = (k-1)-edge rooted trees, mined up to
+    ``max_edges``-edge patterns), pattern = canonical rooted tree string.
+
+    The reference's `lwgr` BFS loop re-expressed
+    (``lwmr_miningAndExtension.c``; init
+    ``lwmr_initAndCollect.c:213-256`` initDirectedPatternEnumeration):
+    transactions load as DIRECTED graphs, level-1 patterns are frequent
+    vertex labels, the extension set is the frequent DIRECTED edges
+    (``getFrequentDirectedEdges``, counted once — support of a 2-vertex
+    rooted pattern IS its directed-triple support, so level 2 is emitted
+    from that same count), candidates extend by attaching a frequent
+    directed edge as a new child (``extendRootedPatternAllWays``) with the
+    rooted apriori check, and support counting runs the rooted embedding
+    operator (``algos.subtree_iso.rooted_tree_in_digraph`` — the engine's
+    exact counterpart of rootedSubtreeComputationOperator) inside ONE
+    bucketed exchange keyed on graph_id.
+    """
+    from collections import Counter
+
+    from ..algos.subtree_iso import rooted_tree_in_digraph
+    from ..functions.cstring import canonical_rooted_tree_string
+
+    threshold = int(min_support)
+    edges = order_graph_edges_full(sf_dir).materialize()
+
+    def final_sum(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {"pattern": t["pattern"].to_pylist(),
+             "partial": t["partial"].to_numpy()}
+        )
+        g = df.groupby("pattern", sort=True)["partial"].sum()
+        return pa.table(
+            {
+                "pattern": pa.array(g.index.tolist(), pa.string()),
+                "support": g.to_numpy(np.int64),
+            }
+        )
+
+    # level 1 (frequent vertices) + the directed-edge extension set in one
+    # pass each: per graph, distinct vertex labels / distinct directed
+    # (parent_label, edge_label, child_label) triples
+    def count_vertices(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        counts: dict[str, int] = {}
+        for _, g in df.groupby("graph_id", sort=False):
+            for lab in set(g["ba"]).union(g["bb"]):
+                p = f"{lab} "
+                counts[p] = counts.get(p, 0) + 1
+        return pa.table(
+            {
+                "pattern": pa.array(list(counts), pa.string()),
+                "partial": pa.array(list(counts.values()), pa.int64()),
+            }
+        )
+
+    def count_directed_edges(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        counts: dict[str, int] = {}
+        for _, g in df.groupby("graph_id", sort=False):
+            trips = {
+                canonical_rooted_tree_string(
+                    {0: ba, 1: bb}, [(0, 1, le)]
+                )
+                for ba, bb, le in zip(g["ba"], g["bb"], g["le"])
+            }
+            for p in trips:
+                counts[p] = counts.get(p, 0) + 1
+        return pa.table(
+            {
+                "pattern": pa.array(list(counts), pa.string()),
+                "partial": pa.array(list(counts.values()), pa.int64()),
+            }
+        )
+
+    results = []
+    lvl1 = bucketed_group_combine(
+        bucketed_group_combine(edges, ["graph_id"], count_vertices),
+        ["pattern"], final_sum,
+    ).to_pandas()
+    lvl1 = lvl1[lvl1["support"] >= threshold].sort_values(
+        "pattern"
+    ).reset_index(drop=True)
+    lvl1.insert(0, "level", 1)
+    results.append(lvl1)
+    frequent_vertex_labels = {p.strip() for p in lvl1["pattern"]}
+
+    if max_edges >= 1 and len(lvl1):
+        lvl2 = bucketed_group_combine(
+            bucketed_group_combine(edges, ["graph_id"], count_directed_edges),
+            ["pattern"], final_sum,
+        ).to_pandas()
+        lvl2 = lvl2[lvl2["support"] >= threshold]
+        # reference init counts vertices and edges independently; the BFS
+        # loop then only extends FREQUENT patterns, so an edge both of whose
+        # endpoint labels are frequent is kept (apriori on level 1)
+        from ..functions.cstring import parse_cstring as _parse
+
+        keep = []
+        by_parent: dict[str, list[tuple[str, str]]] = {}
+        for p, s in zip(lvl2["pattern"], lvl2["support"]):
+            pv, pe = _parse(p)
+            (a, b, el) = pe[0]
+            if pv[a] in frequent_vertex_labels and pv[b] in frequent_vertex_labels:
+                keep.append((p, s))
+                by_parent.setdefault(pv[a], []).append((el, pv[b]))
+        lvl2 = pd.DataFrame(keep, columns=["pattern", "support"]).sort_values(
+            "pattern"
+        ).reset_index(drop=True)
+        lvl2.insert(0, "level", 2)
+        lvl2["support"] = lvl2["support"].astype(np.int64)
+        results.append(lvl2)
+        frequent_prev = lvl2["pattern"].tolist()
+
+        for level in range(3, max_edges + 2):
+            if not frequent_prev:
+                break
+            prev_set = set(frequent_prev)
+            futures = [
+                _extend_slice_rooted.remote(
+                    frequent_prev[i: i + 64], by_parent, prev_set
+                )
+                for i in range(0, len(frequent_prev), 64)
+            ]
+            cand_map: dict = {}
+            for s in ray.get(futures):
+                cand_map.update(s)
+            if not cand_map:
+                break
+            by_anchor: dict[tuple, list] = {}
+            for c, (pv, pe, need, anchor) in cand_map.items():
+                by_anchor.setdefault(anchor, []).append((c, pv, pe, need))
+            cand_ref = ray.put(by_anchor)
+
+            def count_level(t: pa.Table, _cand=cand_ref) -> pa.Table:
+                by_anchor = ray.get(_cand)
+                df = t.to_pandas()
+                counts: dict[str, int] = {}
+                for _, g in df.groupby("graph_id", sort=False):
+                    vertices: dict[int, str] = {}
+                    gedges = []
+                    for r in g.itertuples():
+                        vertices[int(r.va)] = r.ba
+                        vertices[int(r.vb)] = r.bb
+                        gedges.append((int(r.va), int(r.vb), r.le))
+                    gtrips = Counter(
+                        (vertices[a], el, vertices[b]) for a, b, el in gedges
+                    )
+                    pats = set()
+                    for anchor in gtrips:
+                        for c, pv, pe, need in by_anchor.get(anchor, ()):
+                            if c in pats:
+                                continue
+                            if any(gtrips[k] < n for k, n in need.items()):
+                                continue  # directed-triple multiset prune
+                            if rooted_tree_in_digraph(pv, pe, vertices, gedges):
+                                pats.add(c)
+                    for p in pats:
+                        counts[p] = counts.get(p, 0) + 1
+                return pa.table(
+                    {
+                        "pattern": pa.array(list(counts), pa.string()),
+                        "partial": pa.array(list(counts.values()), pa.int64()),
+                    }
+                )
+
+            counted = bucketed_group_combine(
+                bucketed_group_combine(edges, ["graph_id"], count_level),
+                ["pattern"], final_sum,
+            ).to_pandas()
+            counted = counted[counted["support"] >= threshold]
+            counted = counted.sort_values("pattern").reset_index(drop=True)
+            frequent_prev = counted["pattern"].tolist()
+            counted.insert(0, "level", level)  # level = vertex count
+            results.append(counted)
+            if len(counted) == 0:
+                break
+
+    out = pd.concat(results, ignore_index=True)
+    return out

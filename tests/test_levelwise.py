@@ -187,3 +187,107 @@ def test_subtree_iso_positive_embeddings():
                 pv, pe = parse_cstring(p)
                 assert subtree_iso_trees(pv, pe, hv, he), (p, hv, he)
                 assert tree_in_graph(pv, pe, hv, he), (p, hv, he)
+
+
+# ---------------------------------------------------------------------------
+# ROOTED levelwise mining (round 3, lwgr family) vs an unpruned brute force
+# ---------------------------------------------------------------------------
+
+from graphminingtools_ray.algos.subtree_iso import rooted_tree_in_digraph
+from graphminingtools_ray.functions.cstring import (
+    canonical_rooted_tree_string,
+    parse_cstring,
+)
+from graphminingtools_ray.pipelines.levelwise import levelwise_rooted_mining
+
+
+def _rooted_subtree_patterns(vlabels, dedges, max_k):
+    """All canonical ROOTED-tree strings of out-subtrees with 0..max_k edges
+    of a small digraph — independent of the miner: enumerate occurrences by
+    growing host out-trees edge by edge from every root."""
+    out_adj: dict = {}
+    for va, vb, le in dedges:
+        out_adj.setdefault(va, []).append((vb, le))
+    out = {k: set() for k in range(0, max_k + 1)}
+    for v, lab in vlabels.items():
+        out[0].add(f"{lab} ")
+    seen_occ: set = set()
+
+    def grow(root, tedges, vset):
+        k = len(tedges)
+        if k:
+            pv = {v: vlabels[v] for v in vset}
+            s = canonical_rooted_tree_string(pv, list(tedges))
+            assert s is not None
+            out[k].add(s)
+        if k == max_k:
+            return
+        for u in sorted(vset):
+            for w, le in out_adj.get(u, ()):
+                if w in vset:
+                    continue
+                ne = tuple(sorted(tedges + ((u, w, le),)))
+                key = (root, ne)
+                if key in seen_occ:
+                    continue
+                seen_occ.add(key)
+                grow(root, ne, vset | {w})
+
+    for v in vlabels:
+        grow(v, (), frozenset([v]))
+    return out
+
+
+def _rooted_brute_force(sf, max_k, min_support):
+    con = duckdb.connect()
+    rows = con.execute(f"""
+        WITH pl AS (SELECT l_orderkey, l_linenumber, l_returnflag, l_partkey, p_brand
+                    FROM read_parquet('{sf}/lineitem.parquet') li
+                    JOIN read_parquet('{sf}/part.parquet') p ON l_partkey = p_partkey),
+        seq AS (SELECT l_orderkey, l_partkey, p_brand, l_returnflag,
+                       lag(l_partkey) OVER w AS pk0, lag(p_brand) OVER w AS b0
+                FROM pl WINDOW w AS (PARTITION BY l_orderkey ORDER BY l_linenumber, l_partkey, l_returnflag))
+        SELECT DISTINCT l_orderkey, pk0, l_partkey, b0, p_brand, l_returnflag
+        FROM seq WHERE pk0 IS NOT NULL AND pk0 <> l_partkey
+    """).fetchall()
+    per_graph: dict = {}
+    for o, va, vb, ba, bb, le in rows:
+        per_graph.setdefault(o, {"v": {}, "e": set()})
+        per_graph[o]["v"][va] = ba
+        per_graph[o]["v"][vb] = bb
+        per_graph[o]["e"].add((va, vb, le))
+    counts: dict = {}
+    for o, g in per_graph.items():
+        pats = _rooted_subtree_patterns(g["v"], sorted(g["e"]), max_k)
+        for k, ps in pats.items():
+            for p in ps:
+                counts[(k + 1, p)] = counts.get((k + 1, p), 0) + 1
+    return pd.DataFrame(
+        [(l, p, c) for (l, p), c in counts.items() if c >= min_support],
+        columns=["level", "pattern", "support"],
+    ).sort_values(["level", "pattern"]).reset_index(drop=True)
+
+
+def test_levelwise_rooted_matches_bruteforce():
+    got = levelwise_rooted_mining(SF, max_edges=3, min_support=2)
+    got = got.sort_values(["level", "pattern"]).reset_index(drop=True)
+    want = _rooted_brute_force(SF, 3, 2)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    assert (got["level"] >= 3).any()  # genuinely beyond single edges
+
+
+def test_rooted_vs_unrooted_distinction():
+    """Direction matters: a chain A-x->B occurs rooted at A only; the rooted
+    miner must NOT count B ( x A )."""
+    g_v = {0: "A", 1: "B"}
+    g_e = [(0, 1, "x")]
+    ok = rooted_tree_in_digraph(*parse_cstring("A ( x B ) "), g_v, g_e)
+    no = rooted_tree_in_digraph(*parse_cstring("B ( x A ) "), g_v, g_e)
+    assert ok and not no
+    # branching beats chains: root with two children needs two out-edges
+    g2_v = {0: "A", 1: "B", 2: "B"}
+    chain = [(0, 1, "x"), (1, 2, "x")]
+    star = [(0, 1, "x"), (0, 2, "x")]
+    p = parse_cstring("A ( x B ) ( x B ) ")
+    assert rooted_tree_in_digraph(*p, g2_v, star)
+    assert not rooted_tree_in_digraph(*p, g2_v, chain)
