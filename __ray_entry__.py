@@ -114,6 +114,33 @@ def _poset_minhash_sketches(sf_dir: str):
     )
 
 
+def _poset_exact_embeddings(sf_dir: str):
+    """EXACT full-space pattern embeddings over the frequent-tree poset via
+    a minimum path cover + per-chain binary search (reference
+    poset_pathCover.c:673-734 staticPathCoverEmbeddingForTrees /
+    getPathCoverOfPoset) — the exact counterpart the min-hash sketch and
+    random-projection queries approximate. Not SQL-expressible (monotone
+    DAG evaluation); pytest oracles prove set-equality with brute-force
+    full evaluation at measurably fewer probes
+    (tests/test_poset_minhash.py)."""
+    from graphminingtools_ray.pipelines.levelwise import levelwise_tree_mining
+    from graphminingtools_ray.pipelines.mining import (
+        _n_graphs,
+        order_graph_edges_full,
+    )
+    from graphminingtools_ray.pipelines.poset_minhash import (
+        poset_exact_embeddings,
+    )
+
+    sup = max(3, round(0.0001 * _n_graphs(sf_dir)))
+    frequent = levelwise_tree_mining(sf_dir, max_edges=2, min_support=sup)
+    patterns = sorted(set(frequent["pattern"].tolist()))
+    return poset_exact_embeddings(
+        order_graph_edges_full(sf_dir), patterns,
+        strategy="static_path_cover",
+    )
+
+
 def _poset_projection_embeddings(sf_dir: str):
     """Random-projection approximate full-space pattern embeddings
     (reference minhashing.c:747-790
@@ -260,6 +287,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tree_sampling_suite": _tree_sampling_suite,
         "poset_minhash_sketches": _poset_minhash_sketches,
         "poset_projection_embeddings": _poset_projection_embeddings,
+        "poset_exact_embeddings": _poset_exact_embeddings,
         "opk_features": _opk_features,
         # documents: dedup family + text analysis
         "dedup_exact": text_q.dedup_exact,

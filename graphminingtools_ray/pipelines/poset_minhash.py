@@ -492,3 +492,225 @@ def sketch_jaccard_estimate(
     both_empty = (a[perms] == -1) & (b[perms] == -1)
     agree = (a[perms] == b[perms]) & ~both_empty
     return float(agree.sum()) / len(perms)
+
+
+# --- exact full-space embeddings via poset path covers ------------------------
+# (the reference's poset_pathCover.c family — the EXACT counterpart that the
+# min-hash sketch and random-projection paths above approximate)
+
+
+def minimum_path_cover(poset: TreePoset) -> list[list[int]]:
+    """Minimum vertex-disjoint path cover of the pattern poset DAG
+    (vertices 1..n-1; chains follow direct poset edges), via Dilworth /
+    König: min cover size = n_patterns − max bipartite matching on the
+    split graph (reference ``poset_pathCover.c:250-330``
+    getPathCoverOfPoset* computes the same cover with max-flow; Kuhn's
+    augmenting paths suffice at pattern scale). Deterministic: vertices and
+    neighbors are scanned in ascending id order."""
+    n = poset.n
+    match_r: dict[int, int] = {}  # right vertex -> matched left vertex
+    match_l: dict[int, int] = {}  # left vertex -> matched right vertex
+
+    def try_augment(u: int, seen: set[int]) -> bool:
+        for w in poset.up[u]:
+            if w in seen:
+                continue
+            seen.add(w)
+            if w not in match_r or try_augment(match_r[w], seen):
+                match_r[w] = u
+                match_l[u] = w
+                return True
+        return False
+
+    import sys
+
+    old_limit = sys.getrecursionlimit()
+    sys.setrecursionlimit(max(old_limit, 2 * n + 100))
+    try:
+        for u in range(1, n):
+            try_augment(u, set())
+    finally:
+        sys.setrecursionlimit(old_limit)
+    heads = [v for v in range(1, n) if v not in match_r]
+    paths = []
+    for h in heads:
+        path = [h]
+        while path[-1] in match_l:
+            path.append(match_l[path[-1]])
+        paths.append(path)
+    return paths
+
+
+def _binary_search_path(
+    path: list[int], state: np.ndarray, poset: TreePoset, match_op,
+    g_vertices: dict, g_edges: list,
+) -> int:
+    """Binary-search the match frontier along an ascending poset chain
+    (``poset_pathCover.c:505-530`` binarySearchEvaluation): matches form a
+    prefix (antitone indicator), every probe propagates through the poset,
+    so the whole chain is decided with O(log len) explicit evaluations."""
+    n_eval = 0
+    lo, hi = 0, len(path) - 1
+    while lo <= hi:
+        mid = (lo + hi) // 2
+        pid = path[mid]
+        if state[pid] == 0:
+            pv, pe = poset.vertices[pid - 1], poset.edges[pid - 1]
+            n_eval += 1
+            if match_op(pv, pe, g_vertices, g_edges):
+                _propagate_match(poset, pid, state)
+            else:
+                _propagate_nonmatch(poset, pid, state)
+        if state[pid] == 1:
+            lo = mid + 1
+        else:
+            hi = mid - 1
+    return n_eval
+
+
+def exact_embedding_for_graph(
+    poset: TreePoset,
+    g_vertices: dict,
+    g_edges: list,
+    strategy: str = "static_path_cover",
+    paths: list[list[int]] | None = None,
+    match_op=None,
+) -> tuple[set[int], int]:
+    """EXACT matched-pattern-id set over the full poset for one graph, with
+    the number of explicit embedding evaluations spent — the engine analog
+    of the reference's exact full-space evaluation strategies
+    (``poset_pathCover.c:673-734``):
+
+    - ``static_path_cover`` — binary-search every chain of a precomputed
+      minimum path cover (staticPathCoverEmbeddingForTrees; pass ``paths``
+      from ``minimum_path_cover`` to amortize it across graphs);
+    - ``lattice_path`` — for each undecided pattern in id order, walk a
+      greedy maximal chain upward through undecided direct superpatterns
+      and binary-search it (latticePathEmbeddingForTrees + getPathInDAG);
+    - ``dfs_downward`` — depth-first ray search from the minimal patterns
+      (dfsDownwardEmbeddingForTrees + dfsRaySearch);
+    - ``bfs`` — the existing monotone BFS (``bfs_feature_set``).
+
+    All strategies return the same exact set; they differ only in the
+    number of evaluations (the chain strategies win on deep posets)."""
+    match_op = match_op or make_match_op("subtree", 0)
+    state = np.zeros(poset.n, dtype=np.int8)
+    state[0] = 1
+    n_eval = 0
+
+    def evaluate(pid: int):
+        nonlocal n_eval
+        pv, pe = poset.vertices[pid - 1], poset.edges[pid - 1]
+        n_eval += 1
+        if match_op(pv, pe, g_vertices, g_edges):
+            _propagate_match(poset, pid, state)
+        else:
+            _propagate_nonmatch(poset, pid, state)
+
+    if strategy == "static_path_cover":
+        if paths is None:
+            paths = minimum_path_cover(poset)
+        for path in paths:
+            n_eval += _binary_search_path(
+                path, state, poset, match_op, g_vertices, g_edges
+            )
+    elif strategy == "lattice_path":
+        for v in range(1, poset.n):
+            if state[v] != 0:
+                continue
+            path = [v]
+            while True:
+                nxt = next(
+                    (w for w in poset.up[path[-1]] if state[w] == 0), None
+                )
+                if nxt is None:
+                    break
+                path.append(nxt)
+            n_eval += _binary_search_path(
+                path, state, poset, match_op, g_vertices, g_edges
+            )
+    elif strategy == "dfs_downward":
+        def ray(pid: int):
+            if state[pid] != 0:
+                return
+            pv, pe = poset.vertices[pid - 1], poset.edges[pid - 1]
+            nonlocal n_eval
+            n_eval += 1
+            if match_op(pv, pe, g_vertices, g_edges):
+                # recurse into superpatterns BEFORE marking, like the
+                # reference (updateEvaluationPlan runs after the recursion)
+                for w in poset.up[pid]:
+                    ray(w)
+                _propagate_match(poset, pid, state)
+            else:
+                _propagate_nonmatch(poset, pid, state)
+
+        for v in range(1, poset.n):
+            ray(v)
+    elif strategy == "bfs":
+        queue = list(poset.up[0])
+        seen = set(queue)
+        while queue:
+            pid = queue.pop(0)
+            if state[pid] == 0:
+                evaluate(pid)
+            if state[pid] == 1:
+                for w in poset.up[pid]:
+                    if w not in seen:
+                        seen.add(w)
+                        queue.append(w)
+    else:
+        raise ValueError(f"unknown strategy {strategy!r}")
+    return {int(v) for v in np.flatnonzero(state == 1) if v != 0}, n_eval
+
+
+def poset_exact_embeddings(
+    graph_edges: rd.Dataset,
+    patterns: list[str],
+    strategy: str = "static_path_cover",
+    operator: str = "subtree",
+    threshold: float = 0,
+) -> pd.DataFrame:
+    """Distributed exact full-space pattern embeddings over the poset:
+    -> DataFrame (graph_id, pattern_id, pattern) — one row per MATCHED
+    (graph, pattern) pair — plus per-graph evaluation counts folded into an
+    attrs dict. Poset + minimum path cover built once on the driver
+    (pattern-scale) and broadcast; the graph DB streams through one bucketed
+    exchange keyed on graph_id (same shape as poset_minhash_sketches)."""
+    poset = TreePoset(patterns)
+    paths = minimum_path_cover(poset) if strategy == "static_path_cover" else None
+    plan_ref = ray.put((poset, paths, strategy, operator, threshold))
+
+    def per_bucket(t: pa.Table) -> pa.Table:
+        poset, paths, strategy, operator, threshold = ray.get(plan_ref)
+        match_op = make_match_op(operator, threshold)
+        df = t.to_pandas()
+        gids, pids, evals = [], [], []
+        for gid, g in df.groupby("graph_id", sort=True):
+            vertices: dict[int, str] = {}
+            gedges = []
+            for r in g.itertuples():
+                vertices[int(r.va)] = r.ba
+                vertices[int(r.vb)] = r.bb
+                gedges.append((int(r.va), int(r.vb), r.le))
+            matched, n_eval = exact_embedding_for_graph(
+                poset, vertices, gedges, strategy, paths, match_op
+            )
+            for pid in sorted(matched):
+                gids.append(int(gid))
+                pids.append(pid)
+                evals.append(n_eval)
+        return pa.table(
+            {
+                "graph_id": pa.array(gids, pa.int64()),
+                "pattern_id": pa.array(pids, pa.int64()),
+                "n_evaluations": pa.array(evals, pa.int64()),
+            }
+        )
+
+    out = bucketed_group_combine(
+        graph_edges, ["graph_id"], per_bucket
+    ).to_pandas()
+    poset_strings = {i + 1: s for i, s in enumerate(poset.strings)}
+    out["pattern"] = out["pattern_id"].map(poset_strings)
+    return out.sort_values(["graph_id", "pattern_id"]).reset_index(drop=True)

@@ -319,3 +319,86 @@ def test_distributed_projection_embeddings_match_local():
             (int(r.pattern_id), int(r.value)) for r in rows.itertuples()
         } == expect
         assert (rows["n_evaluations"] == n_eval).all()
+
+
+# --- exact full-space embeddings via poset path covers (round 3) -------------
+
+from graphminingtools_ray.pipelines.poset_minhash import (
+    exact_embedding_for_graph,
+    minimum_path_cover,
+    poset_exact_embeddings,
+)
+
+
+def test_minimum_path_cover_is_chain_cover():
+    poset = TreePoset(PATTERNS)
+    paths = minimum_path_cover(poset)
+    seen: list[int] = []
+    for path in paths:
+        seen.extend(path)
+        for a, b in zip(path, path[1:]):
+            assert b in poset.up[a]  # consecutive = direct poset edge
+    assert sorted(seen) == list(range(1, poset.n))  # vertex-disjoint cover
+    # Dilworth bound: cover size equals n_patterns - max matching; for this
+    # family the chains genuinely compress (fewer paths than patterns)
+    assert len(paths) < poset.n - 1
+
+
+def test_exact_strategies_match_bruteforce_with_fewer_evaluations():
+    poset = TreePoset(PATTERNS)
+    paths = minimum_path_cover(poset)
+    rng = random.Random(17)
+    total_eval = {s: 0 for s in
+                  ["static_path_cover", "lattice_path", "dfs_downward", "bfs"]}
+    n_graphs = 60
+    for _ in range(n_graphs):
+        gv, ge = _random_graph(rng)
+        want = _brute_matched(poset, gv, ge)
+        for strat in total_eval:
+            got, n_eval = exact_embedding_for_graph(
+                poset, gv, ge, strat,
+                paths if strat == "static_path_cover" else None,
+            )
+            assert got == want, (strat, gv, ge)
+            assert n_eval <= poset.n - 1
+            total_eval[strat] += n_eval
+    # the chain strategies must beat evaluating every pattern every time
+    full = n_graphs * (poset.n - 1)
+    assert total_eval["static_path_cover"] < full
+    assert total_eval["lattice_path"] < full
+
+
+def test_distributed_exact_embeddings_match_local(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    rng = random.Random(23)
+    rows = []
+    graphs = {}
+    for gid in range(12):
+        gv, ge = _random_graph(rng)
+        if not ge:
+            continue
+        graphs[gid] = (gv, ge)
+        for a, b, le in ge:
+            rows.append((gid, a, b, gv[a], gv[b], le))
+    t = pa.table(
+        {
+            "graph_id": pa.array([r[0] for r in rows], pa.int64()),
+            "va": pa.array([r[1] for r in rows], pa.int64()),
+            "vb": pa.array([r[2] for r in rows], pa.int64()),
+            "ba": pa.array([r[3] for r in rows], pa.string()),
+            "bb": pa.array([r[4] for r in rows], pa.string()),
+            "le": pa.array([r[5] for r in rows], pa.string()),
+        }
+    )
+    out = poset_exact_embeddings(rd.from_arrow(t), PATTERNS)
+    poset = TreePoset(PATTERNS)
+    for gid, (gv, ge) in graphs.items():
+        want = _brute_matched(poset, gv, ge)
+        got = set(out[out["graph_id"] == gid]["pattern_id"])
+        assert got == want, gid
+    # pattern strings round-trip
+    for pid, s in zip(out["pattern_id"], out["pattern"]):
+        assert poset.strings[pid - 1] == s
