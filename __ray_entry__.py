@@ -205,6 +205,45 @@ def _gdb_blockchain_measures(sf_dir: str):
     return graph_measures(v, e)
 
 
+def _cactus_subtree_iso(sf_dir: str):
+    """Tree patterns ⊑ cactus transactions via the cactus DP (reference
+    cactustree.c cactusTreeSubIso, executables/cactus.c) over a
+    deterministic cgen block-chain cactus DB (diagonal_prob=0 ⇒ every block
+    a simple cycle). Rows-only (generated inputs DuckDB cannot see); the
+    operator is oracle-pinned against the general backtracking embedding on
+    800 random labeled cacti in tests/test_cactus_iso.py."""
+    from graphminingtools_ray.functions.cstring import canonical_tree_string
+    from graphminingtools_ray.pipelines.patterns import cactus_pattern_features
+    from graphminingtools_ray.sources.generators import block_chain_db
+
+    n_graphs = 40 if "0.01" in sf_dir else 20
+    long_ds = block_chain_db(n_graphs, 3, 5, diagonal_prob=0.0, seed=29)
+    # unlabeled tree shapes: paths P2..P5, the 3-star, and a spider
+    pats = [
+        canonical_tree_string(
+            {i: "x" for i in range(k + 1)},
+            [(i, i + 1, "x") for i in range(k)],
+        )
+        for k in range(1, 5)
+    ] + [
+        canonical_tree_string(
+            {0: "x", 1: "x", 2: "x", 3: "x"},
+            [(0, 1, "x"), (0, 2, "x"), (0, 3, "x")],
+        ),
+        canonical_tree_string(
+            {0: "x", 1: "x", 2: "x", 3: "x", 4: "x"},
+            [(0, 1, "x"), (1, 2, "x"), (0, 3, "x"), (3, 4, "x")],
+        ),
+        # 5-star: needs a degree-5 vertex; a chain of simple cycles tops out
+        # at degree 4 (articulation between two cycles) -> always False
+        canonical_tree_string(
+            {i: "x" for i in range(6)},
+            [(0, i, "x") for i in range(1, 6)],
+        ),
+    ]
+    return cactus_pattern_features(long_ds, pats)
+
+
 def _tree_sampling_suite(sf_dir: str):
     """Full ``ts`` strategy suite (reference sampleSubtrees.c:69-368,
     treeSamplingMain.c dispatch: wilson/kruskal/listing/mix/partialListing/
@@ -285,6 +324,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tree_pattern_features": _tree_pattern_features,
         "gdb_blockchain_measures": _gdb_blockchain_measures,
         "tree_sampling_suite": _tree_sampling_suite,
+        "cactus_subtree_iso": _cactus_subtree_iso,
         "poset_minhash_sketches": _poset_minhash_sketches,
         "poset_projection_embeddings": _poset_projection_embeddings,
         "poset_exact_embeddings": _poset_exact_embeddings,

@@ -274,3 +274,58 @@ def pattern_gram(features: rd.Dataset, sample_ids: list[int]) -> pd.DataFrame:
     )
     gram = gram.reindex(index=ids, columns=ids, fill_value=0)
     return gram
+
+
+def cactus_pattern_features(long_ds, patterns: list[str]) -> "pd.DataFrame":
+    """Tree-pattern boolean feature map over a CACTUS graph DB via the
+    cactus-structured DP (``algos.cactus_iso.tree_in_cactus`` — reference
+    ``cactustree.c`` cactusTreeSubIso, driver ``executables/cactus.c``):
+    -> DataFrame (graph_id, pattern, matched). ``long_ds`` is the long-row
+    GDB form (kind 'v'/'e'; e.g. ``sources.generators.block_chain_db`` with
+    ``diagonal_prob=0``). Patterns (canonical tree strings) broadcast once;
+    the DB streams through one bucketed exchange keyed on graph_id; hosts
+    that are not cacti fall back to the general backtracking operator (the
+    two agree wherever both are defined — pytest-pinned)."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray
+
+    from ..algos.cactus_iso import tree_in_cactus
+    from ..algos.subtree_iso import tree_in_graph
+    from ..functions.bucketing import bucketed_group_combine
+    from ..functions.cstring import parse_cstring
+
+    parsed = [(p, *parse_cstring(p)) for p in sorted(set(patterns))]
+    pat_ref = ray.put(parsed)
+
+    def per_bucket(t: pa.Table) -> pa.Table:
+        pats = ray.get(pat_ref)
+        df = t.to_pandas()
+        gids, pstrs, matched = [], [], []
+        for gid, g in df.groupby("graph_id", sort=True):
+            vertices = {
+                int(r.a): "x" for r in g.itertuples() if r.kind == "v"
+            }
+            gedges = [
+                (int(r.a), int(r.b), "x")
+                for r in g.itertuples()
+                if r.kind == "e"
+            ]
+            for pstr, pv, pe in pats:
+                try:
+                    m = tree_in_cactus(pv, pe, vertices, gedges)
+                except ValueError:
+                    m = tree_in_graph(pv, pe, vertices, gedges)
+                gids.append(int(gid))
+                pstrs.append(pstr)
+                matched.append(bool(m))
+        return pa.table(
+            {
+                "graph_id": pa.array(gids, pa.int64()),
+                "pattern": pa.array(pstrs, pa.string()),
+                "matched": pa.array(matched, pa.bool_()),
+            }
+        )
+
+    out = bucketed_group_combine(long_ds, ["graph_id"], per_bucket).to_pandas()
+    return out.sort_values(["graph_id", "pattern"]).reset_index(drop=True)
