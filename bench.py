@@ -571,7 +571,9 @@ def run_lpa_big(num_cpus: int) -> dict:
     ray.shutdown()
     return {
         "metric": "LPA steady-state superstep seconds (median, first dropped) "
-        "on the directed 512M-edge bench graph",
+        "on the directed 512M-edge bench graph — DIRECTED-VOTE VARIANT "
+        "(unsymmetrized input, deliberate deviation from the operator's "
+        "edges_symmetric contract for comparability with --pagerank)",
         "value": round(med, 3),
         "unit": "sec",
         "total_sec": round(total, 3),

@@ -124,12 +124,42 @@ def _winners(dst: np.ndarray, label: np.ndarray, count: np.ndarray):
     return dst[firsts], label[firsts]
 
 
+def _reduce_first_votes(d: np.ndarray, l: np.ndarray, c: np.ndarray):
+    """Superstep-0 per-cell vote reduction. At iteration 0 every label IS
+    its source's vertex id, so a (dst, label) pair lives in exactly ONE grid
+    cell (the edge's cell is a function of (hash(src), hash(dst))) — counts
+    never merge across cells. The global winner per dst (max count, tie →
+    min label) is therefore decided by: all entries with count > 1, plus the
+    per-dst MINIMUM label among count-1 entries — every other count-1 entry
+    can never win a max or a tie. Shrinks the first superstep's panels from
+    edge-scale to dst-unique-scale on simple graphs (where all counts are 1)
+    at bit-identical final labels. Input sorted by (dst, label) — the
+    ``_count_votes`` contract."""
+    if not len(d):
+        return d, l, c
+    keep = c > 1
+    runs = np.empty(len(d), bool)
+    runs[0] = True
+    np.not_equal(d[1:], d[:-1], out=runs[1:])
+    gid = np.cumsum(runs) - 1
+    ones = np.flatnonzero(c == 1)
+    if len(ones):
+        # labels ascend within a dst run, so the FIRST count-1 entry per run
+        # is that run's minimum count-1 label
+        first_idx = ones[np.unique(gid[ones], return_index=True)[1]]
+        keep[first_idx] = True
+    return d[keep], l[keep], c[keep]
+
+
 @ray.remote
 def _vote_cell(block: pa.Table, layout: pa.Table, h: dict,
-               out_parts: list[int]):
+               out_parts: list[int], first: bool = False):
     """MAP side (same exchange contract as components._min_cell): per-edge
     vote = src's current label for dst; pre-combined per (dst_local, label)
-    inside the cell. One panel table per dst part present."""
+    inside the cell. One panel table per dst part present. ``first`` enables
+    the superstep-0 reduction (see ``_reduce_first_votes``; disabled for a
+    cell when it carries self-loops, whose vote would merge with the update
+    task's self-vote and break the cross-cell disjointness argument)."""
     cache: dict[int, np.ndarray] = {}
     by_part = {p: ([], [], [], []) for p in out_parts}
     for row in range(block.num_rows):
@@ -149,6 +179,8 @@ def _vote_cell(block: pa.Table, layout: pa.Table, h: dict,
         lab_edge = labels_p[src_pos][src_index]
         dl_edge = dst_local[dst_index]
         d, l, c = _count_votes(dl_edge, lab_edge)
+        if first and not np.any(lab_edge == dst_unique[dst_index]):
+            d, l, c = _reduce_first_votes(d, l, c)
         # panels are edge-scale in early supersteps (one entry per distinct
         # (dst, label) seen in the cell): labels that fit int32 travel as
         # int32 (vertex-id labels usually do), counts always do (bounded by
@@ -159,6 +191,12 @@ def _vote_cell(block: pa.Table, layout: pa.Table, h: dict,
         block_id = int(block["block_id"][row].as_py())
         bids, dl, ll, cl = by_part[int(panel_parts[0])]
         bids.append(block_id)
+        # loud guard on the int32 panel downcasts: dst_local is V/P-bounded
+        # and counts are bounded by the cell's edge count — both hold under
+        # the current substrate bounds, but fail HERE rather than wrap
+        # silently if those bounds ever change
+        if len(d):
+            assert int(d.max()) < 2**31 and int(c.max()) < 2**31
         dl.append(d.astype(np.int32))
         ll.append(l)
         cl.append(c.astype(np.int32))
@@ -288,7 +326,7 @@ def label_propagation_partitioned(
         panel_refs: dict[int, list] = {p: [] for p in parts_sorted}
         for bref, lref, dst_parts, _bid in g.panel_blocks:
             refs = _vote_cell.options(num_returns=len(dst_parts)).remote(
-                bref, lref, handles_ref, dst_parts
+                bref, lref, handles_ref, dst_parts, it == 0
             )
             if len(dst_parts) == 1:
                 refs = [refs]

@@ -243,21 +243,34 @@ def unpack_panel_layout(batch: pa.Table, row: int):
 # ---------------------------------------------------------------------------
 
 @ray.remote
-def _split_edges(block, P: int, weighted: bool):
-    """MAP (cells): one edge block → ONE packed return: edge arrays sorted
-    by grid cell + cell offsets. Packing everything into a single object
-    avoids plasma's per-object sealing overhead (measured ~70 ms/object on
-    this store — P^2 returns per task were 5x slower than one). Reduce tasks
-    slice their cell's segment zero-copy from shared memory; on a multi-node
-    cluster this trades exact routing for whole-block fetches (factor-P read
-    amplification), which locality-aware scheduling of the reduce tasks
-    largely hides — the split objects live where the reduces run."""
+def _split_edges(block, P: int, weighted: bool,
+                 range_starts: list[int] | None = None):
+    """MAP (cells): one edge block → edge arrays sorted by grid cell + cell
+    offsets, packed into ONE return per reducer NODE RANGE (``range_starts``:
+    contiguous cell-id range boundaries, one range per node; None = single
+    node = one packed object). Packing per range (not per cell) avoids
+    plasma's per-object sealing overhead (measured ~70 ms/object on this
+    store — P^2 returns per task were 5x slower than one) while, past one
+    node, each range's object is fetched only by the node whose affinity-
+    pinned ``_build_cell`` tasks own those cells — build bytes cross the NIC
+    at most once (same layout as functions.bucketing's node-aware
+    exchange). Reduce tasks slice their cell's segment zero-copy."""
     if not isinstance(block, pa.Table):
         block = pa.table(block)
     ncell = P * P
-    if "src" not in block.column_names or block.num_rows == 0:
+    n_ranges = 1 if range_starts is None else len(range_starts) - 1
+
+    def empty_pack(lo_c: int, hi_c: int):
         return (np.empty(0, np.int64), np.empty(0, np.int64),
-                np.zeros(ncell + 1, np.int64), None)
+                np.zeros(hi_c - lo_c + 1, np.int64), None)
+
+    if "src" not in block.column_names or block.num_rows == 0:
+        if n_ranges == 1:
+            return empty_pack(0, ncell)
+        return tuple(
+            empty_pack(range_starts[j], range_starts[j + 1])
+            for j in range(n_ranges)
+        )
     src = block["src"].to_numpy()
     dst = block["dst"].to_numpy()
     w = None
@@ -282,7 +295,17 @@ def _split_edges(block, P: int, weighted: bool):
     counts = np.bincount(cs, minlength=ncell)
     offs = np.zeros(ncell + 1, np.int64)
     np.cumsum(counts, out=offs[1:])
-    return ss, ds, offs, ws
+    if n_ranges == 1:
+        return ss, ds, offs, ws
+    out = []
+    for j in range(n_ranges):
+        lo_c, hi_c = range_starts[j], range_starts[j + 1]
+        a, b = int(offs[lo_c]), int(offs[hi_c])
+        out.append((
+            ss[a:b], ds[a:b], offs[lo_c:hi_c + 1] - a,
+            ws[a:b] if ws is not None else None,
+        ))
+    return tuple(out)
 
 
 @ray.remote(num_returns=2)
@@ -333,11 +356,17 @@ def _combine_static(part: int, extra_ids, n_src_packs: int, *packs):
 
 @ray.remote(num_returns=3)
 def _build_cell(cell: int, P: int, target_edges: int, weighted: bool,
-                *packed):
+                *packed, cell_local: int | None = None):
     """REDUCE (cells): slice this cell's segment from each packed split
     block (zero-copy views) → (CSR sub-block table,
     inventory pack (srcs, outdeg_partial, dst_unique),
     meta (n_edges, mix, [dst_part], min_block_id)).
+
+    ``cell`` is always the GLOBAL cell id (it defines part_i/part_j and the
+    block_id identity); ``cell_local`` is the index into the packed splits'
+    offset arrays — it differs from ``cell`` only on the multi-node build
+    path, where splits are packed per node range and offsets are re-based
+    to the range.
 
     Edges are sorted canonically by (src, dst) first, so the blocks — and
     every downstream float accumulation order — are bit-identical regardless
@@ -345,9 +374,10 @@ def _build_cell(cell: int, P: int, target_edges: int, weighted: bool,
     the CSR construction for free, so the vertex inventory needs NO extra
     pass over the edges. Localization (src_pos/dst_local) happens in a later
     pass once the inventories exist."""
+    ci = cell if cell_local is None else cell_local
     srcs_in, dsts_in, ws_in = [], [], []
     for ss, ds, offs, ws in packed:
-        a, b = int(offs[cell]), int(offs[cell + 1])
+        a, b = int(offs[ci]), int(offs[ci + 1])
         if b > a:
             srcs_in.append(ss[a:b])
             dsts_in.append(ds[a:b])
@@ -481,15 +511,45 @@ def build_partitioned_graph(
         edges_mat = edges_mat.repartition(target_b).materialize()
         erefs = _block_refs(edges_mat)
 
-    split_refs = [_split_edges.remote(r, P, weighted) for r in erefs]
+    from ..functions.bucketing import _alive_node_ids
 
+    nodes = _alive_node_ids()
     ncell = P * P
     csr_refs, inv_refs, meta_refs = {}, {}, {}
-    if split_refs:
-        for c in range(ncell):
-            csr_refs[c], inv_refs[c], meta_refs[c] = _build_cell.remote(
-                c, P, target_edges_per_block, weighted, *split_refs
-            )
+    if len(nodes) <= 1 or ncell < 2:
+        split_refs = [_split_edges.remote(r, P, weighted) for r in erefs]
+        if split_refs:
+            for c in range(ncell):
+                csr_refs[c], inv_refs[c], meta_refs[c] = _build_cell.remote(
+                    c, P, target_edges_per_block, weighted, *split_refs
+                )
+    elif erefs:
+        # multi-node: cells are assigned to nodes in contiguous ranges;
+        # splits pack one object per range and each range's _build_cell
+        # tasks carry soft affinity to the owner node — build bytes cross
+        # the NIC at most once (see _split_edges)
+        from ray.util.scheduling_strategies import (
+            NodeAffinitySchedulingStrategy,
+        )
+
+        n_ranges = min(len(nodes), ncell)
+        range_starts = [
+            round(j * ncell / n_ranges) for j in range(n_ranges + 1)
+        ]
+        split_n = _split_edges.options(num_returns=n_ranges)
+        per_range: list[list] = [[] for _ in range(n_ranges)]
+        for r in erefs:
+            srefs = split_n.remote(r, P, weighted, range_starts)
+            for j in range(n_ranges):
+                per_range[j].append(srefs[j])
+        for j in range(n_ranges):
+            strategy = NodeAffinitySchedulingStrategy(nodes[j], soft=True)
+            build_j = _build_cell.options(scheduling_strategy=strategy)
+            for c in range(range_starts[j], range_starts[j + 1]):
+                csr_refs[c], inv_refs[c], meta_refs[c] = build_j.remote(
+                    c, P, target_edges_per_block, weighted, *per_range[j],
+                    cell_local=c - range_starts[j],
+                )
     metas = {c: ray.get(m) for c, m in meta_refs.items()}
     live_cells = [c for c in sorted(metas) if metas[c][0] > 0]
 

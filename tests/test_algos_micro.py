@@ -181,3 +181,60 @@ def test_lpa_isolated_vertex_keeps_label():
     )
     lab = dict(zip(ids.tolist(), labels.tolist()))
     assert lab[99] == 99
+
+
+def test_lpa_first_superstep_reduction_unit():
+    """_reduce_first_votes keeps exactly: all count>1 entries + per-dst min
+    count-1 label — and drops everything else."""
+    import numpy as np
+
+    from graphminingtools_ray.algos.labelprop import _reduce_first_votes
+
+    d = np.array([0, 0, 0, 1, 1, 2], dtype=np.int64)
+    l = np.array([3, 5, 9, 2, 7, 4], dtype=np.int64)
+    c = np.array([1, 2, 1, 1, 1, 1], dtype=np.int64)
+    rd_, rl, rc = _reduce_first_votes(d, l, c)
+    got = set(zip(rd_.tolist(), rl.tolist(), rc.tolist()))
+    # dst 0: keep (5,2) count>1 and min count-1 label 3; drop (9,1)
+    # dst 1: keep min count-1 label 2; drop (7,1). dst 2: keep (4,1)
+    assert got == {(0, 3, 1), (0, 5, 2), (1, 2, 1), (2, 4, 1)}
+    e = np.empty(0, np.int64)
+    assert all(len(x) == 0 for x in _reduce_first_votes(e, e, e))
+
+
+def test_lpa_multiedge_graph_matches_bruteforce(ray_session):
+    """Multi-edges make superstep-0 counts exceed 1 inside a cell; the
+    reduction must stay exact (winner rule over true multiplicities)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from graphminingtools_ray.algos.labelprop import label_propagation
+
+    rng = np.random.default_rng(7)
+    n = 40
+    a = rng.integers(0, n, 300)
+    b = rng.integers(0, n, 300)
+    m = a != b
+    a, b = a[m], b[m]
+    # duplicate a third of the edges to force count>1 votes
+    a = np.concatenate([a, a[::3]])
+    b = np.concatenate([b, b[::3]])
+    src = np.concatenate([a, b])
+    dst = np.concatenate([b, a])
+    edges = rd.from_arrow(pa.table({"src": src, "dst": dst}))
+    ids, labels, info = label_propagation(edges, max_iter=7)
+    # brute-force synchronous LPA with multiplicities
+    lab = {int(v): int(v) for v in np.unique(src)}
+    for _ in range(info["iterations"]):
+        nxt = {}
+        for v in lab:
+            votes: dict = {lab[v]: 1}  # self vote
+            for s, t in zip(src, dst):
+                if int(t) == v:
+                    votes[lab[int(s)]] = votes.get(lab[int(s)], 0) + 1
+            best = max(votes.items(), key=lambda kv: (kv[1], -kv[0]))
+            nxt[v] = best[0]
+        lab = nxt
+    want = np.array([lab[int(v)] for v in ids])
+    assert (labels == want).all()

@@ -114,6 +114,38 @@ _CLUSTER_SCRIPT = textwrap.dedent(
     )
     assert out.equals(want), (out.head(), want.head())
     print("MULTINODE_EXCHANGE_OK", len(out))
+
+    # superstep substrate: node-ranged build shuffle + pagerank on 2 nodes
+    # must match the local numpy power iteration
+    from graphminingtools_ray.algos.pagerank import pagerank
+
+    e_src = rng.integers(0, 300, 4000).astype(np.int64)
+    e_dst = rng.integers(0, 300, 4000).astype(np.int64)
+    m2 = e_src != e_dst
+    e_src, e_dst = e_src[m2], e_dst[m2]
+    edges = rd.from_arrow(
+        pa.table({"src": e_src, "dst": e_dst})
+    ).repartition(6)
+    ids, ranks, info = pagerank(edges, tol=0.0, max_iter=8)
+    vids = np.unique(np.concatenate([e_src, e_dst]))
+    idx = {int(v): i for i, v in enumerate(vids)}
+    n = len(vids)
+    outdeg = np.zeros(n)
+    for s in e_src:
+        outdeg[idx[int(s)]] += 1
+    r = np.full(n, 1.0 / n)
+    for _ in range(8):
+        dm = r[outdeg == 0].sum()
+        inc = np.zeros(n)
+        contrib = r / np.where(outdeg == 0, 1.0, outdeg)
+        for s, t in zip(e_src, e_dst):
+            inc[idx[int(t)]] += contrib[idx[int(s)]]
+        r = 0.15 / n + 0.85 * (inc + dm / n)
+    got = np.empty(n)
+    for v, rank in zip(ids, ranks):
+        got[idx[int(v)]] = rank
+    assert np.allclose(got, r, atol=1e-9), np.abs(got - r).max()
+    print("MULTINODE_PAGERANK_OK", n)
     ray.shutdown()
     cluster.shutdown()
     """
@@ -130,3 +162,4 @@ def test_exchange_on_simulated_two_node_cluster():
     )
     assert proc.returncode == 0, proc.stderr[-4000:]
     assert "MULTINODE_EXCHANGE_OK" in proc.stdout
+    assert "MULTINODE_PAGERANK_OK" in proc.stdout
