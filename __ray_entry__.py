@@ -165,6 +165,33 @@ def _poset_projection_embeddings(sf_dir: str):
     )
 
 
+def _poset_localeasy_embeddings(sf_dir: str):
+    """Path-cover poset evaluation paired with the sampled localEasy
+    embedding operator (reference poset_pathCover.c:829-842
+    staticPathCoverEmbeddingForLocalEasy; operator
+    localEasySubtreeIsomorphism.c subtreeCheckForSpanningtreeTree,
+    SpanningtreeTree = k sampled spanning trees per biconnected block).
+    One-sided by design (matches are certificates); deterministic (fixed
+    seed). Rows-only; soundness/exactness oracles in
+    tests/test_local_easy.py."""
+    from graphminingtools_ray.pipelines.levelwise import levelwise_tree_mining
+    from graphminingtools_ray.pipelines.mining import (
+        _n_graphs,
+        order_graph_edges_full,
+    )
+    from graphminingtools_ray.pipelines.poset_minhash import (
+        poset_exact_embeddings,
+    )
+
+    sup = max(3, round(0.0001 * _n_graphs(sf_dir)))
+    frequent = levelwise_tree_mining(sf_dir, max_edges=2, min_support=sup)
+    patterns = sorted(set(frequent["pattern"].tolist()))
+    return poset_exact_embeddings(
+        order_graph_edges_full(sf_dir), patterns,
+        strategy="static_path_cover", operator="local_easy", threshold=4,
+    )
+
+
 def _opk_features(sf_dir: str):
     """Outerplanar block-and-bridge-tree kernel (reference opk.c:
     biconnected decomposition -> BB-tree with canonical outerplanar block
@@ -328,6 +355,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "poset_minhash_sketches": _poset_minhash_sketches,
         "poset_projection_embeddings": _poset_projection_embeddings,
         "poset_exact_embeddings": _poset_exact_embeddings,
+        "poset_localeasy_embeddings": _poset_localeasy_embeddings,
         "opk_features": _opk_features,
         # documents: dedup family + text analysis
         "dedup_exact": text_q.dedup_exact,

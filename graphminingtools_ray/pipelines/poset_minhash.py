@@ -206,7 +206,12 @@ def importance_relative(
 
 def make_match_op(operator: str, threshold: float):
     """Embedding operator factory mirroring fastMinHashForTrees /
-    ForAbsImportantTrees / ForRelImportantTrees (minhashing.c:444-576)."""
+    ForAbsImportantTrees / ForRelImportantTrees (minhashing.c:444-576) plus
+    the ForLocalEasy family (poset_pathCover.c:770-864): ``local_easy`` is
+    the sampled SpanningtreeTree operator (``algos.local_easy``; threshold =
+    k spanning trees per block, fixed seed ⇒ deterministic and monotone per
+    host, so the poset propagation stays sound); one-sided — matches are
+    certificates, misses may be false negatives."""
     if operator == "subtree":
         return lambda pv, pe, gv, ge: tree_in_graph(pv, pe, gv, ge)
     if operator == "abs_importance":
@@ -217,6 +222,14 @@ def make_match_op(operator: str, threshold: float):
         return lambda pv, pe, gv, ge: (
             importance_relative(pv, pe, gv, ge) >= threshold
         )
+    if operator == "local_easy":
+        from ..algos.local_easy import local_easy_match
+
+        k = int(threshold) if threshold else 8
+        cache: dict = {}
+        return lambda pv, pe, gv, ge: local_easy_match(
+            pv, pe, gv, ge, k=k, seed=0, host_cache=cache
+        )[0]
     raise ValueError(f"unknown embedding operator {operator!r}")
 
 
