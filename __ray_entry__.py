@@ -232,6 +232,23 @@ def _gdb_blockchain_measures(sf_dir: str):
     return graph_measures(v, e)
 
 
+def _vertex_cycle_degrees(sf_dir: str):
+    """Per-vertex cycle degrees — the reference's ``ccd`` executable output
+    mode 'a' (executables/countCycleDegree.c; computeBlockDegrees) over the
+    same deterministic cgen block-chain DB the measure table uses.
+    Rows-only; per-kernel fixture oracles in tests/test_gdb.py."""
+    from graphminingtools_ray.graph.gdb import vertex_cycle_degrees
+    from graphminingtools_ray.sources.generators import (
+        block_chain_db,
+        gdb_from_long,
+    )
+
+    n_graphs = 40 if "0.01" in sf_dir else 20
+    long_ds = block_chain_db(n_graphs, 3, 5, diagonal_prob=0.3, seed=13)
+    v, e = gdb_from_long(long_ds)
+    return vertex_cycle_degrees(v, e)
+
+
 def _cactus_subtree_iso(sf_dir: str):
     """Tree patterns ⊑ cactus transactions via the cactus DP (reference
     cactustree.c cactusTreeSubIso, executables/cactus.c) over a
@@ -350,6 +367,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cyclic_pattern_features": _cyclic_pattern_features,
         "tree_pattern_features": _tree_pattern_features,
         "gdb_blockchain_measures": _gdb_blockchain_measures,
+        "vertex_cycle_degrees": _vertex_cycle_degrees,
         "tree_sampling_suite": _tree_sampling_suite,
         "cactus_subtree_iso": _cactus_subtree_iso,
         "poset_minhash_sketches": _poset_minhash_sketches,

@@ -665,3 +665,72 @@ def filter_graphs(
     if projection == "all":
         return kept
     raise ValueError(f"unknown projection {projection!r}")
+
+
+def vertex_cycle_degrees(
+    gdb_vertices: rd.Dataset, gdb_edges: rd.Dataset
+) -> rd.Dataset:
+    """Per-VERTEX cycle degrees — the reference's ``ccd`` executable output
+    mode 'a' (``executables/countCycleDegree.c``; kernel
+    ``listComponents.c:52-88`` computeBlockDegrees): cycle degree of v =
+    number of NONTRIVIAL (m > 1) biconnected components containing v.
+    -> Dataset (graph_id, vertex_id, cycle_degree). Same exchange shape as
+    ``graph_measures`` (one bucketed exchange keyed on graph_id)."""
+    from ..functions.bucketing import bucketed_group_combine
+
+    v_rows = gdb_vertices.map_batches(
+        lambda t: pa.table(
+            {
+                "graph_id": t["graph_id"].cast(pa.int64()),
+                "a": t["vertex_id"].cast(pa.int64()),
+                "b": pa.nulls(t.num_rows, pa.int64()),
+                "kind": pa.array(["v"] * t.num_rows),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    e_rows = gdb_edges.map_batches(
+        lambda t: pa.table(
+            {
+                "graph_id": t["graph_id"].cast(pa.int64()),
+                "a": t["v"].cast(pa.int64()),
+                "b": t["w"].cast(pa.int64()),
+                "kind": pa.array(["e"] * t.num_rows),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+    def per_bucket(t: pa.Table) -> pd.DataFrame:
+        df = t.to_pandas()
+        outs = []
+        for gid, g in df.groupby("graph_id", sort=True):
+            verts = g[g["kind"] == "v"]
+            edges_df = g[g["kind"] == "e"]
+            vids = sorted(verts["a"].astype(int).tolist())
+            index = {v: i for i, v in enumerate(vids)}
+            n = len(vids)
+            adj: list[list[int]] = [[] for _ in range(n)]
+            for r in edges_df.itertuples():
+                a, b = index[int(r.a)], index[int(r.b)]
+                if a != b:
+                    adj[a].append(b)
+                    adj[b].append(a)
+            (_, _, _, _, _, bcc_edge_lists) = _bridges_and_blocks(n, adj)
+            cyc = np.zeros(n, dtype=np.int64)
+            for bes in bcc_edge_lists:
+                if len(bes) > 1:
+                    for v in {x for e in bes for x in e}:
+                        cyc[v] += 1
+            outs.append(
+                pd.DataFrame(
+                    {
+                        "graph_id": np.full(n, int(gid), np.int64),
+                        "vertex_id": np.array(vids, np.int64),
+                        "cycle_degree": cyc,
+                    }
+                )
+            )
+        return pd.concat(outs, ignore_index=True)
+
+    return bucketed_group_combine(v_rows.union(e_rows), ["graph_id"], per_bucket)

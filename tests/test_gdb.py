@@ -562,3 +562,46 @@ def test_dot_writer():
     txt = "# 7 0 2 1\nA B \n1 2 x \n$"
     dot = write_dot_text(parse_aids_text(txt), 7)
     assert 'v1 [label="A"]' in dot and "v1 -- v2" in dot
+
+
+def test_vertex_cycle_degrees_pipeline(ray_session):
+    """ccd output mode 'a' (countCycleDegree.c): per-vertex count of m>1
+    biconnected components; pinned on a bowtie+pendant fixture and checked
+    for consistency with the per-graph max/min measures on a generated DB."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from graphminingtools_ray.graph.gdb import (
+        graph_measures,
+        vertex_cycle_degrees,
+    )
+    from graphminingtools_ray.sources.generators import (
+        block_chain_db,
+        gdb_from_long,
+    )
+
+    # bowtie (two triangles sharing vertex 2) + pendant 5 at 0
+    v = rd.from_arrow(pa.table({
+        "graph_id": [0] * 6, "vertex_id": list(range(6)),
+        "label": ["x"] * 6,
+    }))
+    e_pairs = [(0, 1), (1, 2), (2, 0), (2, 3), (3, 4), (4, 2), (0, 5)]
+    e = rd.from_arrow(pa.table({
+        "graph_id": [0] * len(e_pairs),
+        "v": [a for a, _ in e_pairs], "w": [b for _, b in e_pairs],
+        "label": ["x"] * len(e_pairs),
+    }))
+    out = vertex_cycle_degrees(v, e).to_pandas().sort_values(
+        "vertex_id"
+    ).reset_index(drop=True)
+    assert out["cycle_degree"].tolist() == [1, 1, 2, 1, 1, 0]
+
+    # generated DB: per-vertex max/min must reproduce the measure columns
+    long_ds = block_chain_db(6, 3, 4, diagonal_prob=0.3, seed=13)
+    gv, ge = gdb_from_long(long_ds)
+    per_v = vertex_cycle_degrees(gv, ge).to_pandas()
+    meas = graph_measures(gv, ge).to_pandas()
+    agg = per_v.groupby("graph_id")["cycle_degree"].agg(["max", "min"])
+    for r in meas.itertuples():
+        assert agg.loc[r.graph_id, "max"] == r.max_block_degree
+        assert agg.loc[r.graph_id, "min"] == r.min_block_degree
