@@ -734,3 +734,23 @@ def vertex_cycle_degrees(
         return pd.concat(outs, ignore_index=True)
 
     return bucketed_group_combine(v_rows.union(e_rows), ["graph_id"], per_bucket)
+
+
+def with_random_sample(measures: rd.Dataset, seed: int = 42) -> rd.Dataset:
+    """Append the ``random_sample`` measure — the reference's
+    ``gf -f randomSample`` (filter.c:398: ``measure = rand() % 1000``; the
+    comparator/value pair then keeps e.g. ``< 100`` ≈ 10%). Engine version
+    is a seeded multiplicative hash of graph_id into [0, 1000): deterministic
+    across runs, workers and partitionings (the reference's ``rand()`` is
+    stream-order-dependent — a serial artifact we must not copy)."""
+    def add(t: pa.Table) -> pa.Table:
+        g = t["graph_id"].to_numpy().astype(np.uint64)
+        h = (g + np.uint64(seed)) * np.uint64(0x9E3779B97F4A7C15)
+        h ^= h >> np.uint64(29)
+        h *= np.uint64(0xBF58476D1CE4E5B9)
+        h ^= h >> np.uint64(32)
+        return t.append_column(
+            "random_sample", pa.array((h % np.uint64(1000)).astype(np.int64))
+        )
+
+    return measures.map_batches(add, batch_format="pyarrow")

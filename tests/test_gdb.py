@@ -605,3 +605,30 @@ def test_vertex_cycle_degrees_pipeline(ray_session):
     for r in meas.itertuples():
         assert agg.loc[r.graph_id, "max"] == r.max_block_degree
         assert agg.loc[r.graph_id, "min"] == r.min_block_degree
+
+
+def test_random_sample_filter(ray_session):
+    """gf -f randomSample (filter.c:398) as a deterministic seeded measure:
+    stable across runs/partitionings, rate tracks the threshold, and it
+    composes with the gf comparator dispatch."""
+    import pandas as pd
+
+    from graphminingtools_ray.graph.gdb import filter_graphs, with_random_sample
+
+    t = pa.table({"graph_id": pa.array(range(2000), pa.int64())})
+    ds = rd.from_arrow(t)
+    m1 = with_random_sample(ds, seed=7).to_pandas().sort_values("graph_id")
+    m2 = with_random_sample(ds.repartition(8), seed=7).to_pandas().sort_values(
+        "graph_id"
+    ).reset_index(drop=True)
+    pd.testing.assert_frame_equal(m1.reset_index(drop=True), m2)
+    assert (m1["random_sample"] >= 0).all() and (m1["random_sample"] < 1000).all()
+    kept = filter_graphs(
+        with_random_sample(ds, seed=7), "random_sample", "<", 100
+    ).to_pandas()
+    assert 130 < len(kept) < 270  # ~10% of 2000
+    # different seed, different subset
+    kept2 = filter_graphs(
+        with_random_sample(ds, seed=8), "random_sample", "<", 100
+    ).to_pandas()
+    assert set(kept["graph_id"]) != set(kept2["graph_id"])
