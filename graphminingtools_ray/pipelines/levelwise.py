@@ -227,10 +227,20 @@ def levelwise_tree_mining(
     sf_dir: str,
     max_edges: int = 3,
     min_support: int = 3,
+    embedding_operator: str = "subtree",
+    operator_threshold: float = 0,
 ):
     """-> DataFrame (level, pattern, support): frequent labeled TREES of the
     per-order graph DB, level = edge count, pattern = reference-format
     canonical tree string (functions.cstring).
+
+    ``embedding_operator`` selects the support predicate like the
+    reference's ``lwg -e`` registry (levelwiseGraphMiningMain.c:102-261):
+    "subtree" (exact, default), "local_easy" (sampled SpanningtreeTree —
+    probabilistic frequent subtrees, one-sided: reported supports are lower
+    bounds of the exact ones), "abs_importance"/"rel_importance"
+    (importantSubtrees.c); ``operator_threshold`` parameterizes the
+    non-default operators (k for local_easy, t for importance).
 
     The reference's BFS mining loop (``lwm_miningAndExtension.c:255-314``)
     re-expressed: per level, candidate trees are generated driver-side from
@@ -246,8 +256,8 @@ def levelwise_tree_mining(
     """
     from collections import Counter
 
-    from ..algos.subtree_iso import tree_in_graph
     from ..functions.cstring import canonical_tree_string, parse_cstring
+    from .poset_minhash import make_match_op
 
     threshold = int(min_support)
     edges = order_graph_edges_full(sf_dir).materialize()
@@ -284,8 +294,11 @@ def levelwise_tree_mining(
                 by_anchor.setdefault(anchor, []).append((c, pv, pe, need))
             cand_ref = ray.put(by_anchor)
 
-        def count_level(t: pa.Table, _cand=cand_ref) -> pa.Table:
+        def count_level(t: pa.Table, _cand=cand_ref,
+                        _op=embedding_operator,
+                        _ot=operator_threshold) -> pa.Table:
             by_anchor = ray.get(_cand)
+            match_op = make_match_op(_op, _ot)
             df = t.to_pandas()
             counts: dict[str, int] = {}
             for _, g in df.groupby("graph_id", sort=False):
@@ -316,7 +329,7 @@ def levelwise_tree_mining(
                                 continue
                             if any(gtrips[k] < n for k, n in need.items()):
                                 continue  # edge-triple multiset prune
-                            if tree_in_graph(pv, pe, vertices, gedges):
+                            if match_op(pv, pe, vertices, gedges):
                                 pats.add(c)
                 for p in pats:
                     counts[p] = counts.get(p, 0) + 1

@@ -291,3 +291,22 @@ def test_rooted_vs_unrooted_distinction():
     p = parse_cstring("A ( x B ) ( x B ) ")
     assert rooted_tree_in_digraph(*p, g2_v, star)
     assert not rooted_tree_in_digraph(*p, g2_v, chain)
+
+
+def test_levelwise_tree_mining_operator_registry():
+    """The lwg -e registry: mining with the sampled local_easy operator is
+    one-sided — every (pattern, support) it reports is bounded by the exact
+    subtree-operator support, and level 1 (direct counting) is identical."""
+    exact = levelwise_tree_mining(SF, max_edges=2, min_support=2)
+    le = levelwise_tree_mining(
+        SF, max_edges=2, min_support=2,
+        embedding_operator="local_easy", operator_threshold=1,
+    )
+    ex = {(r.level, r.pattern): r.support for r in exact.itertuples()}
+    for r in le.itertuples():
+        assert (r.level, r.pattern) in ex
+        assert r.support <= ex[(r.level, r.pattern)]
+    # levels 1-2 count directly / via single-edge anchors: identical sets
+    assert set(le[le["level"] == 1]["pattern"]) == set(
+        exact[exact["level"] == 1]["pattern"]
+    )
