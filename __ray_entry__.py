@@ -188,7 +188,7 @@ def _poset_localeasy_embeddings(sf_dir: str):
     patterns = sorted(set(frequent["pattern"].tolist()))
     return poset_exact_embeddings(
         order_graph_edges_full(sf_dir), patterns,
-        strategy="static_path_cover", operator="local_easy", threshold=4,
+        strategy="static_path_cover", operator="local_easy_sampled", threshold=4,
     )
 
 

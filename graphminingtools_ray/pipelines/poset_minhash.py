@@ -223,13 +223,42 @@ def make_match_op(operator: str, threshold: float):
             importance_relative(pv, pe, gv, ge) >= threshold
         )
     if operator == "local_easy":
+        # the reference's EXACT localEasy (levelwiseGraphMiningHelp.txt:70:
+        # "the exact/correct/complete local easy subtree isomorphism
+        # algorithm"): exhaustive per-block spanning-tree listing. Only
+        # feasible on low-local-easiness hosts — blocks past the listing cap
+        # fall back to sampling and the operator degrades to one-sided
+        # (the reference would simply take forever there).
+        from ..algos.local_easy import local_easy_match
+
+        cache: dict = {}
+        return lambda pv, pe, gv, ge: local_easy_match(
+            pv, pe, gv, ge, k=64, seed=0, exact_cap=200_000,
+            host_cache=cache,
+        )[0]
+    if operator == "local_easy_sampled":
+        # the ts/localEasySampling family (help :110-185): k spanning trees
+        # per block, one-sided by design; threshold = k
         from ..algos.local_easy import local_easy_match
 
         k = int(threshold) if threshold else 8
         cache: dict = {}
         return lambda pv, pe, gv, ge: local_easy_match(
-            pv, pe, gv, ge, k=k, seed=0, host_cache=cache
+            pv, pe, gv, ge, k=k, seed=0, exact_cap=2, host_cache=cache
         )[0]
+    if operator == "hops":
+        # rootedHopsOperator shape (lwmr_embeddingOperators.c:52-77 /
+        # subtreeIsomorphismSampling.c): repeat a randomized embedding
+        # attempt `threshold` times, match on any success — one-sided.
+        # hops_embedding_estimate counts successes internally: a nonzero
+        # estimate over n_samples trials == at least one sampled embedding.
+        from ..algos.subtree_iso import hops_embedding_estimate
+
+        n = int(threshold) if threshold else 32
+        return lambda pv, pe, gv, ge: (
+            hops_embedding_estimate(pv, pe, gv, ge, n_samples=n, seed=17)
+            > 0.0
+        )
     raise ValueError(f"unknown embedding operator {operator!r}")
 
 

@@ -300,7 +300,7 @@ def test_levelwise_tree_mining_operator_registry():
     exact = levelwise_tree_mining(SF, max_edges=2, min_support=2)
     le = levelwise_tree_mining(
         SF, max_edges=2, min_support=2,
-        embedding_operator="local_easy", operator_threshold=1,
+        embedding_operator="local_easy_sampled", operator_threshold=1,
     )
     ex = {(r.level, r.pattern): r.support for r in exact.itertuples()}
     for r in le.itertuples():

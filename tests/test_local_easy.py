@@ -126,12 +126,35 @@ def test_poset_localeasy_pipeline_sound(ray_session):
     )
     ds = rd.from_arrow(t)
     exact = poset_exact_embeddings(ds, pats, operator="subtree")
-    le = poset_exact_embeddings(ds, pats, operator="local_easy", threshold=2)
+    le = poset_exact_embeddings(ds, pats, operator="local_easy_sampled", threshold=2)
     exact_set = set(zip(exact["graph_id"], exact["pattern_id"]))
     le_set = set(zip(le["graph_id"], le["pattern_id"]))
     assert le_set <= exact_set
     le_big = poset_exact_embeddings(
-        ds, pats, operator="local_easy", threshold=64
+        ds, pats, operator="local_easy", threshold=0
     )
     big_set = set(zip(le_big["graph_id"], le_big["pattern_id"]))
     assert big_set <= exact_set
+
+
+def test_hops_operator_one_sided():
+    """make_match_op('hops'): repeated randomized embedding attempts — a
+    match is always a real embedding (the estimator only counts completed
+    embeddings); generous trials find most of them on small hosts."""
+    from graphminingtools_ray.pipelines.poset_minhash import make_match_op
+
+    op = make_match_op("hops", 64)
+    rng = random.Random(19)
+    unsound = hits = want_n = 0
+    for _ in range(300):
+        gv, ge = _random_graph(rng)
+        pv, pe = _random_tree(rng, kmax=4)
+        want = tree_in_graph(pv, pe, gv, ge)
+        got = op(pv, pe, gv, ge)
+        want_n += want
+        if got and not want:
+            unsound += 1
+        if got and want:
+            hits += 1
+    assert unsound == 0
+    assert hits >= 0.7 * want_n  # finds the bulk at 64 trials
