@@ -20,8 +20,10 @@ SF1 = "/root/testdata/sf0.001"
 
 def _levelwise_paths(sf_dir: str):
     """Full BFS levelwise mining loop (lwg shape): frequent labeled path
-    patterns up to 3 edges with apriori pruning. Not SQL-expressible
-    (iterative candidate generation) — pytest brute-force oracle instead."""
+    patterns up to 3 edges with apriori pruning. SQL-oracled: apriori
+    pruning is output-neutral (support is anti-monotone — every sub-path of
+    a frequent pattern is frequent), so the DuckDB twin unrolls the three
+    levels as direct per-level HAVING counts over simple-path joins."""
     from graphminingtools_ray.pipelines.levelwise import levelwise_path_mining
 
     return levelwise_path_mining(sf_dir, max_len=3)
@@ -799,6 +801,52 @@ def oracle_sql() -> dict[str, str]:
                    FROM seq WHERE prev_brand IS NOT NULL)
             SELECT triple, COUNT(*) AS support FROM ed GROUP BY 1
             HAVING COUNT(*) >= (SELECT FLOOR(0.004 * ng) FROM nb)
+        """,
+        # levelwise_paths: the BFS mining loop's output is reproducible in
+        # closed form because apriori pruning never removes a frequent
+        # pattern (anti-monotone support) — so the oracle counts each level
+        # directly: level k = distinct canonical simple k-edge paths per
+        # order graph, HAVING count >= floor(0.002 * n_graphs). Canonical
+        # path string = LEAST over the two read directions of the
+        # label-interleaved join, exactly pipelines/levelwise.canonical_path.
+        "levelwise_paths": """
+            WITH nb AS (SELECT COUNT(DISTINCT l_orderkey) AS ng FROM lineitem),
+            pl AS (SELECT l_orderkey, l_linenumber, l_returnflag, l_partkey, p_brand
+                   FROM lineitem JOIN part ON l_partkey = p_partkey),
+            seq AS (SELECT l_orderkey, l_partkey, p_brand, l_returnflag,
+                           lag(l_partkey) OVER w AS prev_pk,
+                           lag(p_brand) OVER w AS prev_brand
+                    FROM pl WINDOW w AS (PARTITION BY l_orderkey ORDER BY l_linenumber, l_partkey, l_returnflag)),
+            ed AS (SELECT DISTINCT l_orderkey AS o, prev_pk AS va, l_partkey AS vb,
+                          prev_brand AS ba, p_brand AS bb, l_returnflag AS le
+                   FROM seq WHERE prev_pk IS NOT NULL AND prev_pk <> l_partkey),
+            half AS (SELECT o, va AS v, ba AS bv, vb AS other, bb AS bo, le FROM ed
+                     UNION ALL
+                     SELECT o, vb AS v, bb AS bv, va AS other, ba AS bo, le FROM ed),
+            p1 AS (SELECT DISTINCT o,
+                          LEAST(ba || '-' || le || '-' || bb,
+                                bb || '-' || le || '-' || ba) AS pattern
+                   FROM ed),
+            p2 AS (SELECT DISTINCT h1.o,
+                          LEAST(h1.bo || '-' || h1.le || '-' || h1.bv || '-' || h2.le || '-' || h2.bo,
+                                h2.bo || '-' || h2.le || '-' || h1.bv || '-' || h1.le || '-' || h1.bo) AS pattern
+                   FROM half h1 JOIN half h2
+                     ON h1.o = h2.o AND h1.v = h2.v AND h1.other <> h2.other),
+            p3 AS (SELECT DISTINCT h1.o,
+                          LEAST(h1.bo || '-' || h1.le || '-' || h1.bv || '-' || h2.le || '-' || h2.bo
+                                    || '-' || h3.le || '-' || h3.bo,
+                                h3.bo || '-' || h3.le || '-' || h2.bo || '-' || h2.le || '-' || h1.bv
+                                    || '-' || h1.le || '-' || h1.bo) AS pattern
+                   FROM half h1
+                   JOIN half h2 ON h1.o = h2.o AND h1.v = h2.v AND h1.other <> h2.other
+                   JOIN half h3 ON h3.o = h2.o AND h3.v = h2.other
+                               AND h3.other <> h1.v AND h3.other <> h1.other),
+            lv AS (SELECT 1 AS level, pattern FROM p1
+                   UNION ALL SELECT 2, pattern FROM p2
+                   UNION ALL SELECT 3, pattern FROM p3)
+            SELECT level::BIGINT AS level, pattern, COUNT(*)::BIGINT AS support
+            FROM lv GROUP BY 1, 2
+            HAVING COUNT(*) >= (SELECT FLOOR(0.002 * ng) FROM nb)
         """,
         "frequent_wedge_patterns": """
             WITH nb AS (SELECT COUNT(DISTINCT l_orderkey) AS ng FROM lineitem),

@@ -125,6 +125,87 @@ def wilson_spanning_tree(
             and in_tree[v]]
 
 
+def sampled_spanning_forest(
+    g_vertices: dict, g_edges: list, k: int, seed: int
+) -> tuple[dict, list]:
+    """The `ps` transaction transform (reference
+    ``getNonisomorphicSpanningTreeSamplesOfDB`` feeding
+    ``initProbabilisticTreeMiningForGraphDB``, ``lwm_initAndCollect.c:728``;
+    *Probabilistic Frequent Subtrees*, Welke et al. MLJ 2018): replace a
+    labeled host graph by the FOREST of k spanning trees sampled per
+    connected component (Wilson-uniform, deduplicated by edge set — the
+    non-isomorphic-sample dedup), each sampled tree a disjoint copy with
+    fresh vertex ids and the original labels. A tree pattern embeds in the
+    forest iff it embeds in one of the sampled trees, so the exact subtree
+    operator over this transaction is the reference's `lwg -e ps` support
+    predicate (one-sided: matches are certificates).
+
+    Parallel edges between the same endpoint pair collapse to the
+    lexicographically smallest edge label (the sampler walks the simple
+    graph); deterministic for a fixed (host, k, seed).
+    """
+    rng = np.random.default_rng(np.random.PCG64(seed))
+    vs = sorted(g_vertices)
+    idx = {v: i for i, v in enumerate(vs)}
+    n = len(vs)
+    lab: dict[tuple[int, int], str] = {}
+    adj: list[list[int]] = [[] for _ in range(n)]
+    for a, b, el in g_edges:
+        if a == b:
+            continue
+        key = (min(idx[a], idx[b]), max(idx[a], idx[b]))
+        if key not in lab:
+            adj[key[0]].append(key[1])
+            adj[key[1]].append(key[0])
+            lab[key] = el
+        elif el < lab[key]:
+            lab[key] = el
+    comp = np.full(n, -1, dtype=np.int64)
+    nc = 0
+    for root in range(n):
+        if comp[root] != -1:
+            continue
+        stack = [root]
+        comp[root] = nc
+        while stack:
+            v = stack.pop()
+            for w in adj[v]:
+                if comp[w] == -1:
+                    comp[w] = nc
+                    stack.append(w)
+        nc += 1
+    fv: dict = {}
+    fe: list = []
+    nxt = 0
+    for c in range(nc):
+        verts = [v for v in range(n) if comp[v] == c]
+        if len(verts) == 1:
+            fv[nxt] = g_vertices[vs[verts[0]]]
+            nxt += 1
+            continue
+        remap = {v: i for i, v in enumerate(verts)}
+        sub_adj: list[list[int]] = [[] for _ in verts]
+        for v in verts:
+            for w in adj[v]:
+                sub_adj[remap[v]].append(remap[w])
+        seen: set = set()
+        for _ in range(k):
+            st = wilson_spanning_tree(len(verts), sub_adj, rng)
+            key = frozenset((min(a, b), max(a, b)) for a, b in st)
+            if key in seen:
+                continue
+            seen.add(key)
+            base = nxt
+            for i, v in enumerate(verts):
+                fv[base + i] = g_vertices[vs[v]]
+            nxt += len(verts)
+            for a, b in st:
+                va, vb = verts[min(a, b)], verts[max(a, b)]
+                fe.append((base + min(a, b), base + max(a, b),
+                           lab[(va, vb)]))
+    return fv, fe
+
+
 def kruskal_random_spanning_tree(
     n: int, edges: list[tuple[int, int]], rng: np.random.Generator
 ) -> list[tuple[int, int]]:

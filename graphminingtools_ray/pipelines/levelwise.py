@@ -236,11 +236,18 @@ def levelwise_tree_mining(
 
     ``embedding_operator`` selects the support predicate like the
     reference's ``lwg -e`` registry (levelwiseGraphMiningMain.c:102-261):
-    "subtree" (exact, default), "local_easy" (sampled SpanningtreeTree —
-    probabilistic frequent subtrees, one-sided: reported supports are lower
-    bounds of the exact ones), "abs_importance"/"rel_importance"
-    (importantSubtrees.c); ``operator_threshold`` parameterizes the
-    non-default operators (k for local_easy, t for importance).
+    "subtree" (exact, default), "global_tree_enumeration"
+    (exactGlobalTreeEnumeration — equal to exact subtree iso by the
+    spanning-tree-closure argument), "ps" (probabilistic tree sampling:
+    forest-of-k-sampled-spanning-trees transactions), "local_easy" (exact
+    SpanningtreeTree), "local_easy_sampled" (bps),
+    "local_easy_resampled" (bps_resampling — fresh trees per evaluation),
+    "hops"/"hops_simple" (FK sampling estimate), "hops_matching" (FKM/FKF
+    matching-based estimate), "tree_enumeration" (alwaysReturnTrue — pure
+    enumeration), "abs_importance"/"rel_importance" (importantSubtrees.c);
+    ``operator_threshold`` parameterizes the non-default operators (k for
+    the sampling operators, t for importance). The sampled operators are
+    one-sided: reported supports are lower bounds of the exact ones.
 
     The reference's BFS mining loop (``lwm_miningAndExtension.c:255-314``)
     re-expressed: per level, candidate trees are generated driver-side from

@@ -246,7 +246,80 @@ def make_match_op(operator: str, threshold: float):
         return lambda pv, pe, gv, ge: local_easy_match(
             pv, pe, gv, ge, k=k, seed=0, exact_cap=2, host_cache=cache
         )[0]
-    if operator == "hops":
+    if operator in ("ps", "probabilistic_tree_sampling"):
+        # the reference's `lwg -e ps` (initProbabilisticTreeMiningForGraphDB,
+        # lwm_initAndCollect.c:728): the transaction is replaced by the
+        # forest of k sampled spanning trees per component and the support
+        # predicate is exact subtree iso against that forest. One-sided
+        # (matches are certificates) and monotone per host (a subpattern of
+        # a matching pattern matches the same forest), so poset propagation
+        # stays sound.
+        from ..algos.subtree_iso import tree_in_graph as _tig
+        from ..graph.sampling import sampled_spanning_forest
+
+        k = int(threshold) if threshold else 8
+        cache: dict = {}
+
+        def _ps(pv, pe, gv, ge):
+            key = (id(gv), id(ge))
+            if key not in cache:
+                cache[key] = sampled_spanning_forest(gv, ge, k=k, seed=23)
+            fv, fe = cache[key]
+            return _tig(pv, pe, fv, fe)
+
+        return _ps
+    if operator in ("global_tree_enumeration", "exact_global_tree_enumeration"):
+        # `lwg -e exactGlobalTreeEnumeration` (lwm_initAndCollect.c:676)
+        # expands every transaction into ALL its spanning trees and runs the
+        # exact subtree operator on the expansion. A tree pattern embeds in
+        # some spanning tree of a connected host iff it embeds in the host
+        # (any forest subgraph of a connected graph extends to a spanning
+        # tree), so the predicate equals exact subtree iso on the original
+        # transaction — evaluated directly instead of materializing the
+        # exponential expansion.
+        return lambda pv, pe, gv, ge: tree_in_graph(pv, pe, gv, ge)
+    if operator == "tree_enumeration":
+        # `lwg -e treeEnumeration` (alwaysReturnTrue,
+        # levelwiseGraphMiningMain.c:252-257): pure pattern enumeration —
+        # support = the full candidate support superset.
+        return lambda pv, pe, gv, ge: True
+    if operator in ("local_easy_resampled", "bps_resampling"):
+        # localEasySubtreeCheckOperatorWithResampling (`lwg -e
+        # bps_resampling`): fresh per-block spanning-tree samples on EVERY
+        # evaluation instead of one fixed SpanningtreeTree per host — better
+        # pattern coverage, but match(q) and match(p ⊑ q) see different
+        # trees, so this operator is NOT poset-monotone; it is only for the
+        # levelwise miner's direct support counting. Deterministic: the seed
+        # derives from the pattern, so reruns resample identically.
+        import zlib
+
+        from ..algos.local_easy import local_easy_match
+
+        k = int(threshold) if threshold else 8
+
+        def _ler(pv, pe, gv, ge):
+            pkey = repr((sorted(pv.items()), sorted(pe)))
+            seed = zlib.crc32(pkey.encode())
+            return local_easy_match(
+                pv, pe, gv, ge, k=k, seed=seed, exact_cap=2
+            )[0]
+
+        return _ler
+    if operator in ("hops_matching", "hops_estimate_matching"):
+        # the matching-based HOPS family (FKM / the `-e hops` FKF default):
+        # joint children embedding via uniformly-drawn saturating matchings
+        # with permanent weights — unbiased, lower variance.
+        from ..algos.subtree_iso import hops_embedding_estimate_matching
+
+        n = int(threshold) if threshold else 32
+        return lambda pv, pe, gv, ge: (
+            hops_embedding_estimate_matching(
+                pv, pe, gv, ge, n_samples=n, seed=17
+            )
+            > 0.0
+        )
+    if operator in ("hops", "hops_simple"):
+        # the one-child-at-a-time (FK / `hops_simple`) estimator;
         # rootedHopsOperator shape (lwmr_embeddingOperators.c:52-77 /
         # subtreeIsomorphismSampling.c): repeat a randomized embedding
         # attempt `threshold` times, match on any success — one-sided.

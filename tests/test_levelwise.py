@@ -310,3 +310,17 @@ def test_levelwise_tree_mining_operator_registry():
     assert set(le[le["level"] == 1]["pattern"]) == set(
         exact[exact["level"] == 1]["pattern"]
     )
+    # ps (forest-of-sampled-spanning-trees transactions) is one-sided the
+    # same way; global_tree_enumeration must reproduce exact verbatim
+    ps = levelwise_tree_mining(
+        SF, max_edges=2, min_support=2,
+        embedding_operator="ps", operator_threshold=4,
+    )
+    for r in ps.itertuples():
+        assert (r.level, r.pattern) in ex
+        assert r.support <= ex[(r.level, r.pattern)]
+    gte = levelwise_tree_mining(
+        SF, max_edges=2, min_support=2,
+        embedding_operator="global_tree_enumeration",
+    )
+    assert gte.equals(exact)
