@@ -389,6 +389,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_counts": text_q.token_counts,
         "simhash_fingerprints": text_q.simhash_fingerprints,
         "winnow_fingerprints": text_q.winnow_fingerprints,
+        # SQL-oracled md5 twins of the sketch family (stages/dedup_md5.py):
+        # same kernels, base hash = DuckDB's md5_number_lower — flips
+        # simhash / winnowing / minhash / LSH banding / Jaccard verify from
+        # rows-only to full driver-gate rows
+        "simhash_md5": text_q.simhash_md5,
+        "winnow_md5": text_q.winnow_md5,
+        "minhash_sketches_md5": text_q.minhash_sketches_md5,
+        "minhash_lsh_md5": text_q.minhash_lsh_md5,
         "media_features": text_q.media_features,
         # embeddings: similarity search + near-dup
         "ann_topk": embeddings_q.ann_topk,
@@ -559,6 +567,219 @@ def _lpa_sql(iters: int = 20, min_weight: int = 3) -> str:
         head + "," + ",".join(levels)
         + f" SELECT v AS vertex_id, label FROM lab{iters}"
     )
+
+
+# --- SQL twins of the md5-base-hash sketch family (stages/dedup_md5.py).
+# Tokenizer: whitespace \S+ (same as the engine); base hash: DuckDB's
+# md5_number_lower == little-endian uint64 of md5 digest bytes 8..16;
+# shingles: space-joined word n-grams with the engine's windowing semantics
+# (0 tokens -> none, 0<cnt<n -> ONE shingle over all cnt tokens, else
+# sliding); minhash permutations a*x+b mod 2^64 with md5-derived constants,
+# the wraparound multiply done as 32-bit split arithmetic in HUGEINT.
+
+
+def _md5_tok_cte() -> str:
+    return """
+        d AS (SELECT doc_id, COALESCE(text, '') AS t FROM documents),
+        tk AS (SELECT doc_id, regexp_extract_all(t, '\\S+') AS toks FROM d)
+    """
+
+
+def _md5_shingle_cte(n: int) -> str:
+    sl = f"toks[i:i + {n - 1}]" if n > 1 else "[toks[i]]"
+    return f"""
+        shl AS (SELECT doc_id, CASE
+            WHEN len(toks) = 0 THEN []::VARCHAR[]
+            WHEN len(toks) < {n} THEN [array_to_string(toks, ' ')]
+            ELSE list_transform(generate_series(1, len(toks) - {n - 1}),
+                                i -> array_to_string({sl}, ' '))
+        END AS shs FROM tk)
+    """
+
+
+def _simhash_md5_sql() -> str:
+    """Per-token md5 bit votes with multiplicity; bit b set iff
+    2*votes > token count; low 63 bits (the engine's positive-int64 mask)."""
+    return f"""
+        WITH {_md5_tok_cte()},
+        tok AS (SELECT doc_id, md5_number_lower(UNNEST(toks)) AS h FROM tk),
+        cnt AS (SELECT doc_id, COUNT(*) AS c FROM tok GROUP BY 1),
+        bv AS (SELECT doc_id, b, SUM(((h >> b) & 1)::BIGINT) AS v
+               FROM tok CROSS JOIN (SELECT UNNEST(generate_series(0, 62)) AS b) bs
+               GROUP BY 1, 2),
+        fp AS (SELECT bv.doc_id,
+                      SUM(CASE WHEN 2 * v > c THEN (1::HUGEINT << b)
+                          ELSE 0::HUGEINT END) AS f
+               FROM bv JOIN cnt USING (doc_id) GROUP BY 1)
+        SELECT d.doc_id, COALESCE(fp.f, 0)::BIGINT AS simhash
+        FROM d LEFT JOIN fp USING (doc_id)
+    """
+
+
+def _winnow_md5_sql(k: int = 5, w: int = 4) -> str:
+    """Winnowing (Schleimer et al. SIGMOD'03): md5 word-k-gram hashes, min
+    per sliding window of w (one min over all when 0<cnt<w), distinct count
+    + 63-bit-masked minimum per doc."""
+    return f"""
+        WITH {_md5_tok_cte()},
+        {_md5_shingle_cte(k)},
+        sh AS (SELECT doc_id, md5_number_lower(UNNEST(shs)) AS h,
+                      UNNEST(generate_series(1, len(shs))) AS pos,
+                      len(shs) AS cnt
+               FROM shl),
+        wm AS (SELECT doc_id, pos, cnt,
+                      MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+                                   ROWS BETWEEN CURRENT ROW AND {w - 1} FOLLOWING) AS mwin,
+                      MIN(h) OVER (PARTITION BY doc_id) AS mall
+               FROM sh),
+        wsel AS (SELECT doc_id, CASE WHEN cnt < {w} THEN mall ELSE mwin END AS m
+                 FROM wm
+                 WHERE (cnt < {w} AND pos = 1) OR (cnt >= {w} AND pos <= cnt - {w - 1})),
+        agg AS (SELECT doc_id, COUNT(DISTINCT m) AS nf,
+                       (MIN(m) & 9223372036854775807) AS fm
+                FROM wsel GROUP BY 1)
+        SELECT d.doc_id, COALESCE(nf, 0)::BIGINT AS n_fingerprints,
+               COALESCE(fm, 0)::BIGINT AS fp_min
+        FROM d LEFT JOIN agg USING (doc_id)
+    """
+
+
+def _minhash_md5_perm_values(num_perm: int) -> str:
+    from graphminingtools_ray.stages.dedup_md5 import md5_u64_one
+
+    rows = []
+    for i in range(num_perm):
+        a = md5_u64_one(f"perm-a-{i}") | 1
+        b = md5_u64_one(f"perm-b-{i}")
+        rows.append(
+            f"({i}, {a & 0xFFFFFFFF}::HUGEINT, {a >> 32}::HUGEINT, {b}::HUGEINT)"
+        )
+    return "perm(p, al, ah, bb) AS (VALUES " + ", ".join(rows) + ")"
+
+
+def _minhash_md5_core(num_perm: int = 32, shingle_n: int = 3) -> str:
+    return f"""
+        {_md5_tok_cte()},
+        {_md5_shingle_cte(shingle_n)},
+        sh AS (SELECT DISTINCT doc_id, md5_number_lower(s) AS x
+               FROM (SELECT doc_id, UNNEST(shs) AS s FROM shl)),
+        {_minhash_md5_perm_values(num_perm)},
+        mh AS (SELECT doc_id, p,
+                      MIN((al * (x & 4294967295)::HUGEINT
+                           + (((al * (x >> 32)::HUGEINT
+                                + ah * (x & 4294967295)::HUGEINT) % 4294967296)
+                              * 4294967296)
+                           + bb) % 18446744073709551616) AS m
+               FROM sh CROSS JOIN perm GROUP BY 1, 2)
+    """
+
+
+def _minhash_sketches_md5_sql() -> str:
+    return f"""
+        WITH {_minhash_md5_core()}
+        SELECT doc_id, p AS perm,
+               (CASE WHEN m >= 9223372036854775808::HUGEINT
+                     THEN m - 18446744073709551616::HUGEINT ELSE m END)::BIGINT AS minhash
+        FROM mh
+    """
+
+
+def _minhash_lsh_md5_sql(threshold: float = 0.3, rows: int = 4, cap: int = 256) -> str:
+    """The full LSH pipeline: band signature = the band's `rows` minhash
+    words (exact-tuple grouping, same as the engine's md5 family), per-bucket
+    first-`cap` sorted-doc truncation, exact shingle-set Jaccard verify with
+    integer (n_inter, n_union) output."""
+    return f"""
+        WITH {_minhash_md5_core()},
+        bsig AS (SELECT doc_id, p // {rows} AS band_id, list(m ORDER BY p) AS sig
+                 FROM mh GROUP BY 1, 2),
+        bkt AS (SELECT band_id, sig, doc_id,
+                       row_number() OVER (PARTITION BY band_id, sig ORDER BY doc_id) AS rn
+                FROM bsig),
+        cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                 FROM bkt a JOIN bkt b
+                   ON a.band_id = b.band_id AND a.sig = b.sig AND a.doc_id < b.doc_id
+                 WHERE a.rn <= {cap} AND b.rn <= {cap}),
+        sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+        inter AS (SELECT c.doc_a, c.doc_b, COUNT(*) AS n_inter
+                  FROM cand c JOIN sh a ON a.doc_id = c.doc_a
+                              JOIN sh b ON b.doc_id = c.doc_b AND b.x = a.x
+                  GROUP BY 1, 2)
+        SELECT i.doc_a, i.doc_b, n_inter::BIGINT AS n_inter,
+               (sa.n + sb.n - n_inter)::BIGINT AS n_union
+        FROM inter i JOIN sz sa ON sa.doc_id = i.doc_a
+                     JOIN sz sb ON sb.doc_id = i.doc_b
+        WHERE CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) >= {threshold}
+    """
+
+
+def _order_tree_cstrings_sql() -> str:
+    """SQL twin of pipelines.trees.order_tree_cstrings. The per-order chain
+    graph is a simple PATH exactly when the order's parts are all distinct
+    (any repeat closes a cycle / multi-edge / self-loop -> "No Tree"), so the
+    canonical tree string (functions/cstring.py: root at the leaf-peeling
+    center, lexicographically sorted child blocks, min over the <=2 centers)
+    reduces to a closed form DuckDB can fold: the rooted encoding of each
+    center is two chain encodings built by ``list_reduce`` over the
+    label/edge-label lists (acc = L || ' ( ' || E || ' ' || acc || ') ')."""
+    lam = ("(acc, x) -> split_part(x, chr(31), 1) || ' ( ' || "
+           "split_part(x, chr(31), 2) || ' ' || acc || ') '")
+
+    def block_left(c):
+        return (
+            f"'( ' || rfs[{c}] || ' ' || list_reduce("
+            f"[labs[1] || ' '] || list_transform(generate_series(2, {c} - 1),"
+            f" i -> labs[i] || chr(31) || rfs[i]), {lam}) || ') '"
+        )
+
+    def block_right(c):
+        return (
+            f"'( ' || rfs[{c} + 1] || ' ' || list_reduce("
+            f"[labs[n] || ' '] || list_transform("
+            f"list_reverse(generate_series({c} + 1, n - 1)),"
+            f" i -> labs[i] || chr(31) || rfs[i + 1]), {lam}) || ') '"
+        )
+
+    def rooted(c):
+        bl, br = block_left(c), block_right(c)
+        return (
+            f"labs[{c}] || ' ' || CASE "
+            f"WHEN {c} > 1 AND {c} < n THEN "
+            f"(CASE WHEN ({bl}) <= ({br}) THEN ({bl}) || ({br}) "
+            f"ELSE ({br}) || ({bl}) END) "
+            f"WHEN {c} = 1 THEN ({br}) ELSE ({bl}) END"
+        )
+
+    return f"""
+        WITH pl AS (
+            SELECT l_orderkey AS o, l_linenumber AS ln, l_partkey AS pk,
+                   l_returnflag AS rf, p_brand AS b
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+        ),
+        ord AS (
+            SELECT o,
+                   list(b ORDER BY ln, pk, rf) AS labs,
+                   list(rf ORDER BY ln, pk, rf) AS rfs,
+                   COUNT(*) AS n,
+                   (COUNT(*) = COUNT(DISTINCT pk)) AS istree
+            FROM pl GROUP BY o
+        ),
+        ctr AS (
+            SELECT *,
+                   CASE WHEN n % 2 = 1 THEN (n + 1) // 2 ELSE n // 2 END AS c1,
+                   CASE WHEN n % 2 = 1 THEN (n + 1) // 2 ELSE n // 2 + 1 END AS c2
+            FROM ord
+        ),
+        cs AS (
+            SELECT o, CASE
+                WHEN NOT istree THEN 'No Tree'
+                WHEN n = 1 THEN labs[1] || ' '
+                ELSE least({rooted('c1')}, {rooted('c2')})
+            END AS cstring
+            FROM ctr
+        )
+        SELECT cstring, COUNT(*)::BIGINT AS n_graphs FROM cs GROUP BY 1
+    """
 
 
 # shared SQL fragments for the derived co-purchase graph
@@ -961,8 +1182,16 @@ def oracle_sql() -> dict[str, str]:
             WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                          CAST(b.embedding AS DOUBLE[])) > 0.3
         """,
-        # pagerank, minhash/simhash/winnow, media, mining/pattern/sampling
-        # queries: not SQL-expressible (iterative fixpoint / seeded hash
-        # families / generated graph-DB inputs DuckDB cannot see) — driver
-        # records rows-only; exactness is covered by the pytest oracles.
+        "order_tree_cstrings": _order_tree_cstrings_sql(),
+        "simhash_md5": _simhash_md5_sql(),
+        "winnow_md5": _winnow_md5_sql(),
+        "minhash_sketches_md5": _minhash_sketches_md5_sql(),
+        "minhash_lsh_md5": _minhash_lsh_md5_sql(),
+        # remaining rows-only queries: iterative fixpoints beyond the
+        # fixed-k unrolled oracles (pagerank_fixpoint), seeded/sampled
+        # estimators (tree_sampling_suite, hops, ann LSH/IVF recall-bound),
+        # generated graph-DB inputs DuckDB cannot see (gdb_blockchain,
+        # vertex_cycle_degrees, poset/opk/pattern feature maps), and the
+        # polars-hash default dedup family (its md5 twins below ARE
+        # SQL-oracled) — exactness is covered by the pytest oracles.
     }

@@ -130,7 +130,7 @@ def word_freq_topk(sf_dir: str, k: int = 20):
 
 
 def minhash_near_dup(sf_dir: str, threshold: float = 0.3, bucket_cap: int = 256,
-                     num_parts: int = 32):
+                     num_parts: int = 32, family: str = "v2"):
     """MinHash+LSH near-dup: signature → band buckets → candidate pairs →
     exact Jaccard verify (guide pattern; reference analog minhashing.c).
 
@@ -156,7 +156,16 @@ def minhash_near_dup(sf_dir: str, threshold: float = 0.3, bucket_cap: int = 256,
          state index, exact-Jaccard verify + threshold filter in place.
     Only the verified survivors (tiny) reach the driver. Deterministic.
 
-    Returns (doc_a, doc_b, jaccard) for verified pairs, sorted."""
+    ``family`` selects the base-hash family: "v2" (default, polars-hash —
+    the tuned scale path) or "md5" (stages/dedup_md5.py: md5_number_lower
+    base hash, md5-derived permutations, candidate groups keyed on the
+    EXACT per-band signature words, zero-shingle docs excluded, and
+    exact-integer (n_inter, n_union) output — every stage value-replicable
+    in DuckDB, which is what flips this operator to a full driver-gate row).
+    Same distributed plan either way.
+
+    Returns (doc_a, doc_b, jaccard) for verified pairs, sorted — or
+    (doc_a, doc_b, n_inter, n_union) for the md5 family."""
     from ..algos.partitioned import PartCache, index_state
     from ..functions.bucketing import (
         bucketed_group_combine,
@@ -164,7 +173,19 @@ def minhash_near_dup(sf_dir: str, threshold: float = 0.3, bucket_cap: int = 256,
         partition_group_combine,
     )
     from ..graph.build import _pairs_from_sorted_key_items
-    from ..stages.dedup import jaccard_sorted_sets, shingle_sets_batch
+    from ..stages.dedup import (
+        jaccard_counts_sorted_sets,
+        jaccard_sorted_sets,
+        shingle_sets_batch,
+    )
+
+    md5 = family == "md5"
+    if md5:
+        from ..stages.dedup_md5 import MinHasherMD5, shingle_sets_md5_batch
+
+        sets_fn, hasher = shingle_sets_md5_batch, MinHasherMD5()
+    else:
+        sets_fn, hasher = shingle_sets_batch, MinHasher()
 
     docs = _docs(sf_dir)
     P = num_parts
@@ -173,7 +194,7 @@ def minhash_near_dup(sf_dir: str, threshold: float = 0.3, bucket_cap: int = 256,
     def shingle_rows(t: pa.Table) -> pa.Table:
         # Arrow path into the shingle hasher: zero-copy into polars, no
         # per-doc Python str materialization (bit-identical hash family)
-        sets = shingle_sets_batch(pa.compute.fill_null(t["text"], ""))
+        sets = sets_fn(pa.compute.fill_null(t["text"], ""))
         doc_ids = t["doc_id"].to_numpy()
         return pa.table(
             {
@@ -213,7 +234,7 @@ def minhash_near_dup(sf_dir: str, threshold: float = 0.3, bucket_cap: int = 256,
     state_index, _ = index_state(state_ds, [])
     state_index_ref = ray.put(state_index)
 
-    hasher = MinHasher()
+    sig_cols = [f"s_{j}" for j in range(hasher.rows)] if md5 else []
 
     def band_rows(t: pa.Table) -> pa.Table:
         out = []
@@ -222,29 +243,45 @@ def minhash_near_dup(sf_dir: str, threshold: float = 0.3, bucket_cap: int = 256,
             ids = t["ids"][row].values.to_numpy(zero_copy_only=False)
             off = t["off"][row].values.to_numpy(zero_copy_only=False)
             flat = t["flat"][row].values.to_numpy(zero_copy_only=False).astype(np.uint64)
-            bh = hasher.band_hashes(hasher.signatures_from_flat(flat, off))
-            out.append(
-                pa.table(
-                    {
-                        "doc_id": np.repeat(ids, nb),
-                        "band_id": np.tile(np.arange(nb, dtype=np.int64), len(ids)),
-                        "band_hash": bh.ravel(),
-                    }
-                )
-            )
+            sigs = hasher.signatures_from_flat(flat, off)
+            if md5:
+                # zero-shingle docs carry no content signal — excluded so
+                # the SQL twin (where they simply have no shingle rows)
+                # matches without an empty-doc special case
+                keep = np.diff(off) > 0
+                ids, sigs = ids[keep], sigs[keep]
+            bh = hasher.band_hashes(sigs)
+            cols = {
+                "doc_id": np.repeat(ids, nb),
+                "band_id": np.tile(np.arange(nb, dtype=np.int64), len(ids)),
+                "band_hash": bh.ravel(),
+            }
+            if md5:
+                # exact per-band signature words ride along: candidate
+                # groups key on THEM (collision-free), band_hash only routes
+                chunked = sigs.reshape(len(sigs), hasher.bands, hasher.rows)
+                for j, c in enumerate(sig_cols):
+                    cols[c] = chunked[:, :, j].ravel()
+            out.append(pa.table(cols))
         if not out:
-            return pa.table(
-                {"doc_id": np.empty(0, np.int64), "band_id": np.empty(0, np.int64),
-                 "band_hash": np.empty(0, np.int64)}
-            )
+            empty = {
+                "doc_id": np.empty(0, np.int64), "band_id": np.empty(0, np.int64),
+                "band_hash": np.empty(0, np.int64),
+            }
+            for c in sig_cols:
+                empty[c] = np.empty(0, np.uint64)
+            return pa.table(empty)
         return pa.concat_tables(out)
 
     bands = state_ds.map_batches(band_rows, batch_format="pyarrow", batch_size=1)
 
     def pair_gen(t: pa.Table) -> pa.Table:
-        packed = np.stack(
-            [t["band_id"].to_numpy(), t["band_hash"].to_numpy()], axis=1
-        )
+        key_cols = [t["band_id"].to_numpy().astype(np.uint64)]
+        if md5:
+            key_cols += [t[c].to_numpy().astype(np.uint64) for c in sig_cols]
+        else:
+            key_cols.append(t["band_hash"].to_numpy().astype(np.uint64))
+        packed = np.stack(key_cols, axis=1)
         _, inv = np.unique(packed, axis=0, return_inverse=True)
         d = t["doc_id"].to_numpy()
         order = np.lexsort((d, inv))
@@ -282,7 +319,18 @@ def minhash_near_dup(sf_dir: str, threshold: float = 0.3, bucket_cap: int = 256,
                     out[i] = flat_p[off_p[q]: off_p[q + 1]]
             return out
 
-        jac = jaccard_sorted_sets(fetch(ka), fetch(kb))
+        sets_a, sets_b = fetch(ka), fetch(kb)
+        if md5:
+            # exact-integer output (a float ratio would re-open rounding-ulp
+            # questions the driver gate hashes on); same IEEE comparison as
+            # the SQL twin's CAST(n_inter AS DOUBLE) / n_union >= t
+            inter, union = jaccard_counts_sorted_sets(sets_a, sets_b)
+            m = (inter / np.maximum(1, union)) >= threshold
+            return pa.table(
+                {"doc_a": ka[m], "doc_b": kb[m],
+                 "n_inter": inter[m], "n_union": union[m]}
+            )
+        jac = jaccard_sorted_sets(sets_a, sets_b)
         m = jac >= threshold
         return pa.table({"doc_a": ka[m], "doc_b": kb[m], "jaccard": jac[m]})
 
@@ -291,15 +339,22 @@ def minhash_near_dup(sf_dir: str, threshold: float = 0.3, bucket_cap: int = 256,
     )
     out = verified.to_pandas()
     if len(out) == 0:
-        return pd.DataFrame(
-            {"doc_a": pd.Series([], dtype=np.int64),
-             "doc_b": pd.Series([], dtype=np.int64),
-             "jaccard": pd.Series([], dtype=np.float64)}
-        )
+        empty = {"doc_a": pd.Series([], dtype=np.int64),
+                 "doc_b": pd.Series([], dtype=np.int64)}
+        if md5:
+            empty["n_inter"] = pd.Series([], dtype=np.int64)
+            empty["n_union"] = pd.Series([], dtype=np.int64)
+        else:
+            empty["jaccard"] = pd.Series([], dtype=np.float64)
+        return pd.DataFrame(empty)
     out = out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
     out["doc_a"] = out["doc_a"].astype(np.int64)
     out["doc_b"] = out["doc_b"].astype(np.int64)
-    out["jaccard"] = round_half_away(out["jaccard"], 4)
+    if md5:
+        out["n_inter"] = out["n_inter"].astype(np.int64)
+        out["n_union"] = out["n_union"].astype(np.int64)
+    else:
+        out["jaccard"] = round_half_away(out["jaccard"], 4)
     return out
 
 
@@ -313,6 +368,61 @@ def winnow_fingerprints(sf_dir: str):
     return _docs(sf_dir).map_batches(
         WinnowFingerprint, batch_format="pandas", concurrency=actor_pool()
     )
+
+
+def simhash_md5(sf_dir: str):
+    """SQL-oracled SimHash twin (stages/dedup_md5.py): per-token
+    md5_number_lower votes, low-63-bit fingerprint."""
+    from ..stages.dedup_md5 import SimHashMD5Stage
+
+    return _docs(sf_dir).map_batches(
+        SimHashMD5Stage, batch_format="pandas", concurrency=actor_pool()
+    )
+
+
+def winnow_md5(sf_dir: str):
+    """SQL-oracled winnowing twin: md5 word-5-gram shingle hashes, window-4
+    minima, per-doc (n_fingerprints, fp_min & (2^63-1))."""
+    from ..stages.dedup_md5 import WinnowMD5Stage
+
+    return _docs(sf_dir).map_batches(
+        WinnowMD5Stage, batch_format="pandas", concurrency=actor_pool()
+    )
+
+
+def minhash_sketches_md5(sf_dir: str):
+    """SQL-oracled MinHash sketch twin: 32 md5-derived permutations over md5
+    word-3-gram shingle sets; (doc_id, perm, minhash) with minhash the
+    two's-complement int64 view of the uint64 word. Zero-shingle docs are
+    excluded (they have no sketch)."""
+    from ..stages.dedup_md5 import MinHasherMD5, shingle_sets_md5_batch
+
+    hasher = MinHasherMD5()
+
+    def sketch_rows(t: pa.Table) -> pa.Table:
+        sets = shingle_sets_md5_batch(pa.compute.fill_null(t["text"], ""))
+        doc_ids = t["doc_id"].to_numpy()
+        keep = np.array([len(s) > 0 for s in sets], bool)
+        sets = [s for s in sets if len(s)]
+        sigs = hasher.signatures_from_sets(sets)
+        return pa.table(
+            {
+                "doc_id": np.repeat(doc_ids[keep], hasher.num_perm),
+                "perm": np.tile(
+                    np.arange(hasher.num_perm, dtype=np.int64), len(sets)
+                ),
+                "minhash": sigs.view(np.int64).ravel(),
+            }
+        )
+
+    return _docs(sf_dir).map_batches(sketch_rows, batch_format="pyarrow")
+
+
+def minhash_lsh_md5(sf_dir: str):
+    """SQL-oracled MinHash+LSH near-dup twin — the full pipeline
+    (shingle → sketch → band → candidate → exact-Jaccard verify) on the
+    md5 base-hash family; see :func:`minhash_near_dup` (family="md5")."""
+    return minhash_near_dup(sf_dir, threshold=0.3, family="md5")
 
 
 def media_features(sf_dir: str):

@@ -351,6 +351,34 @@ def shingle_sets_batch(texts, n: int = 3) -> list[np.ndarray]:
     return [v[offs[i]: offs[i + 1]] for i in range(len(counts))]
 
 
+def jaccard_counts_sorted_sets(
+    sets_a: list[np.ndarray], sets_b: list[np.ndarray]
+) -> tuple[np.ndarray, np.ndarray]:
+    """(|A∩B|, |A∪B|) int64 per pair of pre-sorted-unique uint64 arrays —
+    the exact-integer operand the SQL-oracled md5 twin emits (a float ratio
+    would re-open summation/rounding ulp questions the driver gate hashes
+    on). Same vectorized union-count kernel as :func:`jaccard_sorted_sets`."""
+    m = len(sets_a)
+    if m == 0:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    sa = np.array([len(s) for s in sets_a], dtype=np.int64)
+    sb = np.array([len(s) for s in sets_b], dtype=np.int64)
+    vals = np.concatenate(
+        [np.concatenate(sets_a) if sa.sum() else np.empty(0, np.uint64),
+         np.concatenate(sets_b) if sb.sum() else np.empty(0, np.uint64)]
+    )
+    pair = np.concatenate(
+        [np.repeat(np.arange(m), sa), np.repeat(np.arange(m), sb)]
+    )
+    order = np.lexsort((vals, pair))
+    p2, v2 = pair[order], vals[order]
+    dk = np.ones(len(p2), dtype=bool)
+    dk[1:] = (p2[1:] != p2[:-1]) | (v2[1:] != v2[:-1])
+    union = np.bincount(p2[dk], minlength=m)
+    inter = sa + sb - union
+    return inter.astype(np.int64), union.astype(np.int64)
+
+
 def jaccard_sorted_sets(sets_a: list[np.ndarray], sets_b: list[np.ndarray]) -> np.ndarray:
     """Exact Jaccard for pairs of pre-sorted-unique uint64 arrays — the
     union-count trick (|A∩B| = |A|+|B|-|A∪B|), fully vectorized across
@@ -389,6 +417,14 @@ class SimHasher:
 
     def fingerprints_batch(self, texts) -> np.ndarray:
         flat, offsets = shingle_hashes_flat(texts, self.shingle_n)
+        return self.fingerprints_from_flat(flat, offsets)
+
+    def fingerprints_from_flat(
+        self, flat: np.ndarray, offsets: np.ndarray
+    ) -> np.ndarray:
+        """Fingerprints from an already-hashed token/shingle stream — lets
+        alternate base-hash families (e.g. the SQL-replicable md5 twins in
+        stages/dedup_md5.py) reuse the vectorized bit-vote kernel."""
         counts = np.diff(offsets)
         fps = np.zeros(len(counts), dtype=np.int64)
         nonempty = np.flatnonzero(counts > 0)
