@@ -39,15 +39,20 @@ def _levelwise_trees(sf_dir: str):
     threshold at 10× the corpus makes the frequent set itself corpus-scale,
     which is a parameter choice, not an engine property (measured: floor-2
     at sf0.1 mines for 5+ min; 0.01% mines sf0.01 in 18 s with full 3-level
-    depth and sf0.1 in 19 s). Not SQL-expressible (iterative candidate
-    generation) — pytest brute-force oracle instead
+    depth and sf0.1 in 19 s). The threshold is the integer round-half-up
+    (n+5000)//10000 so the SQL twin computes it exactly. SQL-oracled: like
+    levelwise_paths, apriori pruning is output-neutral (anti-monotone
+    support), and every tree of <=3 edges is a single edge, a wedge, a
+    4-path or a 3-star, so the DuckDB twin enumerates each shape directly
+    with the closed-form canonical cstring (center-rooted, sorted blocks).
+    Brute-force pytest oracle as well
     (tests/test_levelwise.py::test_levelwise_trees_matches_bruteforce)."""
     from graphminingtools_ray.pipelines.levelwise import levelwise_tree_mining
     from graphminingtools_ray.pipelines.mining import _n_graphs
 
     n = _n_graphs(sf_dir)
     return levelwise_tree_mining(
-        sf_dir, max_edges=3, min_support=max(2, round(0.0001 * n))
+        sf_dir, max_edges=3, min_support=max(2, (n + 5000) // 10000)
     )
 
 
@@ -57,15 +62,19 @@ def _levelwise_rooted(sf_dir: str):
     treeEnumerationRooted.c): transactions are the per-order DIRECTED
     graphs, patterns are canonical ROOTED trees, extension = frequent
     directed edges, support = rooted embedding operator. Same relative
-    support parameterization as _levelwise_trees. Not SQL-expressible
-    (iterative candidate generation) — pytest brute-force oracle
+    support parameterization as _levelwise_trees (integer round-half-up).
+    SQL-oracled: rooted trees with <= 4 vertices have 8 shapes (vertex,
+    edge, 2-chain, 2-fork, 3-chain, deep fork, side fork, 3-star), each
+    enumerable directly with the closed-form rooted cstring; apriori and
+    the frequent-directed-edge extension set are output-neutral
+    (anti-monotone support). Brute-force pytest oracle as well
     (tests/test_levelwise.py::test_levelwise_rooted_matches_bruteforce)."""
     from graphminingtools_ray.pipelines.levelwise import levelwise_rooted_mining
     from graphminingtools_ray.pipelines.mining import _n_graphs
 
     n = _n_graphs(sf_dir)
     return levelwise_rooted_mining(
-        sf_dir, max_edges=3, min_support=max(2, round(0.0001 * n))
+        sf_dir, max_edges=3, min_support=max(2, (n + 5000) // 10000)
     )
 
 
@@ -82,13 +91,15 @@ def _cyclic_pattern_features(sf_dir: str):
 def _tree_pattern_features(sf_dir: str):
     """gpe/tpk shape: frequent trees (levelwise miner) probed into every
     graph with the subtree-embedding operator → sparse binary features.
-    Relative support (0.01% of transactions, floor 3 — see _levelwise_trees
-    for the rationale; the floor keeps sf<=0.01 outputs identical).
-    Rows-only; pytest oracle via independent subgraph enumeration."""
+    Relative support (0.01% of transactions as integer round-half-up,
+    floor 3 — see _levelwise_trees for the rationale; the floor keeps
+    sf<=0.01 outputs identical). SQL-oracled (the <=2-edge pattern space is
+    single edges + wedges — closed-form canonical strings); pytest oracle
+    via independent subgraph enumeration as well."""
     from graphminingtools_ray.pipelines.mining import _n_graphs
     from graphminingtools_ray.pipelines.patterns import tree_pattern_features
 
-    sup = max(3, round(0.0001 * _n_graphs(sf_dir)))
+    sup = max(3, (_n_graphs(sf_dir) + 5000) // 10000)
     return tree_pattern_features(sf_dir, max_edges=2, min_support=sup)
 
 
@@ -121,9 +132,12 @@ def _poset_exact_embeddings(sf_dir: str):
     a minimum path cover + per-chain binary search (reference
     poset_pathCover.c:673-734 staticPathCoverEmbeddingForTrees /
     getPathCoverOfPoset) — the exact counterpart the min-hash sketch and
-    random-projection queries approximate. Not SQL-expressible (monotone
-    DAG evaluation); pytest oracles prove set-equality with brute-force
-    full evaluation at measurably fewer probes
+    random-projection queries approximate. SQL-oracled on the embedding
+    MATRIX (the result is strategy-independent exact semantics; the DuckDB
+    twin enumerates the <=2-edge shapes directly), which certifies the
+    path-cover machinery end-to-end; the fewer-probes-than-full-evaluation
+    property (n_evaluations, dropped from this gate output because it is
+    strategy metadata, not semantics) is pinned by the pytest oracles
     (tests/test_poset_minhash.py)."""
     from graphminingtools_ray.pipelines.levelwise import levelwise_tree_mining
     from graphminingtools_ray.pipelines.mining import (
@@ -134,13 +148,13 @@ def _poset_exact_embeddings(sf_dir: str):
         poset_exact_embeddings,
     )
 
-    sup = max(3, round(0.0001 * _n_graphs(sf_dir)))
+    sup = max(3, (_n_graphs(sf_dir) + 5000) // 10000)
     frequent = levelwise_tree_mining(sf_dir, max_edges=2, min_support=sup)
     patterns = sorted(set(frequent["pattern"].tolist()))
     return poset_exact_embeddings(
         order_graph_edges_full(sf_dir), patterns,
         strategy="static_path_cover",
-    )
+    ).drop(columns=["n_evaluations"])
 
 
 def _poset_projection_embeddings(sf_dir: str):
@@ -713,6 +727,213 @@ def _minhash_lsh_md5_sql(threshold: float = 0.3, rows: int = 4, cap: int = 256) 
     """
 
 
+# --- SQL twins of the small-tree mining family. Every tree with <= 3 edges
+# is a single edge, a wedge, a 4-path or a 3-star, so frequent-tree mining
+# with the exact subtree-embedding operator reduces to direct per-shape
+# enumeration (apriori pruning is output-neutral: support is anti-monotone).
+# Canonical cstrings (functions/cstring.py: root at the leaf-peeling center,
+# lexicographically sorted child blocks, min over the <= 2 centers) have a
+# closed form per shape. MATERIALIZED is load-bearing: `half` is referenced
+# six times and DuckDB would otherwise re-derive the window scan per
+# reference (measured 73 s -> 0.4 s at sf0.001).
+
+_LT_LEAF1 = "'( ' || h1.le || ' ' || h1.bo || ' ) '"
+_LT_LEAF2 = "'( ' || h2.le || ' ' || h2.bo || ' ) '"
+_LT_LEAF3 = "'( ' || h3.le || ' ' || h3.bo || ' ) '"
+_LT_CHAIN23 = ("'( ' || h2.le || ' ' || h2.bo || ' ( ' || h3.le || ' ' || "
+               "h3.bo || ' ) ) '")
+_LT_CHAIN21 = ("'( ' || h2.le || ' ' || h1.bv || ' ( ' || h1.le || ' ' || "
+               "h1.bo || ' ) ) '")
+
+
+def _lt_sort2(a: str, b: str) -> str:
+    return (f"(CASE WHEN ({a}) <= ({b}) THEN ({a}) || ({b}) "
+            f"ELSE ({b}) || ({a}) END)")
+
+
+def _lt_base_ctes() -> str:
+    """Shared CTEs: per-order labeled edges (the order_graph_edges_full
+    transaction graphs), half-edges, and the per-shape distinct
+    (order, canonical-cstring) relations p1/p2/p3p/p3s."""
+    return f"""
+        nb AS (SELECT COUNT(DISTINCT l_orderkey) AS ng FROM lineitem),
+        pl AS (SELECT l_orderkey, l_linenumber, l_returnflag, l_partkey, p_brand
+               FROM lineitem JOIN part ON l_partkey = p_partkey),
+        seq AS (SELECT l_orderkey, l_partkey, p_brand, l_returnflag,
+                       lag(l_partkey) OVER w AS prev_pk,
+                       lag(p_brand) OVER w AS prev_brand
+                FROM pl WINDOW w AS (PARTITION BY l_orderkey
+                                     ORDER BY l_linenumber, l_partkey, l_returnflag)),
+        ed AS MATERIALIZED (
+            SELECT DISTINCT l_orderkey AS o, prev_pk AS va, l_partkey AS vb,
+                   prev_brand AS ba, p_brand AS bb, l_returnflag AS le
+            FROM seq WHERE prev_pk IS NOT NULL AND prev_pk <> l_partkey),
+        half AS MATERIALIZED (
+            SELECT o, va AS v, ba AS bv, vb AS other, bb AS bo, le FROM ed
+            UNION ALL
+            SELECT o, vb AS v, bb AS bv, va AS other, ba AS bo, le FROM ed),
+        p1 AS (SELECT DISTINCT o,
+                      LEAST(ba || ' ( ' || le || ' ' || bb || ' ) ',
+                            bb || ' ( ' || le || ' ' || ba || ' ) ') AS pattern
+               FROM ed),
+        p2 AS (SELECT DISTINCT h1.o,
+                      h1.bv || ' ' || {_lt_sort2(_LT_LEAF1, _LT_LEAF2)} AS pattern
+               FROM half h1 JOIN half h2
+                 ON h1.o = h2.o AND h1.v = h2.v AND h1.other <> h2.other),
+        p3p AS (SELECT DISTINCT h1.o,
+                      LEAST(h1.bv || ' ' || {_lt_sort2(_LT_LEAF1, _LT_CHAIN23)},
+                            h2.bo || ' ' || {_lt_sort2(_LT_LEAF3, _LT_CHAIN21)}) AS pattern
+                FROM half h1
+                JOIN half h2 ON h1.o = h2.o AND h1.v = h2.v AND h1.other <> h2.other
+                JOIN half h3 ON h3.o = h2.o AND h3.v = h2.other
+                            AND h3.other <> h1.v AND h3.other <> h1.other),
+        p3s AS (SELECT DISTINCT h1.o,
+                      h1.bv || ' ' || array_to_string(
+                          list_sort([{_LT_LEAF1}, {_LT_LEAF2}, {_LT_LEAF3}]), '') AS pattern
+                FROM half h1
+                JOIN half h2 ON h1.o = h2.o AND h1.v = h2.v AND h1.other <> h2.other
+                JOIN half h3 ON h3.o = h1.o AND h3.v = h1.v
+                            AND h3.other <> h1.other AND h3.other <> h2.other)
+    """
+
+
+def _levelwise_trees_sql() -> str:
+    return f"""
+        WITH {_lt_base_ctes()},
+        lv AS (SELECT 1 AS level, o, pattern FROM p1
+               UNION ALL SELECT 2, o, pattern FROM p2
+               UNION ALL SELECT 3, o, pattern FROM p3p
+               UNION ALL SELECT 3, o, pattern FROM p3s)
+        SELECT level::BIGINT AS level, pattern,
+               COUNT(DISTINCT o)::BIGINT AS support
+        FROM lv GROUP BY 1, 2
+        HAVING COUNT(DISTINCT o) >=
+               (SELECT GREATEST(2, (ng + 5000) // 10000) FROM nb)
+    """
+
+
+def _tree_pattern_features_sql() -> str:
+    """gpe/tpk feature map: frequent <=2-edge trees (floor-3 threshold),
+    probed back into every graph; pattern_id = rank in the sorted frequent
+    set (pattern_feature_table enumerates sorted(patterns))."""
+    return f"""
+        WITH {_lt_base_ctes()},
+        lv AS (SELECT o, pattern FROM p1 UNION ALL SELECT o, pattern FROM p2),
+        freq AS (SELECT pattern FROM lv GROUP BY pattern
+                 HAVING COUNT(DISTINCT o) >=
+                        (SELECT GREATEST(3, (ng + 5000) // 10000) FROM nb)),
+        pid AS (SELECT pattern,
+                       (row_number() OVER (ORDER BY pattern) - 1)::BIGINT AS pattern_id
+                FROM freq)
+        SELECT DISTINCT lv.o AS graph_id, pid.pattern_id, lv.pattern
+        FROM lv JOIN pid ON lv.pattern = pid.pattern
+    """
+
+
+def _levelwise_rooted_sql() -> str:
+    """Rooted mining twin (`lwgr`): level = vertex count; rooted trees with
+    <= 4 vertices have 8 shapes — vertex, directed edge, 2-chain, 2-fork,
+    3-chain, deep fork (r->a, a->{b,c}), side fork (r->{a,b}, a->c),
+    3-star — each with a closed-form canonical ROOTED cstring (no center
+    finding: serialize from the root, sorted child blocks). Injectivity
+    constraints spell out vertex-distinctness per shape."""
+
+    def leaf(i: int) -> str:
+        return f"'( ' || e{i}.le || ' ' || e{i}.bb || ' ) '"
+
+    chain13 = ("'( ' || e1.le || ' ' || e1.bb || ' ( ' || e3.le || ' ' || "
+               "e3.bb || ' ) ) '")
+    return f"""
+        WITH nb AS (SELECT COUNT(DISTINCT l_orderkey) AS ng FROM lineitem),
+        pl AS (SELECT l_orderkey, l_linenumber, l_returnflag, l_partkey, p_brand
+               FROM lineitem JOIN part ON l_partkey = p_partkey),
+        seq AS (SELECT l_orderkey, l_partkey, p_brand, l_returnflag,
+                       lag(l_partkey) OVER w AS prev_pk,
+                       lag(p_brand) OVER w AS prev_brand
+                FROM pl WINDOW w AS (PARTITION BY l_orderkey
+                                     ORDER BY l_linenumber, l_partkey, l_returnflag)),
+        ed AS MATERIALIZED (
+            SELECT DISTINCT l_orderkey AS o, prev_pk AS va, l_partkey AS vb,
+                   prev_brand AS ba, p_brand AS bb, l_returnflag AS le
+            FROM seq WHERE prev_pk IS NOT NULL AND prev_pk <> l_partkey),
+        lv1 AS (SELECT DISTINCT o, lab || ' ' AS pattern FROM (
+                    SELECT o, ba AS lab FROM ed UNION ALL SELECT o, bb FROM ed)),
+        lv2 AS (SELECT DISTINCT o,
+                       ba || ' ( ' || le || ' ' || bb || ' ) ' AS pattern FROM ed),
+        lv3c AS (SELECT DISTINCT e1.o,
+                        e1.ba || ' ( ' || e1.le || ' ' || e1.bb || ' ( '
+                              || e2.le || ' ' || e2.bb || ' ) ) ' AS pattern
+                 FROM ed e1 JOIN ed e2
+                   ON e1.o = e2.o AND e1.vb = e2.va AND e2.vb <> e1.va),
+        lv3f AS (SELECT DISTINCT e1.o,
+                        e1.ba || ' ' || {_lt_sort2(leaf(1), leaf(2))} AS pattern
+                 FROM ed e1 JOIN ed e2
+                   ON e1.o = e2.o AND e1.va = e2.va AND e1.vb <> e2.vb),
+        lv4c AS (SELECT DISTINCT e1.o,
+                        e1.ba || ' ( ' || e1.le || ' ' || e1.bb || ' ( '
+                              || e2.le || ' ' || e2.bb || ' ( '
+                              || e3.le || ' ' || e3.bb || ' ) ) ) ' AS pattern
+                 FROM ed e1
+                 JOIN ed e2 ON e1.o = e2.o AND e1.vb = e2.va AND e2.vb <> e1.va
+                 JOIN ed e3 ON e3.o = e2.o AND e3.va = e2.vb
+                           AND e3.vb <> e2.va AND e3.vb <> e1.va),
+        lv4d AS (SELECT DISTINCT e1.o,
+                        e1.ba || ' ( ' || e1.le || ' ' || e1.bb || ' '
+                              || {_lt_sort2(leaf(2), leaf(3))} || ') ' AS pattern
+                 FROM ed e1
+                 JOIN ed e2 ON e1.o = e2.o AND e2.va = e1.vb AND e2.vb <> e1.va
+                 JOIN ed e3 ON e3.o = e1.o AND e3.va = e1.vb AND e3.vb <> e1.va
+                           AND e3.vb <> e2.vb),
+        lv4x AS (SELECT DISTINCT e1.o,
+                        e1.ba || ' ' || {_lt_sort2(chain13, leaf(2))} AS pattern
+                 FROM ed e1
+                 JOIN ed e2 ON e1.o = e2.o AND e2.va = e1.va AND e2.vb <> e1.vb
+                 JOIN ed e3 ON e3.o = e1.o AND e3.va = e1.vb
+                           AND e3.vb <> e1.va AND e3.vb <> e2.vb),
+        lv4t AS (SELECT DISTINCT e1.o,
+                        e1.ba || ' ' || array_to_string(
+                            list_sort([{leaf(1)}, {leaf(2)}, {leaf(3)}]), '') AS pattern
+                 FROM ed e1
+                 JOIN ed e2 ON e1.o = e2.o AND e2.va = e1.va AND e2.vb <> e1.vb
+                 JOIN ed e3 ON e3.o = e1.o AND e3.va = e1.va AND e3.vb <> e1.vb
+                           AND e3.vb <> e2.vb),
+        lv AS (SELECT 1 AS level, o, pattern FROM lv1
+               UNION ALL SELECT 2, o, pattern FROM lv2
+               UNION ALL SELECT 3, o, pattern FROM lv3c
+               UNION ALL SELECT 3, o, pattern FROM lv3f
+               UNION ALL SELECT 4, o, pattern FROM lv4c
+               UNION ALL SELECT 4, o, pattern FROM lv4d
+               UNION ALL SELECT 4, o, pattern FROM lv4x
+               UNION ALL SELECT 4, o, pattern FROM lv4t)
+        SELECT level::BIGINT AS level, pattern,
+               COUNT(DISTINCT o)::BIGINT AS support
+        FROM lv GROUP BY 1, 2
+        HAVING COUNT(DISTINCT o) >=
+               (SELECT GREATEST(2, (ng + 5000) // 10000) FROM nb)
+    """
+
+
+def _poset_exact_embeddings_sql() -> str:
+    """Exact embedding matrix of the frequent <=2-edge tree poset
+    (strategy-independent semantics of poset_pathCover.c's exact family);
+    pattern_id = 1-based rank by (vertex count, string) — TreePoset's
+    reference-style reordering (minhashing.c:304-311). Level orders by
+    vertex count since every level-k tree has k+1 vertices."""
+    return f"""
+        WITH {_lt_base_ctes()},
+        lv AS (SELECT 1 AS level, o, pattern FROM p1
+               UNION ALL SELECT 2, o, pattern FROM p2),
+        freq AS (SELECT level, pattern FROM lv GROUP BY level, pattern
+                 HAVING COUNT(DISTINCT o) >=
+                        (SELECT GREATEST(3, (ng + 5000) // 10000) FROM nb)),
+        pid AS (SELECT pattern,
+                       row_number() OVER (ORDER BY level, pattern)::BIGINT AS pattern_id
+                FROM freq)
+        SELECT DISTINCT lv.o AS graph_id, pid.pattern_id, lv.pattern
+        FROM lv JOIN pid ON lv.pattern = pid.pattern
+    """
+
+
 def _order_tree_cstrings_sql() -> str:
     """SQL twin of pipelines.trees.order_tree_cstrings. The per-order chain
     graph is a simple PATH exactly when the order's parts are all distinct
@@ -1183,6 +1404,10 @@ def oracle_sql() -> dict[str, str]:
                                          CAST(b.embedding AS DOUBLE[])) > 0.3
         """,
         "order_tree_cstrings": _order_tree_cstrings_sql(),
+        "levelwise_trees": _levelwise_trees_sql(),
+        "tree_pattern_features": _tree_pattern_features_sql(),
+        "poset_exact_embeddings": _poset_exact_embeddings_sql(),
+        "levelwise_rooted": _levelwise_rooted_sql(),
         "simhash_md5": _simhash_md5_sql(),
         "winnow_md5": _winnow_md5_sql(),
         "minhash_sketches_md5": _minhash_sketches_md5_sql(),

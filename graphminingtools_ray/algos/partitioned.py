@@ -20,6 +20,15 @@ the driver any more.
   bincount — exchange entries are bounded by P*V*(1-e^{-E/PV}), sub-edge
   scale), with output panel refs routed by the driver straight to P
   per-partition update tasks — no sort exchange anywhere in the loop.
+- **Hub-vertex splitting / skew**: vertices are hash-partitioned, and a hub
+  vertex's edge list is NOT resident on any single partition — its
+  out-edges split across the P cells of its src row by part(dst), its
+  in-contributions are pre-combined per cell before the exchange, so a
+  10^7-degree hub costs each cell at most V/P combiner entries (the
+  P·V·(1−e^{−E/PV}) panel bound) instead of one partition holding
+  degree-scale state. This is the north-star's "hub-vertex splitting":
+  the 2D grid splits every hub structurally, no special-cased hub list to
+  maintain or mis-detect (tests/test_hub_skew.py pins the balance).
 - **The build** is the same map/reduce shuffle shape: split-by-cell map
   tasks (single packed numpy returns — plasma's per-object sealing cost
   makes many small returns 5x slower), per-cell canonical-sort CSR reduces
