@@ -120,6 +120,25 @@ def test_triangles_star_zero():
     assert per_vertex.sum() == 0
 
 
+def test_triangles_dense_equals_partitioned(monkeypatch):
+    """The density-adaptive probe (V×V bitmap vs partitioned key index)
+    must count bit-identically — GRAFT_TRI_DENSE_V=0 forces the scale
+    path on the same seeded random graph."""
+    import random
+
+    rng = random.Random(11)
+    n = 60
+    pairs = sorted(
+        {(a, b) for a, b in (sorted(rng.sample(range(n), 2)) for _ in range(400))}
+    )
+    ids_d, pv_d, tot_d = triangle_counts(edges_ds(pairs))  # dense (V=60)
+    monkeypatch.setenv("GRAFT_TRI_DENSE_V", "0")
+    ids_p, pv_p, tot_p = triangle_counts(edges_ds(pairs))
+    assert np.array_equal(ids_d, ids_p)
+    assert np.array_equal(pv_d, pv_p)
+    assert tot_d == tot_p > 0
+
+
 @pytest.mark.parametrize("name", sorted(GRAPHS))
 def test_lpa_matches_oracle(name):
     from graphminingtools_ray.algos import label_propagation
