@@ -415,6 +415,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # embeddings: similarity search + near-dup
         "ann_topk": embeddings_q.ann_topk,
         "ann_topk_lsh": embeddings_q.ann_topk_lsh,
+        # SQL-oracled sign-LSH twin (md5-derived ±1 planes, integer-exact
+        # sign hashing) — drives the full LSH-ANN shape through the gate
+        "ann_lsh_md5": embeddings_q.ann_lsh_md5,
         "ann_topk_ivf": embeddings_q.ann_topk_ivf,
         "embedding_near_dup": embeddings_q.embedding_near_dup,
         # canonical tree strings (cstring executable semantics)
@@ -827,6 +830,51 @@ def _tree_pattern_features_sql() -> str:
                 FROM freq)
         SELECT DISTINCT lv.o AS graph_id, pid.pattern_id, lv.pattern
         FROM lv JOIN pid ON lv.pattern = pid.pattern
+    """
+
+
+def _ann_lsh_md5_sql(n_queries: int = 16, k: int = 5, n_planes: int = 16,
+                     bands: int = 4) -> str:
+    """Sign-LSH ANN twin: ±1 hyperplanes from md5 bits, sign test on
+    integer-quantized components floor(v*1024 + 0.5) (exact int64 dot both
+    sides — float SUMs are order-dependent, elementwise quantization is
+    not), band key = packed sign bits, exact-cosine rank among candidates."""
+    import duckdb  # noqa: F401  (documentation: the VALUES table is DuckDB-bound)
+
+    from graphminingtools_ray.stages.dedup_md5 import md5_u64_one
+
+    rows = n_planes // bands
+    dim = 64  # embeddings table schema: FLOAT[64]
+    vals = ", ".join(
+        f"({j}, {d}, {1 if md5_u64_one(f'plane-{j}-{d}') & 1 else -1})"
+        for j in range(n_planes)
+        for d in range(dim)
+    )
+    return f"""
+        WITH planes(j, d, s) AS (VALUES {vals}),
+        q AS (SELECT vec_id AS qid, embedding AS qe
+              FROM embeddings ORDER BY vec_id LIMIT {n_queries}),
+        comp AS (SELECT vec_id, j,
+                        SUM(s * CAST(FLOOR(CAST(v AS DOUBLE) * 1024 + 0.5) AS BIGINT)) AS dot
+                 FROM (SELECT vec_id, UNNEST(embedding) AS v,
+                              UNNEST(generate_series(0, len(embedding) - 1)) AS d
+                       FROM embeddings)
+                 JOIN planes USING (d) GROUP BY 1, 2),
+        bits AS (SELECT vec_id, j // {rows} AS band,
+                        SUM(CASE WHEN dot > 0 THEN (1 << (j % {rows})) ELSE 0 END) AS key
+                 FROM comp GROUP BY 1, 2),
+        cand AS (SELECT DISTINCT q.qid, b2.vec_id
+                 FROM q JOIN bits b1 ON b1.vec_id = q.qid
+                        JOIN bits b2 ON b2.band = b1.band AND b2.key = b1.key
+                                    AND b2.vec_id <> q.qid),
+        s AS (SELECT c.qid, c.vec_id,
+                     list_cosine_similarity(CAST(q.qe AS DOUBLE[]),
+                                            CAST(e.embedding AS DOUBLE[])) AS cos
+              FROM cand c JOIN q ON q.qid = c.qid
+                          JOIN embeddings e ON e.vec_id = c.vec_id)
+        SELECT qid, vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rank
+        FROM s QUALIFY rank <= {k}
     """
 
 
@@ -1412,6 +1460,7 @@ def oracle_sql() -> dict[str, str]:
         "winnow_md5": _winnow_md5_sql(),
         "minhash_sketches_md5": _minhash_sketches_md5_sql(),
         "minhash_lsh_md5": _minhash_lsh_md5_sql(),
+        "ann_lsh_md5": _ann_lsh_md5_sql(),
         # remaining rows-only queries: iterative fixpoints beyond the
         # fixed-k unrolled oracles (pagerank_fixpoint), seeded/sampled
         # estimators (tree_sampling_suite, hops, ann LSH/IVF recall-bound),

@@ -420,3 +420,77 @@ def ann_topk_ivf(
             "rank": out["rank"].to_numpy(np.int64),
         }
     )
+
+
+def ann_lsh_md5(
+    sf_dir: str, n_queries: int = 16, k: int = 5, n_planes: int = 16,
+    bands: int = 4,
+):
+    """SQL-oracled sign-LSH ANN twin: hyperplanes are ±1 vectors derived
+    from md5 bits (``md5_u64('plane-j-d') & 1``), and the sign test runs on
+    INTEGER-quantized components ``floor(v·1024 + 0.5)`` so the per-plane
+    dot product is an exact int64 both here and in DuckDB (float SUMs are
+    summation-order-dependent; elementwise quantization is not). Vectors
+    bucket by the per-band sign-bit key; candidates share a band bucket
+    with the query; final ranking is exact cosine among candidates — the
+    same (cos desc, vec_id) rule as ``ann_topk``. The seeded-Gaussian
+    ``ann_topk_lsh`` stays the recall-tested scale variant; this twin
+    exists to drive the whole LSH shape (quantize → sign-hash → band →
+    candidate → rank) through the driver's DuckDB gate."""
+    from ..stages.dedup_md5 import md5_u64_one
+
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    q_pdf = _lowest_vec_ids(ds, n_queries)
+    q_ids = q_pdf["vec_id"].to_numpy(np.int64)
+    q_mat = np.stack(q_pdf["embedding"].to_numpy()).astype(np.float64)
+    dim = q_mat.shape[1]
+    rows = n_planes // bands
+    S = np.array(
+        [
+            [1 if md5_u64_one(f"plane-{j}-{d}") & 1 else -1 for d in range(dim)]
+            for j in range(n_planes)
+        ],
+        np.int64,
+    )
+
+    def quant(mat: np.ndarray) -> np.ndarray:
+        return np.floor(mat.astype(np.float64) * 1024.0 + 0.5).astype(np.int64)
+
+    def band_keys(mat: np.ndarray) -> np.ndarray:
+        h = (quant(mat) @ S.T) > 0  # (N, planes) exact-int signs
+        w = np.int64(1) << np.arange(rows, dtype=np.int64)
+        return (h.reshape(len(h), bands, rows) * w).sum(axis=2)
+
+    qkeys = band_keys(q_mat)
+    qn = _normalize(q_mat)
+    ref = ray.put((q_ids, qkeys, qn, S))
+
+    def batch_cand(batch: pa.Table) -> pa.Table:
+        _q_ids, _qkeys, _qn, _S = ray.get(ref)
+        ids, mat = _emb_to_numpy(batch)
+        keys = band_keys(mat)
+        sims = _normalize(mat) @ _qn.T  # (B, Q)
+        share = (keys[:, None, :] == _qkeys[None, :, :]).any(axis=2)
+        share &= ids[:, None] != _q_ids[None, :]
+        bi, qi = np.nonzero(share)
+        return pa.table(
+            {
+                "qid": _q_ids[qi],
+                "neighbor_id": ids[bi],
+                "cos": sims[bi, qi],
+            }
+        )
+
+    cand = ds.map_batches(batch_cand, batch_format="pyarrow").to_pandas()
+    cand = cand.sort_values(
+        ["qid", "cos", "neighbor_id"], ascending=[True, False, True]
+    )
+    out = cand.groupby("qid", sort=True).head(k).copy()
+    out["rank"] = out.groupby("qid").cumcount() + 1
+    return pd.DataFrame(
+        {
+            "qid": out["qid"].to_numpy(np.int64),
+            "neighbor_id": out["neighbor_id"].to_numpy(np.int64),
+            "rank": out["rank"].to_numpy(np.int64),
+        }
+    )
