@@ -1,0 +1,136 @@
+#!/usr/bin/env python
+"""Unified link-graph job — the ``ray job submit`` entry point for the
+remaining north-star algorithms (BASELINE.json names all four: PageRank —
+see jobs/pagerank_job.py — plus connected components, label propagation and
+triangle counting, "resumable from checkpoint with per-partition lineage +
+metrics, run via ray job submit").
+
+    ray job submit -- python jobs/graph_job.py cc \
+        --edges /data/edges --checkpoint-dir /data/ck --out /data/components
+    ray job submit -- python jobs/graph_job.py lpa \
+        --edges /data/edges --checkpoint-dir /data/ck --out /data/labels
+    ray job submit -- python jobs/graph_job.py triangles \
+        --edges /data/edges --out /data/triangles
+
+cc / lpa run on the 2D-grid superstep substrate: a killed submission
+re-run with the same arguments resumes from the last completed superstep
+(state/checkpoint.py lineage manifests, keyed by the graph digest).
+triangles is a single streaming pass (no iterative state to checkpoint);
+its output parquet is the resumable artifact. Metrics (per-superstep
+seconds, changed counts) land next to the output as metrics.json.
+
+GRAFT_KILL_AFTER_ITER (test hook): hard-exit after superstep k's
+checkpoint commits, simulating a mid-job crash for the resume test.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("algo", choices=["cc", "lpa", "triangles"])
+    ap.add_argument("--edges", required=True,
+                    help="parquet dir/file with src,dst[,weight]")
+    ap.add_argument("--out", required=True,
+                    help="output dir for result parquet + metrics")
+    ap.add_argument("--checkpoint-dir", default=None,
+                    help="cc/lpa: superstep checkpoint/lineage root")
+    ap.add_argument("--max-iter", type=int, default=0,
+                    help="0 = per-algo default (cc 200, lpa 20)")
+    ap.add_argument("--symmetrize", action="store_true",
+                    help="input has one half-edge per undirected edge")
+    ap.add_argument("--num-state-partitions", type=int, default=8)
+    ap.add_argument("--num-cpus", type=int,
+                    default=int(os.environ.get("RAY_GRAFT_CPUS", "0")))
+    args = ap.parse_args()
+
+    import ray
+
+    if not ray.is_initialized():
+        kw = {"address": "local", "include_dashboard": False,
+              "logging_level": "ERROR"}
+        if args.num_cpus:
+            kw["num_cpus"] = args.num_cpus
+        ray.init(**kw)
+
+    import importlib
+
+    import pyarrow as pa  # noqa: F401  (used by the dataset sinks)
+    import ray.data as rd
+
+    from graphminingtools_ray.context import configure
+    from graphminingtools_ray.graph.build import symmetrize
+
+    configure()
+
+    kill_after = int(os.environ.get("GRAFT_KILL_AFTER_ITER", "-1"))
+    if kill_after >= 0:
+        pmod = importlib.import_module("graphminingtools_ray.algos.partitioned")
+        orig_commit = pmod.PartitionedCheckpoint.commit
+
+        def killing_commit(self, iteration, *a, **kw2):
+            orig_commit(self, iteration, *a, **kw2)
+            if iteration >= kill_after:
+                os._exit(1)  # simulated crash AFTER the checkpoint landed
+
+        pmod.PartitionedCheckpoint.commit = killing_commit
+
+    edges = rd.read_parquet(args.edges)
+    os.makedirs(args.out, exist_ok=True)
+    info: dict = {}
+
+    if args.algo == "triangles":
+        from graphminingtools_ray.algos.triangles import triangle_counts_dataset
+
+        counts = triangle_counts_dataset(edges)
+        counts.write_parquet(os.path.join(args.out, "triangles"))
+        summary = {"algo": "triangles"}
+    else:
+        if args.symmetrize:
+            edges = symmetrize(edges)
+        if args.algo == "cc":
+            from graphminingtools_ray.algos.components import (
+                connected_components_dataset,
+            )
+
+            out_ds, info = connected_components_dataset(
+                edges,
+                max_iter=args.max_iter or 200,
+                checkpoint_dir=args.checkpoint_dir,
+                num_state_partitions=args.num_state_partitions,
+            )
+            out_ds.write_parquet(os.path.join(args.out, "components"))
+        else:
+            from graphminingtools_ray.algos.labelprop import (
+                label_propagation_dataset,
+            )
+
+            out_ds, info = label_propagation_dataset(
+                edges,
+                max_iter=args.max_iter or 20,
+                checkpoint_dir=args.checkpoint_dir,
+                num_state_partitions=args.num_state_partitions,
+            )
+            out_ds.write_parquet(os.path.join(args.out, "labels"))
+        summary = {
+            "algo": args.algo,
+            "iterations": info.get("iterations"),
+            "resumed_from": info.get("resumed_from"),
+        }
+
+    with open(os.path.join(args.out, "metrics.json"), "w") as f:
+        json.dump(info, f, default=float)
+    print(json.dumps(summary))
+    ray.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
