@@ -103,6 +103,44 @@ def _tree_pattern_features(sf_dir: str):
     return tree_pattern_features(sf_dir, max_edges=2, min_support=sup)
 
 
+def _tpk_gram(sf_dir: str):
+    """The tpk/cpk executables' actual PRINTED product: the intersection
+    kernel K[i][j] = |F_i ∩ F_j| over the frequent-tree feature map, for the
+    16 lowest graph ids (reference treeKernels.c / cpk.c gram output; engine
+    pipelines/patterns.pattern_gram). Emitted long-form (graph_a, graph_b,
+    k) for the gate; SQL twin = a self-join of the feature table."""
+    from graphminingtools_ray.pipelines.mining import (
+        _n_graphs,
+        order_graph_edges_full,
+    )
+    from graphminingtools_ray.pipelines.levelwise import levelwise_tree_mining
+    from graphminingtools_ray.pipelines.patterns import (
+        pattern_feature_table,
+        pattern_gram,
+    )
+
+    sup = max(3, (_n_graphs(sf_dir) + 5000) // 10000)
+    frequent = levelwise_tree_mining(sf_dir, max_edges=2, min_support=sup)
+    feats = pattern_feature_table(
+        order_graph_edges_full(sf_dir), frequent["pattern"].tolist()
+    )
+    ids_ds = feats.select_columns(["graph_id"])
+    lows: set[int] = set()
+    for b in ids_ds.iter_batches(batch_format="pyarrow"):
+        import numpy as _np
+
+        lows.update(_np.unique(b["graph_id"].to_numpy())[:16].tolist())
+        lows = set(sorted(lows)[:16])
+    sample = sorted(lows)
+    gram = pattern_gram(feats, sample)
+    long = gram.stack().reset_index()
+    long.columns = ["graph_a", "graph_b", "k"]
+    long = long[long["k"] > 0].sort_values(["graph_a", "graph_b"])
+    return long.astype({"graph_a": "int64", "graph_b": "int64", "k": "int64"}).reset_index(
+        drop=True
+    )
+
+
 def _poset_minhash_sketches(sf_dir: str):
     """Min-hash sketches over the frequent-tree pattern poset (reference
     minhashing.c: buildTreePosetFromGraphDB + permutation shrink +
@@ -382,6 +420,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "levelwise_rooted": _levelwise_rooted,
         "cyclic_pattern_features": _cyclic_pattern_features,
         "tree_pattern_features": _tree_pattern_features,
+        "tpk_gram": _tpk_gram,
         "gdb_blockchain_measures": _gdb_blockchain_measures,
         "vertex_cycle_degrees": _vertex_cycle_degrees,
         "tree_sampling_suite": _tree_sampling_suite,
@@ -982,6 +1021,27 @@ def _poset_exact_embeddings_sql() -> str:
     """
 
 
+def _tpk_gram_sql() -> str:
+    """Intersection kernel over the <=2-edge frequent-tree feature map for
+    the 16 lowest feature-bearing graph ids: a self-join on pattern."""
+    return f"""
+        WITH {_lt_base_ctes()},
+        lv AS (SELECT o, pattern FROM p1 UNION ALL SELECT o, pattern FROM p2),
+        freq AS (SELECT pattern FROM lv GROUP BY pattern
+                 HAVING COUNT(DISTINCT o) >=
+                        (SELECT GREATEST(3, (ng + 5000) // 10000) FROM nb)),
+        feat AS (SELECT DISTINCT lv.o AS graph_id, lv.pattern
+                 FROM lv JOIN freq ON lv.pattern = freq.pattern),
+        sample AS (SELECT DISTINCT graph_id FROM feat ORDER BY graph_id LIMIT 16)
+        SELECT a.graph_id AS graph_a, b.graph_id AS graph_b,
+               COUNT(*)::BIGINT AS k
+        FROM feat a JOIN feat b ON a.pattern = b.pattern
+        WHERE a.graph_id IN (SELECT graph_id FROM sample)
+          AND b.graph_id IN (SELECT graph_id FROM sample)
+        GROUP BY 1, 2
+    """
+
+
 def _order_tree_cstrings_sql() -> str:
     """SQL twin of pipelines.trees.order_tree_cstrings. The per-order chain
     graph is a simple PATH exactly when the order's parts are all distinct
@@ -1454,6 +1514,7 @@ def oracle_sql() -> dict[str, str]:
         "order_tree_cstrings": _order_tree_cstrings_sql(),
         "levelwise_trees": _levelwise_trees_sql(),
         "tree_pattern_features": _tree_pattern_features_sql(),
+        "tpk_gram": _tpk_gram_sql(),
         "poset_exact_embeddings": _poset_exact_embeddings_sql(),
         "levelwise_rooted": _levelwise_rooted_sql(),
         "simhash_md5": _simhash_md5_sql(),
