@@ -450,6 +450,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "winnow_md5": text_q.winnow_md5,
         "minhash_sketches_md5": text_q.minhash_sketches_md5,
         "minhash_lsh_md5": text_q.minhash_lsh_md5,
+        "dedup_clusters_md5": text_q.dedup_clusters_md5,
         "media_features": text_q.media_features,
         # embeddings: similarity search + near-dup
         "ann_topk": embeddings_q.ann_topk,
@@ -869,6 +870,25 @@ def _tree_pattern_features_sql() -> str:
                 FROM freq)
         SELECT DISTINCT lv.o AS graph_id, pid.pattern_id, lv.pattern
         FROM lv JOIN pid ON lv.pattern = pid.pattern
+    """
+
+
+def _dedup_clusters_md5_sql() -> str:
+    """Fuzzy-dedup clusters: recursive-CTE transitive closure over the
+    md5-LSH verified pair graph (the pair CTE nests the full
+    _minhash_lsh_md5_sql query), keeper = min doc_id per component."""
+    return f"""
+        WITH RECURSIVE pairs AS MATERIALIZED (
+            SELECT doc_a, doc_b FROM ({_minhash_lsh_md5_sql()})
+        ),
+        und AS (SELECT doc_a AS s, doc_b AS d FROM pairs
+                UNION ALL SELECT doc_b, doc_a FROM pairs),
+        reach(v, r) AS (
+            SELECT DISTINCT s, s FROM und
+            UNION
+            SELECT und.d, reach.r FROM reach JOIN und ON und.s = reach.v
+        )
+        SELECT v AS doc_id, MIN(r)::BIGINT AS keeper FROM reach GROUP BY v
     """
 
 
@@ -1521,6 +1541,7 @@ def oracle_sql() -> dict[str, str]:
         "winnow_md5": _winnow_md5_sql(),
         "minhash_sketches_md5": _minhash_sketches_md5_sql(),
         "minhash_lsh_md5": _minhash_lsh_md5_sql(),
+        "dedup_clusters_md5": _dedup_clusters_md5_sql(),
         "ann_lsh_md5": _ann_lsh_md5_sql(),
         # remaining rows-only queries: iterative fixpoints beyond the
         # fixed-k unrolled oracles (pagerank_fixpoint), seeded/sampled

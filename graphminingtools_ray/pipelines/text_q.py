@@ -425,6 +425,37 @@ def minhash_lsh_md5(sf_dir: str):
     return minhash_near_dup(sf_dir, threshold=0.3, family="md5")
 
 
+def dedup_clusters_md5(sf_dir: str, threshold: float = 0.3):
+    """Fuzzy-dedup CLUSTERS — the canonical training-data product the pair
+    list feeds: connected components over the verified near-dup pair graph,
+    keeper = min doc_id per cluster (what a dedup pass keeps; everything
+    else in the cluster is the drop set). Composes two certified pieces:
+    the SQL-oracled md5 LSH pair pipeline and the superstep
+    connected-components operator (``algos.components`` — the same 2D-grid
+    substrate the 512M-edge bench graph runs on, so the cluster step
+    scales to pair graphs that dwarf memory). Returns (doc_id, keeper) for
+    every doc appearing in ≥1 verified pair."""
+    import ray.data as _rd
+
+    from ..algos.components import connected_components
+    from ..graph.build import symmetrize
+
+    pairs = minhash_near_dup(sf_dir, threshold=threshold, family="md5")
+    if len(pairs) == 0:
+        return pd.DataFrame(
+            {"doc_id": pd.Series([], dtype=np.int64),
+             "keeper": pd.Series([], dtype=np.int64)}
+        )
+    edges = _rd.from_arrow(
+        pa.table(
+            {"src": pairs["doc_a"].to_numpy(np.int64),
+             "dst": pairs["doc_b"].to_numpy(np.int64)}
+        )
+    )
+    ids, comp, _info = connected_components(symmetrize(edges))
+    return pd.DataFrame({"doc_id": ids, "keeper": comp.astype(np.int64)})
+
+
 def media_features(sf_dir: str):
     """Multimodal plumbing demo over an opaque binary payload column (the
     documents' text bytes stand in for image/audio payloads)."""
