@@ -422,6 +422,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tree_pattern_features": _tree_pattern_features,
         "tpk_gram": _tpk_gram,
         "gdb_blockchain_measures": _gdb_blockchain_measures,
+        # gf measure subset over PARQUET-derived per-order graphs — the
+        # driver-gate-checkable complement of the generated-DB measure query
+        "order_graph_measures": graph_queries.order_graph_measures,
         "vertex_cycle_degrees": _vertex_cycle_degrees,
         "tree_sampling_suite": _tree_sampling_suite,
         "cactus_subtree_iso": _cactus_subtree_iso,
@@ -1041,6 +1044,55 @@ def _poset_exact_embeddings_sql() -> str:
     """
 
 
+def _order_graph_measures_sql() -> str:
+    """gf measure subset over the per-order graphs: n / m / degree extremes
+    directly; component count by per-order recursive closure (order graphs
+    are line-count-bounded, so each closure is tiny); connected / is_tree /
+    is_path by the engine's definitions (gdb.py measures_for_graph:
+    connected = ncomp<=1, tree adds m=n-1 and no self-loops — none by
+    construction — path adds maxdeg<=2)."""
+    return """
+        WITH RECURSIVE
+        pl AS (SELECT l_orderkey AS o, l_linenumber AS ln,
+                      l_partkey AS pk, l_returnflag AS rf FROM lineitem),
+        seq AS (SELECT o, pk,
+                       lag(pk) OVER (PARTITION BY o ORDER BY ln, pk, rf) AS prev
+                FROM pl),
+        pe AS MATERIALIZED (
+            SELECT DISTINCT o, LEAST(prev, pk) AS va, GREATEST(prev, pk) AS vb
+            FROM seq WHERE prev IS NOT NULL AND prev <> pk),
+        vs AS MATERIALIZED (SELECT DISTINCT o, pk AS v FROM pl),
+        halfe AS MATERIALIZED (
+            SELECT o, va AS s, vb AS d FROM pe
+            UNION ALL SELECT o, vb, va FROM pe),
+        deg AS (SELECT o, s AS v, COUNT(*) AS dg FROM halfe GROUP BY 1, 2),
+        reach AS (
+            SELECT o, v, v AS r FROM vs
+            UNION
+            SELECT h.o, h.d, reach.r
+            FROM reach JOIN halfe h ON h.o = reach.o AND h.s = reach.v),
+        comp AS (SELECT o, v, MIN(r) AS root FROM reach GROUP BY 1, 2),
+        st AS (SELECT o, COUNT(DISTINCT root) AS ncomp FROM comp GROUP BY 1),
+        base AS (SELECT vs.o, COUNT(*) AS n,
+                        MAX(COALESCE(dg, 0)) AS maxd,
+                        MIN(COALESCE(dg, 0)) AS mind
+                 FROM vs LEFT JOIN deg ON deg.o = vs.o AND deg.v = vs.v
+                 GROUP BY 1),
+        em AS (SELECT o, COUNT(*) AS m FROM pe GROUP BY 1)
+        SELECT b.o AS graph_id, n::BIGINT AS n,
+               COALESCE(em.m, 0)::BIGINT AS m,
+               maxd::BIGINT AS max_degree, mind::BIGINT AS min_degree,
+               st.ncomp::BIGINT AS n_components,
+               (st.ncomp <= 1) AS connected,
+               (st.ncomp <= 1 AND COALESCE(em.m, 0) = n - 1) AS is_tree,
+               (st.ncomp <= 1 AND COALESCE(em.m, 0) = n - 1 AND maxd <= 2)
+                   AS is_path
+        FROM base b
+        JOIN st ON st.o = b.o
+        LEFT JOIN em ON em.o = b.o
+    """
+
+
 def _tpk_gram_sql() -> str:
     """Intersection kernel over the <=2-edge frequent-tree feature map for
     the 16 lowest feature-bearing graph ids: a self-join on pattern."""
@@ -1535,6 +1587,7 @@ def oracle_sql() -> dict[str, str]:
         "levelwise_trees": _levelwise_trees_sql(),
         "tree_pattern_features": _tree_pattern_features_sql(),
         "tpk_gram": _tpk_gram_sql(),
+        "order_graph_measures": _order_graph_measures_sql(),
         "poset_exact_embeddings": _poset_exact_embeddings_sql(),
         "levelwise_rooted": _levelwise_rooted_sql(),
         "simhash_md5": _simhash_md5_sql(),

@@ -135,3 +135,92 @@ def wl_relabel_query(sf_dir: str):
         symmetrize(copurchase_edges(sf_dir).drop_columns(["weight"])), iterations=1
     )
     return pd.DataFrame({"vertex_id": ids, "label": list(labels)})
+
+
+def order_graph_measures(sf_dir: str):
+    """The `gf` measure table (graph/gdb.py — reference filter.c:386-533
+    dispatch) over PARQUET-DERIVED transactions: per-order graphs with
+    vertices = the order's distinct parts (all lines, so single-line orders
+    are 1-vertex graphs) and edges = the distinct undirected consecutive
+    line pairs. Projects the driver-gate-checkable measures — the SQL twin
+    computes component counts with a per-order recursive closure (order
+    graphs are line-count-bounded, so the closure is tiny per graph); the
+    biconnectivity/cycle/outerplanarity measures stay pytest-oracled on the
+    generated DBs (gdb_blockchain_measures) where those structures actually
+    occur.
+
+    Returns (graph_id, n, m, max_degree, min_degree, n_components,
+    connected, is_tree, is_path)."""
+    import ray.data as rd
+
+    from ..functions.bucketing import bucketed_group_combine
+    from ..graph.gdb import graph_measures
+    from ..sources.tables import read_table
+
+    li = read_table(
+        sf_dir, "lineitem",
+        columns=["l_orderkey", "l_linenumber", "l_partkey", "l_returnflag"],
+    )
+
+    def long_rows(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().sort_values(
+            ["l_orderkey", "l_linenumber", "l_partkey", "l_returnflag"]
+        )
+        o = df["l_orderkey"].to_numpy()
+        pk = df["l_partkey"].to_numpy()
+        vv = pd.DataFrame({"graph_id": o, "a": pk}).drop_duplicates()
+        same = o[1:] == o[:-1]
+        va, vb = pk[:-1][same], pk[1:][same]
+        oo = o[1:][same]
+        m = va != vb
+        ee = pd.DataFrame(
+            {
+                "graph_id": oo[m],
+                "a": np.minimum(va[m], vb[m]),
+                "b": np.maximum(va[m], vb[m]),
+            }
+        ).drop_duplicates()
+        return pa.table(
+            {
+                "graph_id": np.concatenate(
+                    [vv["graph_id"].to_numpy(), ee["graph_id"].to_numpy()]
+                ),
+                "a": np.concatenate([vv["a"].to_numpy(), ee["a"].to_numpy()]),
+                "b": np.concatenate(
+                    [np.full(len(vv), -1, np.int64), ee["b"].to_numpy()]
+                ),
+                "kind": pa.array(["v"] * len(vv) + ["e"] * len(ee)),
+            }
+        )
+
+    long_ds = bucketed_group_combine(li, ["l_orderkey"], long_rows)
+    verts = long_ds.filter(expr="kind == 'v'").map_batches(
+        lambda t: pa.table(
+            {
+                "graph_id": t["graph_id"],
+                "vertex_id": t["a"].cast(pa.int64()),
+                "label": pa.array(["x"] * t.num_rows),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    edges = long_ds.filter(expr="kind == 'e'").map_batches(
+        lambda t: pa.table(
+            {
+                "graph_id": t["graph_id"],
+                "v": t["a"].cast(pa.int64()),
+                "w": t["b"].cast(pa.int64()),
+                "label": pa.array(["x"] * t.num_rows),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    meas = graph_measures(verts, edges).to_pandas()
+    cols = ["graph_id", "n", "m", "max_degree", "min_degree",
+            "n_components", "connected", "is_tree", "is_path"]
+    out = meas[cols].sort_values("graph_id").reset_index(drop=True)
+    for c in ("graph_id", "n", "m", "max_degree", "min_degree", "n_components"):
+        out[c] = out[c].astype(np.int64)
+    for c in ("connected", "is_tree", "is_path"):
+        out[c] = out[c].astype(bool)
+    return out
