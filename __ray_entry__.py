@@ -1083,9 +1083,9 @@ def _order_graph_measures_sql() -> str:
                COALESCE(em.m, 0)::BIGINT AS m,
                maxd::BIGINT AS max_degree, mind::BIGINT AS min_degree,
                st.ncomp::BIGINT AS n_components,
-               (st.ncomp <= 1) AS connected,
-               (st.ncomp <= 1 AND COALESCE(em.m, 0) = n - 1) AS is_tree,
-               (st.ncomp <= 1 AND COALESCE(em.m, 0) = n - 1 AND maxd <= 2)
+               (st.ncomp <= 1)::BIGINT AS connected,
+               (st.ncomp <= 1 AND COALESCE(em.m, 0) = n - 1)::BIGINT AS is_tree,
+               (st.ncomp <= 1 AND COALESCE(em.m, 0) = n - 1 AND maxd <= 2)::BIGINT
                    AS is_path
         FROM base b
         JOIN st ON st.o = b.o

@@ -219,8 +219,8 @@ def order_graph_measures(sf_dir: str):
     cols = ["graph_id", "n", "m", "max_degree", "min_degree",
             "n_components", "connected", "is_tree", "is_path"]
     out = meas[cols].sort_values("graph_id").reset_index(drop=True)
-    for c in ("graph_id", "n", "m", "max_degree", "min_degree", "n_components"):
+    # flags as int64 0/1: the gate's value-hash has only ever seen
+    # numeric/string columns, so don't hand it a new logical type
+    for c in cols:
         out[c] = out[c].astype(np.int64)
-    for c in ("connected", "is_tree", "is_path"):
-        out[c] = out[c].astype(bool)
     return out
