@@ -455,6 +455,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_lsh_md5": text_q.minhash_lsh_md5,
         "dedup_clusters_md5": text_q.dedup_clusters_md5,
         "media_features": text_q.media_features,
+        "media_frame_features": text_q.media_frame_features,
         # embeddings: similarity search + near-dup
         "ann_topk": embeddings_q.ann_topk,
         "ann_topk_lsh": embeddings_q.ann_topk_lsh,

@@ -480,6 +480,48 @@ def media_features(sf_dir: str):
     )
 
 
+def media_frame_features(sf_dir: str):
+    """Chained multimodal plumbing: payload → resize (size-class change) →
+    frame sampling (flat-map: rows multiply) → per-frame features — three
+    actor-pool ``map_batches`` stages over binary columns, the video-style
+    shape of the media pipeline. Decoders are deterministic stubs (the real
+    ones are gated ``NotImplementedError`` — imaging/ffmpeg libs absent by
+    environment); the Ray-side schema/batching/flat-map plumbing is real.
+    Rows-only (binary payloads are not a DuckDB-comparable value type);
+    stage determinism + row-count contracts pinned in tests/test_media.py."""
+    from ..stages.media import FrameSampleStub, MediaFeatureStub, MediaResizeStub
+
+    def to_payload(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "media_id": t["doc_id"],
+                "payload": pa.array(
+                    [(s or "").encode() for s in t["text"].to_pylist()],
+                    pa.binary(),
+                ),
+            }
+        )
+
+    ds = _docs(sf_dir).map_batches(to_payload, batch_format="pyarrow")
+    resized = ds.map_batches(
+        MediaResizeStub, batch_format="pyarrow", batch_size=256,
+        concurrency=actor_pool(),
+    )
+    frames = resized.map_batches(
+        FrameSampleStub, batch_format="pyarrow", batch_size=256,
+        concurrency=actor_pool(),
+    )
+    return frames.map_batches(
+        MediaFeatureStub,
+        fn_constructor_kwargs={
+            "id_col": "media_id",
+            "payload_col": "frame",
+            "passthrough_cols": ("frame_index",),
+        },
+        batch_format="pyarrow", batch_size=1024, concurrency=actor_pool(),
+    )
+
+
 def ngram_jaccard_dup(
     sf_dir: str, threshold: float = 0.5, df_max: int = 64, as_pandas: bool = True
 ):
