@@ -902,8 +902,6 @@ def _ann_lsh_md5_sql(n_queries: int = 16, k: int = 5, n_planes: int = 16,
     integer-quantized components floor(v*1024 + 0.5) (exact int64 dot both
     sides — float SUMs are order-dependent, elementwise quantization is
     not), band key = packed sign bits, exact-cosine rank among candidates."""
-    import duckdb  # noqa: F401  (documentation: the VALUES table is DuckDB-bound)
-
     from graphminingtools_ray.stages.dedup_md5 import md5_u64_one
 
     rows = n_planes // bands
