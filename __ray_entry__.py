@@ -141,6 +141,37 @@ def _tpk_gram(sf_dir: str):
     )
 
 
+def _cpk_gram(sf_dir: str):
+    """The cpk executable's printed product: the intersection kernel over
+    the CYCLIC pattern features (canonical simple-cycle strings +
+    bridge-forest tree strings — reference cpk.c / treeKernels.c), for the
+    16 lowest feature-bearing graph ids, long-form (graph_a, graph_b, k).
+    Rows-only (cycle enumeration is not SQL-expressible); the tree twin
+    tpk_gram IS SQL-oracled, and the cyclic feature map has pytest oracles
+    in tests/test_patterns.py."""
+    import numpy as _np
+
+    from graphminingtools_ray.pipelines.patterns import (
+        cyclic_pattern_features,
+        pattern_gram,
+    )
+
+    feats = cyclic_pattern_features(sf_dir)
+    lows: set[int] = set()
+    for b in feats.select_columns(["graph_id"]).iter_batches(
+        batch_format="pyarrow"
+    ):
+        lows.update(_np.unique(b["graph_id"].to_numpy())[:16].tolist())
+        lows = set(sorted(lows)[:16])
+    gram = pattern_gram(feats, sorted(lows))
+    long = gram.stack().reset_index()
+    long.columns = ["graph_a", "graph_b", "k"]
+    long = long[long["k"] > 0].sort_values(["graph_a", "graph_b"])
+    return long.astype(
+        {"graph_a": "int64", "graph_b": "int64", "k": "int64"}
+    ).reset_index(drop=True)
+
+
 def _poset_minhash_sketches(sf_dir: str):
     """Min-hash sketches over the frequent-tree pattern poset (reference
     minhashing.c: buildTreePosetFromGraphDB + permutation shrink +
@@ -421,6 +452,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cyclic_pattern_features": _cyclic_pattern_features,
         "tree_pattern_features": _tree_pattern_features,
         "tpk_gram": _tpk_gram,
+        "cpk_gram": _cpk_gram,
         "gdb_blockchain_measures": _gdb_blockchain_measures,
         # gf measure subset over PARQUET-derived per-order graphs — the
         # driver-gate-checkable complement of the generated-DB measure query
