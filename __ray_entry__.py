@@ -442,6 +442,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "label_propagation": graph_queries.label_propagation_query,
         "label_propagation_2": graph_queries.label_propagation_2_query,
         "egonet_edges": graph_queries.egonet_query,
+        "clustering_coefficient": graph_queries.clustering_coefficient_query,
+        "degree_assortativity": graph_queries.degree_assortativity_query,
+        "k_core": graph_queries.k_core_query,
         # levelwise mining level 1 (lwm_initAndCollect semantics)
         "frequent_vertex_labels": mining.frequent_vertex_labels,
         "frequent_edge_triples": mining.frequent_edge_triples,
@@ -659,6 +662,43 @@ def _lpa_sql(iters: int = 20, min_weight: int = 3) -> str:
     return (
         head + "," + ",".join(levels)
         + f" SELECT v AS vertex_id, label FROM lab{iters}"
+    )
+
+
+def _kcore_sql(k: int = 3, rounds: int = 24, min_weight: int = 2) -> str:
+    """SQL twin of the k-core query (graph_queries.k_core_query): the
+    synchronous peel round (drop vertices whose degree within the surviving
+    set is < k) unrolled ``rounds`` times over the weight>=min_weight
+    subgraph. Valid for the engine's fixpoint early exit because peeling is
+    idempotent once converged — any unroll >= the data's peel depth is
+    exact (sf0.01 peels in 10 rounds, sf0.001 in fewer; 24 leaves margin).
+    MATERIALIZED prevents exponential inlining (each alive set is
+    referenced twice by the next round's double semi-join)."""
+    head = f"""
+        WITH {_OP},
+        e0 AS (SELECT a.p AS src, b.p AS dst FROM op a
+               JOIN op b ON a.o = b.o AND a.p < b.p
+               GROUP BY 1, 2 HAVING COUNT(*) >= {min_weight}),
+        e AS MATERIALIZED (SELECT src, dst FROM e0
+                           UNION ALL SELECT dst, src FROM e0),
+        a0 AS MATERIALIZED (SELECT DISTINCT src AS v FROM e)
+    """
+    levels = []
+    for i in range(1, rounds + 1):
+        levels.append(f"""
+        a{i} AS MATERIALIZED (
+            SELECT e.src AS v FROM e
+            JOIN a{i - 1} s ON e.src = s.v
+            JOIN a{i - 1} t ON e.dst = t.v
+            GROUP BY 1 HAVING COUNT(*) >= {k}
+        )""")
+    return (
+        head + "," + ",".join(levels)
+        + f"""
+        SELECT a0.v AS vertex_id,
+               CASE WHEN c.v IS NULL THEN 0 ELSE 1 END::BIGINT AS in_core
+        FROM a0 LEFT JOIN a{rounds} c ON a0.v = c.v
+        """
     )
 
 
@@ -1380,6 +1420,52 @@ def oracle_sql() -> dict[str, str]:
             SELECT v AS vertex_id, MIN(r)::BIGINT AS component FROM reach GROUP BY v
         """,
         "pagerank": _pagerank_sql(k=5),
+        # cc(v) = 2t/(d(d-1)): both sides divide 2.0*t (exact float) by the
+        # exact int d(d-1) and round half-away to 9 — elementwise IEEE ops
+        # on identical inputs, value-exact
+        "clustering_coefficient": f"""
+            WITH {_OP}, {_E0}, {_E_SYM},
+            deg AS MATERIALIZED (
+                SELECT src AS v, COUNT(*)::BIGINT AS d FROM e GROUP BY 1),
+            tri AS (SELECT ab.src AS a, ab.dst AS b, bc.dst AS c
+                    FROM e0 ab JOIN e0 bc ON ab.dst = bc.src
+                               JOIN e0 ac ON ac.src = ab.src
+                                         AND ac.dst = bc.dst),
+            pv AS (SELECT v, COUNT(*)::BIGINT AS t
+                   FROM (SELECT a AS v FROM tri UNION ALL SELECT b FROM tri
+                         UNION ALL SELECT c FROM tri)
+                   GROUP BY 1)
+            SELECT deg.v AS vertex_id, deg.d AS degree,
+                   COALESCE(pv.t, 0)::BIGINT AS triangles,
+                   CASE WHEN deg.d >= 2
+                        THEN ROUND((2.0 * COALESCE(pv.t, 0))
+                                   / (deg.d * (deg.d - 1)), 9)
+                        ELSE 0.0 END AS clustering_coeff
+            FROM deg LEFT JOIN pv ON deg.v = pv.v
+        """,
+        # Newman degree assortativity via the symmetrized-edge identities
+        # (M = sum d, Sx = sum d^2, Sx2 = sum d^3, Sxy = sum d(v)*T(v)) —
+        # all-integer HUGEINT sums, one final elementwise float division
+        "degree_assortativity": f"""
+            WITH {_OP}, {_E0}, {_E_SYM},
+            deg AS MATERIALIZED (
+                SELECT src AS v, COUNT(*)::BIGINT AS d FROM e GROUP BY 1),
+            tt AS (SELECT e.dst AS v, SUM(ds.d)::HUGEINT AS t
+                   FROM e JOIN deg ds ON e.src = ds.v GROUP BY 1),
+            s AS (SELECT SUM(d)::HUGEINT AS m,
+                         SUM(d::HUGEINT * d) AS sx,
+                         SUM(d::HUGEINT * d * d) AS sx2,
+                         (SELECT SUM(deg.d::HUGEINT * tt.t)
+                          FROM deg JOIN tt ON deg.v = tt.v) AS sxy
+                  FROM deg)
+            SELECT m::BIGINT AS n_directed_edges,
+                   CASE WHEN (m * sx2 - sx * sx) = 0 THEN 0.0
+                        ELSE ROUND(((m * sxy - sx * sx)::DOUBLE)
+                                   / ((m * sx2 - sx * sx)::DOUBLE), 9)
+                   END AS assortativity
+            FROM s
+        """,
+        "k_core": _kcore_sql(k=3, rounds=24, min_weight=2),
         "label_propagation": _lpa_sql(iters=20, min_weight=3),
         # two synchronous LPA supersteps, vote + winner rule (max count,
         # tie -> min label, one self-vote) unrolled twice — certifies the

@@ -1,0 +1,180 @@
+"""Distributed k-core decomposition via synchronous peeling.
+
+Semantics (Seidman 1983 / Matula–Beck): the k-core is the maximal subgraph
+in which every vertex has degree >= k; computed by repeatedly deleting
+vertices whose degree within the surviving subgraph is < k until none
+qualify. The alive set shrinks monotonically, so synchronous rounds reach
+the same fixpoint as sequential peeling and the result is order-free.
+
+Same co-partitioned superstep harness as PageRank / CC / LPA
+(algos.partitioned): state = int64 alive flag per vertex; per pinned 2D-grid
+cell block, per-dst count of ALIVE srcs (``np.bincount`` — the combiner; the
+exchange carries sub-edge-scale count panels exactly like PageRank's
+contribution panels, int64 instead of float); per-partition update
+``alive' = alive AND (alive_degree >= k)`` + changed-count scalar. Converges
+when no vertex dies in a round (<= peel-depth supersteps). All math is exact
+integer counting, so determinism is structural.
+
+Reference: the reference has no k-core executable; this is a north-star-
+adjacent link-graph operator (same family as connectedComponents.c /
+the LPA verb) added for the 100-TB link-graph surface. The SQL oracle in
+__ray_entry__ unrolls the peel rounds (peeling is idempotent at the
+fixpoint, so any unroll >= the data's peel depth is exact).
+"""
+
+from __future__ import annotations
+
+import time
+
+import numpy as np
+import pyarrow as pa
+import ray
+import ray.data as rd
+
+from .partitioned import (
+    build_partitioned_graph,
+    flatten_panel_group,
+    init_state,
+    unpack_panel_layout,
+    state_to_arrays,
+    unpack_part_block,
+    _row_lists,
+)
+
+
+@ray.remote
+def _alive_count_cell(block: pa.Table, layout: pa.Table, h: dict,
+                      out_parts: list[int]):
+    """MAP side (see pagerank._contrib_cell for the exchange contract):
+    per-dst count of alive srcs within the cell, one panel table per dst
+    part present (multi-return, driver-side ref routing)."""
+    cache: dict[int, np.ndarray] = {}
+    by_part = {p: ([], [], []) for p in out_parts}
+    for row in range(block.num_rows):
+        part, srcs, src_index, dst_unique, dst_index, _ = unpack_part_block(
+            block, row
+        )
+        src_pos, panel_parts, offsets, dst_local = unpack_panel_layout(
+            layout, row
+        )
+        if not len(panel_parts):
+            continue
+        if part not in cache:
+            vref, vrow = h["state"][part]
+            (alive_p,) = _row_lists(ray.get(vref), vrow, ["values"])
+            cache[part] = alive_p.astype(np.float64)
+        alive = cache[part]
+        per_edge = alive[src_pos][src_index]
+        # counts are bounded by the 4M-edge cell size, exact in float64
+        partial = np.bincount(
+            dst_index, weights=per_edge, minlength=len(dst_local)
+        ).astype(np.int64)
+        block_id = int(block["block_id"][row].as_py())
+        bids, dl, pl = by_part[int(panel_parts[0])]
+        bids.append(block_id)
+        dl.append(dst_local)
+        pl.append(partial)
+    out = []
+    for p in out_parts:
+        bids, dl, pl = by_part[p]
+        out.append(pa.table(
+            {
+                "block_id": pa.array(bids, pa.int64()),
+                "dst": pa.array(dl, pa.list_(pa.int32())),
+                "partial": pa.array(pl, pa.list_(pa.int64())),
+            }
+        ))
+    return out[0] if len(out) == 1 else tuple(out)
+
+
+@ray.remote(num_returns=2)
+def _peel_part(h: dict, part: int, k: int, *panels: pa.Table):
+    """REDUCE side: sum this part's alive-degree panels (order-free exact
+    int64 adds) and kill vertices below k. Emits (state row, died-count)."""
+    vref, vrow = h["state"][part]
+    (alive_old,) = _row_lists(ray.get(vref), vrow, ["values"])
+    deg = np.zeros(len(alive_old), dtype=np.int64)
+    if panels:
+        t = pa.concat_tables(panels)
+        dst_local, partial = flatten_panel_group(t)
+        if len(dst_local):
+            np.add.at(deg, dst_local, partial)
+    new_alive = np.where((alive_old > 0) & (deg >= k), 1, 0).astype(np.int64)
+    died = int(np.count_nonzero(new_alive != alive_old))
+    row_table = pa.table(
+        {
+            "part": pa.array([part], pa.int64()),
+            "values": pa.array([new_alive], pa.list_(pa.int64())),
+        }
+    )
+    return row_table, died
+
+
+def k_core_partitioned(
+    edges_symmetric: rd.Dataset,
+    k: int = 3,
+    max_iter: int = 200,
+    num_state_partitions: int = 8,
+):
+    """Core loop. -> (state_ds, graph, info). State stays distributed;
+    state value 1 = in the k-core, 0 = peeled. ``edges_symmetric`` must
+    contain both half-edges (graph.symmetrize)."""
+    g = build_partitioned_graph(edges_symmetric, P=num_state_partitions)
+    if g.n_vertices == 0:
+        return None, g, {"iterations": 0, "supersteps": []}
+
+    state_ds, state_index, _ = init_state(
+        g, lambda part, ids, outdeg: np.ones(len(ids), np.int64), pa.int64()
+    )
+    supersteps = []
+    converged = False
+    parts_sorted = list(g.parts)
+    row_refs: dict = {}
+    for it in range(max_iter):
+        t0 = time.perf_counter()
+        handles_ref = ray.put({"state": state_index})
+        panel_refs: dict[int, list] = {p: [] for p in parts_sorted}
+        for bref, lref, dst_parts, _bid in g.panel_blocks:
+            refs = _alive_count_cell.options(
+                num_returns=len(dst_parts)
+            ).remote(bref, lref, handles_ref, dst_parts)
+            if len(dst_parts) == 1:
+                refs = [refs]
+            for p, r in zip(dst_parts, refs):
+                panel_refs[p].append(r)
+        row_refs, died_refs = {}, {}
+        for p in parts_sorted:
+            row_refs[p], died_refs[p] = _peel_part.remote(
+                handles_ref, p, k, *panel_refs[p]
+            )
+        died = int(sum(ray.get([died_refs[p] for p in parts_sorted])))
+        state_index = {p: (row_refs[p], 0) for p in parts_sorted}
+        dt = time.perf_counter() - t0
+        supersteps.append({"iteration": it, "seconds": dt, "died": died})
+        if died == 0:
+            converged = True
+            break
+
+    state_ds = rd.from_arrow_refs([row_refs[p] for p in parts_sorted])
+    info = {
+        "iterations": len(supersteps),
+        "converged": converged,
+        "supersteps": supersteps,
+    }
+    return state_ds, g, info
+
+
+def k_core(
+    edges_symmetric: rd.Dataset,
+    k: int = 3,
+    max_iter: int = 200,
+    num_state_partitions: int = 8,
+):
+    """-> (vertex_ids, in_core 0/1 flags, info) — numpy result delivery."""
+    state_ds, g, info = k_core_partitioned(
+        edges_symmetric, k, max_iter, num_state_partitions
+    )
+    if state_ds is None:
+        return np.empty(0, np.int64), np.empty(0, np.int64), info
+    ids, flags = state_to_arrays(state_ds, g)
+    return ids, flags.astype(np.int64), info

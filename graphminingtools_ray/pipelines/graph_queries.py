@@ -137,6 +137,167 @@ def wl_relabel_query(sf_dir: str):
     return pd.DataFrame({"vertex_id": ids, "label": list(labels)})
 
 
+def clustering_coefficient_query(sf_dir: str):
+    """Per-vertex local clustering coefficient over the co-purchase graph:
+    cc(v) = 2·tri(v) / (deg(v)·(deg(v)−1)), 0 when deg < 2. Triangles come
+    from the degree-ordered distributed counter (algos.triangles), degrees
+    from the keyed-exchange count — both edge-scale distributed; the merge
+    is the vertex-scale result delivery every graph query ends with.
+    Arithmetic contract with the SQL twin: 2.0·t (float) divided by the
+    exact int d·(d−1), rounded half-away to 9 — elementwise IEEE ops on
+    identical inputs, so the driver hash-checks values exactly."""
+    edges = copurchase_edges(sf_dir)
+    ids, tri, _ = triangle_counts(edges)
+    deg = degree_query(sf_dir).to_pandas().sort_values("vertex_id")
+    v = deg["vertex_id"].to_numpy()
+    d = deg["degree"].to_numpy().astype(np.int64)
+    t = np.zeros(len(v), np.int64)
+    pos = np.searchsorted(v, ids)
+    t[pos] = tri
+    denom = d * (d - 1)
+    cc = np.where(denom > 0, round_half_away(
+        (2.0 * t) / np.where(denom > 0, denom, 1), 9), 0.0)
+    return pd.DataFrame(
+        {"vertex_id": v, "degree": d, "triangles": t, "clustering_coeff": cc}
+    )
+
+
+def degree_assortativity_query(sf_dir: str):
+    """Degree assortativity (Newman 2002 Pearson r of degrees across edges)
+    of the co-purchase graph. Uses the symmetrized-edge identities so no
+    per-edge degree pair table is ever materialized:
+
+        M   = Σ_v d(v)          (directed edge count)
+        Σx  = Σ_v d(v)²         Σx² = Σ_v d(v)³      (degree-table sums)
+        Σxy = Σ_v d(v)·T(v),    T(v) = Σ_{u∈N(v)} d(u)
+
+    so r = (M·Σxy − Σx²) / (M·Σx² − (Σx)²) — all-integer sums (exact,
+    order-free) with one final elementwise float division, hash-exact vs
+    the HUGEINT SQL twin. T comes from one src-keyed exchange annotating
+    edges with d(src) plus one dst-keyed sum — both edge-scale distributed
+    with per-bucket partials; the final combine is bucket-count rows."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ..functions.bucketing import bucketed_group_combine
+
+    sym = symmetrize(copurchase_edges(sf_dir).drop_columns(["weight"]))
+    deg_ds = degree_query(sf_dir)
+
+    def _exact_sum(arr: np.ndarray) -> int:
+        """Exact integer sum: int64 fast path when term bounds prove no
+        overflow, arbitrary-precision fallback otherwise (hub degrees at
+        web scale exceed the int64 cube bound)."""
+        if len(arr) == 0:
+            return 0
+        if float(arr.max()) * len(arr) < 2.0**62:
+            return int(arr.sum())
+        return int(arr.astype(object).sum())
+
+    # exchange 1: key = src; join d(src) onto edges, emit (dst, c=d(src))
+    edges_tag = sym.map_batches(
+        lambda tb: pa.table({"key": tb["src"], "other": tb["dst"],
+                             "val": pa.nulls(tb.num_rows, pa.int64())}),
+        batch_format="pyarrow",
+    )
+    deg_tag = deg_ds.map_batches(
+        lambda tb: pa.table({"key": tb["vertex_id"],
+                             "other": pa.nulls(tb.num_rows, pa.int64()),
+                             "val": tb["degree"]}),
+        batch_format="pyarrow",
+    )
+
+    def annotate(tb: pa.Table) -> pa.Table:
+        key = tb["key"].to_numpy(zero_copy_only=False)
+        other = tb["other"].to_numpy(zero_copy_only=False)
+        val = tb["val"].to_numpy(zero_copy_only=False)
+        is_deg = ~pd.isna(val)
+        dv, dd = key[is_deg], val[is_deg].astype(np.int64)
+        order = np.argsort(dv, kind="stable")
+        dv, dd = dv[order], dd[order]
+        e_src, e_dst = key[~is_deg], other[~is_deg].astype(np.int64)
+        c = dd[np.searchsorted(dv, e_src)]
+        return pa.table({"dst": e_dst, "c": c})
+
+    annotated = bucketed_group_combine(edges_tag.union(deg_tag), ["key"],
+                                       annotate)
+
+    # exchange 2: key = dst; T(v) = Σ c per dst joined with d(v) in-bucket,
+    # emitting ONE partial-sums row per bucket (exact ints, hi/lo split so
+    # arbitrary-precision partials survive the int64 wire format)
+    ann_tag = annotated.map_batches(
+        lambda tb: pa.table({"key": tb["dst"], "c": tb["c"],
+                             "val": pa.nulls(tb.num_rows, pa.int64())}),
+        batch_format="pyarrow",
+    )
+    deg_tag2 = deg_ds.map_batches(
+        lambda tb: pa.table({"key": tb["vertex_id"],
+                             "c": pa.nulls(tb.num_rows, pa.int64()),
+                             "val": tb["degree"]}),
+        batch_format="pyarrow",
+    )
+
+    def partials(tb: pa.Table) -> pa.Table:
+        key = tb["key"].to_numpy(zero_copy_only=False)
+        c = tb["c"].to_numpy(zero_copy_only=False)
+        val = tb["val"].to_numpy(zero_copy_only=False)
+        is_deg = ~pd.isna(val)
+        dv, dd = key[is_deg], val[is_deg].astype(np.int64)
+        order = np.argsort(dv, kind="stable")
+        dv, dd = dv[order], dd[order]
+        e_dst = key[~is_deg]
+        e_c = c[~is_deg].astype(np.int64)
+        # T per vertex present in this bucket (every vertex's deg row and
+        # all its incoming (dst, c) rows hash to the same bucket)
+        tpos = np.searchsorted(dv, e_dst)
+        tv = np.zeros(len(dv), np.int64)
+        np.add.at(tv, tpos, e_c)
+        sums = {
+            "m": _exact_sum(dd),
+            "sx": _exact_sum(dd * dd) if dd.max(initial=0) < 3_000_000_000
+            else int((dd.astype(object) * dd.astype(object)).sum()),
+            "sx2": int((dd.astype(object) ** 3).sum()) if len(dd) else 0,
+            "sxy": int((dd.astype(object) * tv.astype(object)).sum())
+            if len(dd) else 0,
+        }
+        cols = {}
+        for name, s in sums.items():
+            cols[f"{name}_hi"] = [s >> 62]
+            cols[f"{name}_lo"] = [s & ((1 << 62) - 1)]
+        return pa.table({k: pa.array(vs, pa.int64()) for k, vs in cols.items()})
+
+    part_df = bucketed_group_combine(
+        ann_tag.union(deg_tag2), ["key"], partials
+    ).to_pandas()
+
+    def unsplit(name: str) -> int:
+        return int(sum((int(h) << 62) + int(lo) for h, lo in
+                       zip(part_df[f"{name}_hi"], part_df[f"{name}_lo"])))
+
+    m, sx, sx2, sxy = (unsplit(n) for n in ("m", "sx", "sx2", "sxy"))
+    numer = m * sxy - sx * sx
+    denom = m * sx2 - sx * sx
+    r = 0.0 if denom == 0 else float(
+        round_half_away(np.float64(numer) / np.float64(denom), 9)
+    )
+    return pd.DataFrame({"n_directed_edges": [np.int64(m)],
+                         "assortativity": [r]})
+
+
+def k_core_query(sf_dir: str, k: int = 3, min_weight: int = 2):
+    """k-core decomposition membership (peel vertices with alive-degree < k
+    to fixpoint) on the weight>=2 co-purchase subgraph. Distributed peeling
+    on the partitioned superstep substrate (algos.kcore); the SQL twin
+    unrolls the peel rounds (idempotent once converged, so a fixed unroll
+    ≥ the data's peel depth is exact)."""
+    from ..algos.kcore import k_core
+
+    edges = copurchase_edges(sf_dir).filter(expr=f"weight >= {min_weight}")
+    ids, in_core, _ = k_core(symmetrize(edges.drop_columns(["weight"])), k=k)
+    return pd.DataFrame({"vertex_id": ids,
+                         "in_core": in_core.astype(np.int64)})
+
+
 def order_graph_measures(sf_dir: str):
     """The `gf` measure table (graph/gdb.py — reference filter.c:386-533
     dispatch) over PARQUET-DERIVED transactions: per-order graphs with

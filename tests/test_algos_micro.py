@@ -257,3 +257,72 @@ def test_lpa_multiedge_graph_matches_bruteforce(ray_session):
         lab = nxt
     want = np.array([lab[int(v)] for v in ids])
     assert (labels == want).all()
+
+
+def _kcore_bruteforce(pairs, k):
+    """Sequential peeling oracle: repeatedly delete vertices with degree < k
+    in the surviving simple undirected graph."""
+    import itertools
+
+    edges = {tuple(sorted((int(a), int(b)))) for a, b in pairs if a != b}
+    alive = set(itertools.chain.from_iterable(edges))
+    verts = sorted(alive)
+    while True:
+        deg = {v: 0 for v in alive}
+        for a, b in edges:
+            if a in alive and b in alive:
+                deg[a] += 1
+                deg[b] += 1
+        dead = {v for v in alive if deg[v] < k}
+        if not dead:
+            break
+        alive -= dead
+    return np.array(verts, np.int64), np.array(
+        [1 if v in alive else 0 for v in verts], np.int64
+    )
+
+
+@pytest.mark.parametrize("name", sorted(GRAPHS))
+@pytest.mark.parametrize("k", [1, 2, 3])
+def test_kcore_matches_bruteforce_micro(name, k):
+    from graphminingtools_ray.algos.kcore import k_core
+    from graphminingtools_ray.algos.triangles import simple_undirected
+
+    pairs = GRAPHS[name]
+    ids, flags, info = k_core(
+        symmetrize(simple_undirected(edges_ds(pairs))), k=k
+    )
+    oids, oflags = _kcore_bruteforce(pairs, k)
+    assert np.array_equal(ids, oids)
+    assert np.array_equal(flags, oflags)
+    assert info["converged"]
+
+
+def test_kcore_random_graphs_match_bruteforce():
+    """Seeded ER graphs through the multi-partition path: the synchronous
+    distributed peel equals sequential peeling (both reach the unique
+    maximal k-core)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from graphminingtools_ray.algos.kcore import k_core
+    from graphminingtools_ray.algos.triangles import simple_undirected
+    from graphminingtools_ray.graph import symmetrize as symz
+
+    rng = np.random.default_rng(13)
+    for trial, k in [(0, 2), (1, 3), (2, 4)]:
+        n = 60
+        a = rng.integers(0, n, 420)
+        b = rng.integers(0, n, 420)
+        m = a != b
+        pairs = list(zip(a[m].tolist(), b[m].tolist()))
+        edges = rd.from_arrow(pa.table({
+            "src": np.array([p[0] for p in pairs], np.int64),
+            "dst": np.array([p[1] for p in pairs], np.int64),
+        }))
+        ids, flags, info = k_core(
+            symz(simple_undirected(edges)), k=k, num_state_partitions=4
+        )
+        oids, oflags = _kcore_bruteforce(pairs, k)
+        assert np.array_equal(ids, oids), (trial, k)
+        assert np.array_equal(flags, oflags), (trial, k)
