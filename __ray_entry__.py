@@ -411,6 +411,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         graph_queries,
         mining,
         relational,
+        sketches,
         text_q,
         trees,
     )
@@ -430,6 +431,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly": relational.events_hourly,
         "sessionize": relational.sessionize,
         "mktsegment_distinct": relational.mktsegment_distinct,
+        # HyperLogLog distinct sketch (md5 base hash, SQL-exact registers)
+        "hll_registers": sketches.hll_registers,
+        "hll_estimate": sketches.hll_estimate,
         # link-graph north-star ops (SURVEY §2.11)
         "copurchase_edges": graph_queries.edges_query,
         "degree": graph_queries.degree_query,
@@ -1256,6 +1260,22 @@ def _order_tree_cstrings_sql() -> str:
 
 # shared SQL fragments for the derived co-purchase graph
 _OP = "op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem)"
+# HLL sketch CTE (pipelines/sketches.py twin): md5_number_lower base hash,
+# low 8 bits -> register, rank = 57 - bit_length(high 56 bits), max/register
+# over ALL 256 registers (empty ones rank 0)
+_HLL_REGS = """
+        hv AS (SELECT md5_number_lower(CAST(l_partkey AS VARCHAR)) AS h
+               FROM lineitem),
+        rr AS (SELECT CAST(h % 256 AS BIGINT) AS register,
+                      CAST(CASE WHEN (h >> 8) = 0 THEN 57
+                           ELSE 57 - length(bin(h >> 8)) END AS BIGINT)
+                          AS rank
+               FROM hv),
+        regs AS (SELECT g.register,
+                        COALESCE(MAX(rr.rank), 0)::BIGINT AS max_rank
+                 FROM range(0, 256) g(register)
+                 LEFT JOIN rr ON rr.register = g.register GROUP BY 1)
+"""
 _E0 = (
     "e0 AS (SELECT a.p AS src, b.p AS dst, COUNT(*)::BIGINT AS weight "
     "FROM op a JOIN op b ON a.o = b.o AND a.p < b.p GROUP BY 1, 2)"
@@ -1381,6 +1401,30 @@ def oracle_sql() -> dict[str, str]:
         """,
         "mktsegment_distinct": """
             SELECT c_mktsegment, COUNT(*) AS n_customers FROM customer GROUP BY 1
+        """,
+        # HLL register table: register = low 8 hash bits, rank = leading-zero
+        # count + 1 of the remaining 56 bits (57 when the window is 0); max
+        # per register. Base hash = md5_number_lower, same as the engine.
+        "hll_registers": f"""
+            WITH {_HLL_REGS}
+            SELECT register, max_rank FROM regs
+        """,
+        # raw HLL estimate: exact integer harmonic denominator
+        # S = sum 2^(57 - M_j) (each term fits BIGINT, the sum goes HUGEINT,
+        # shipped as hi/lo int64 halves), then ONE elementwise float
+        # expression — both sides round identically
+        "hll_estimate": f"""
+            WITH {_HLL_REGS},
+            s AS (SELECT SUM(((1::BIGINT << (57 - max_rank)))::HUGEINT) AS s,
+                         SUM(CASE WHEN max_rank = 0 THEN 1 ELSE 0 END)::BIGINT
+                             AS nz
+                  FROM regs)
+            SELECT 256::BIGINT AS m, nz AS n_zero_registers,
+                   (s >> 62)::BIGINT AS s_hi,
+                   (s & ((1::HUGEINT << 62) - 1))::BIGINT AS s_lo,
+                   ROUND((0.7213 / (1.0 + 1.079 / 256.0)) * 256.0 * 256.0
+                         * 144115188075855872.0 / s::DOUBLE, 6) AS estimate
+            FROM s
         """,
         "copurchase_edges": f"WITH {_OP}, {_E0} SELECT src, dst, weight FROM e0",
         "degree": f"""
