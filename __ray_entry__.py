@@ -482,6 +482,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_near_dup": text_q.minhash_near_dup,
         "ngram_jaccard_dup": _ngram_jaccard_dup,
         "token_counts": text_q.token_counts,
+        "benchmark_contamination": text_q.benchmark_contamination,
         "simhash_fingerprints": text_q.simhash_fingerprints,
         "winnow_fingerprints": text_q.winnow_fingerprints,
         # SQL-oracled md5 twins of the sketch family (stages/dedup_md5.py):
@@ -1693,6 +1694,25 @@ def oracle_sql() -> dict[str, str]:
                        '''(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+'))::BIGINT
                        AS n_bpe_tokens
             FROM documents
+        """,
+        # benchmark set = doc_id % 13 == 0; shingles are the md5 family's
+        # word-3-grams (same windowing CTE as the sketch twins) compared as
+        # STRINGS — matches the engine's md5 hashes absent a 64-bit collision
+        "benchmark_contamination": f"""
+            WITH {_md5_tok_cte()}, {_md5_shingle_cte(3)},
+            sd AS (SELECT DISTINCT doc_id, sh FROM (
+                SELECT doc_id, UNNEST(shs) AS sh FROM shl)),
+            bench AS (SELECT * FROM sd WHERE doc_id % 13 = 0),
+            train_sh AS (SELECT DISTINCT sh FROM sd
+                         WHERE doc_id % 13 <> 0)
+            SELECT doc_id, n_shingles, n_contaminated,
+                   ROUND(n_contaminated / n_shingles, 9)
+                       AS contamination_rate
+            FROM (SELECT b.doc_id, COUNT(*)::BIGINT AS n_shingles,
+                         SUM(CASE WHEN t.sh IS NOT NULL
+                             THEN 1 ELSE 0 END)::BIGINT AS n_contaminated
+                  FROM bench b LEFT JOIN train_sh t ON b.sh = t.sh
+                  GROUP BY 1)
         """,
         "ngram_jaccard_dup": r"""
             WITH toks AS (

@@ -718,3 +718,89 @@ def token_counts(sf_dir: str) -> rd.Dataset:
         )
 
     return _docs(sf_dir).map_batches(fn, batch_format="pyarrow")
+
+
+def benchmark_contamination(sf_dir: str, n: int = 3, bench_mod: int = 13):
+    """Benchmark-contamination check (a training-data-pipeline staple: did
+    eval-set n-grams leak into the training corpus?). Benchmark set = the
+    deterministic ~1% slice ``doc_id % bench_mod == 0`` (the stand-in for a
+    held-out eval suite); for each benchmark document, count its DISTINCT
+    word-n-gram shingles and how many of them appear in at least one
+    non-benchmark (training) document. Shingles use the md5 family
+    (stages/dedup_md5 — same windowing as the sketch twins), so the SQL
+    twin compares the shingle STRINGS and matches exactly absent a 64-bit
+    md5 collision (the ngram_jaccard_dup caveat).
+
+    Scale shape: one shingle pass, then TWO keyed exchanges — (1) on
+    shingle hash: per-bucket (sh, doc) dedup, per-shingle has-train flag,
+    per-doc partial counts pre-combined in-bucket (the combiner — what
+    crosses exchange 2 is bench-doc-scale, not token-scale); (2) on doc:
+    exact int sums. Token-scale exchange 1 is the exact operator's floor
+    (every shingle occurrence must meet the global train set once).
+
+    Returns (doc_id, n_shingles, n_contaminated, contamination_rate)."""
+    from ..functions.bucketing import bucketed_group_combine
+    from ..functions.rounding import round_half_away
+    from ..stages.dedup_md5 import shingle_sets_md5_batch
+
+    def long_rows(t: pa.Table) -> pa.Table:
+        sets = shingle_sets_md5_batch(pa.compute.fill_null(t["text"], ""), n)
+        sizes = np.array([len(s) for s in sets], np.int64)
+        doc = np.repeat(t["doc_id"].to_numpy(), sizes)
+        sh = (
+            np.concatenate(sets).view(np.int64)
+            if sizes.sum()
+            else np.empty(0, np.int64)
+        )
+        return pa.table({"sh": sh, "doc": doc})
+
+    long = _docs(sf_dir).map_batches(long_rows, batch_format="pyarrow")
+
+    def contam_bucket(t: pa.Table) -> pa.Table:
+        sh = t["sh"].to_numpy()
+        doc = t["doc"].to_numpy()
+        order = np.lexsort((doc, sh))
+        sh_s, doc_s = sh[order], doc[order]
+        keep = np.ones(len(sh_s), bool)
+        keep[1:] = (sh_s[1:] != sh_s[:-1]) | (doc_s[1:] != doc_s[:-1])
+        sh_s, doc_s = sh_s[keep], doc_s[keep]
+        nrows = len(sh_s)
+        if nrows == 0:
+            return pa.table({"doc": pa.array([], pa.int64()),
+                             "n_sh": pa.array([], pa.int64()),
+                             "n_cont": pa.array([], pa.int64())})
+        starts = np.flatnonzero(
+            np.concatenate([[True], sh_s[1:] != sh_s[:-1]])
+        )
+        gid = np.zeros(nrows, np.int64)
+        gid[starts] = 1
+        gid = np.cumsum(gid) - 1
+        is_bench = doc_s % bench_mod == 0
+        has_train = np.zeros(len(starts), np.int64)
+        np.maximum.at(has_train, gid, (~is_bench).astype(np.int64))
+        bdoc = doc_s[is_bench]
+        bcont = has_train[gid[is_bench]]
+        ud, inv = np.unique(bdoc, return_inverse=True)
+        n_sh = np.bincount(inv, minlength=len(ud)).astype(np.int64)
+        n_cont = np.bincount(inv, weights=bcont,
+                             minlength=len(ud)).astype(np.int64)
+        return pa.table({"doc": ud, "n_sh": n_sh, "n_cont": n_cont})
+
+    partials = bucketed_group_combine(long, ["sh"], contam_bucket)
+
+    def sum_bucket(t: pa.Table) -> pa.Table:
+        doc = t["doc"].to_numpy()
+        ud, inv = np.unique(doc, return_inverse=True)
+        n_sh = np.bincount(inv, weights=t["n_sh"].to_numpy(),
+                           minlength=len(ud)).astype(np.int64)
+        n_cont = np.bincount(inv, weights=t["n_cont"].to_numpy(),
+                             minlength=len(ud)).astype(np.int64)
+        return pa.table({"doc_id": ud, "n_shingles": n_sh,
+                         "n_contaminated": n_cont})
+
+    out = bucketed_group_combine(partials, ["doc"], sum_bucket).to_pandas()
+    out = out.sort_values("doc_id").reset_index(drop=True)
+    out["contamination_rate"] = round_half_away(
+        out["n_contaminated"].to_numpy() / out["n_shingles"].to_numpy(), 9
+    )
+    return out
