@@ -449,6 +449,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "clustering_coefficient": graph_queries.clustering_coefficient_query,
         "degree_assortativity": graph_queries.degree_assortativity_query,
         "k_core": graph_queries.k_core_query,
+        "sssp_hops": graph_queries.sssp_hops_query,
         # levelwise mining level 1 (lwm_initAndCollect semantics)
         "frequent_vertex_labels": mining.frequent_vertex_labels,
         "frequent_edge_triples": mining.frequent_edge_triples,
@@ -703,6 +704,43 @@ def _kcore_sql(k: int = 3, rounds: int = 24, min_weight: int = 2) -> str:
         SELECT a0.v AS vertex_id,
                CASE WHEN c.v IS NULL THEN 0 ELSE 1 END::BIGINT AS in_core
         FROM a0 LEFT JOIN a{rounds} c ON a0.v = c.v
+        """
+    )
+
+
+def _sssp_sql(rounds: int = 20, min_weight: int = 2) -> str:
+    """SQL twin of the BFS-hops query (graph_queries.sssp_hops_query): the
+    min-plus relaxation (dist' = min(dist, neighbor dist + 1) from the
+    minimum vertex id) unrolled ``rounds`` times. Valid for the engine's
+    fixpoint early exit because min-lattice relaxation is idempotent once
+    converged — any unroll >= the source's eccentricity is exact (sf0.01:
+    ecc 10; 20 leaves margin). Unreached vertices emit -1 on both sides."""
+    head = f"""
+        WITH {_OP},
+        e0 AS (SELECT a.p AS src, b.p AS dst FROM op a
+               JOIN op b ON a.o = b.o AND a.p < b.p
+               GROUP BY 1, 2 HAVING COUNT(*) >= {min_weight}),
+        e AS MATERIALIZED (SELECT src, dst FROM e0
+                           UNION ALL SELECT dst, src FROM e0),
+        verts AS MATERIALIZED (SELECT DISTINCT src AS v FROM e),
+        d0 AS MATERIALIZED (
+            SELECT (SELECT MIN(v) FROM verts) AS v, 0::BIGINT AS d)
+    """
+    levels = []
+    for i in range(1, rounds + 1):
+        levels.append(f"""
+        d{i} AS MATERIALIZED (
+            SELECT v, MIN(d)::BIGINT AS d FROM (
+                SELECT v, d FROM d{i - 1}
+                UNION ALL
+                SELECT e.dst AS v, p.d + 1 AS d
+                FROM e JOIN d{i - 1} p ON e.src = p.v
+            ) GROUP BY 1)""")
+    return (
+        head + "," + ",".join(levels)
+        + f"""
+        SELECT verts.v AS vertex_id, COALESCE(r.d, -1)::BIGINT AS hops
+        FROM verts LEFT JOIN d{rounds} r ON verts.v = r.v
         """
     )
 
@@ -1511,6 +1549,7 @@ def oracle_sql() -> dict[str, str]:
             FROM s
         """,
         "k_core": _kcore_sql(k=3, rounds=24, min_weight=2),
+        "sssp_hops": _sssp_sql(rounds=20, min_weight=2),
         "label_propagation": _lpa_sql(iters=20, min_weight=3),
         # two synchronous LPA supersteps, vote + winner rule (max count,
         # tie -> min label, one self-vote) unrolled twice — certifies the

@@ -298,6 +298,19 @@ def k_core_query(sf_dir: str, k: int = 3, min_weight: int = 2):
                          "in_core": in_core.astype(np.int64)})
 
 
+def sssp_hops_query(sf_dir: str, min_weight: int = 2):
+    """Single-source BFS hop distances from the minimum vertex id on the
+    weight>=2 co-purchase subgraph (distributed min-plus relaxation,
+    algos.sssp); -1 for vertices outside the source's component. The SQL
+    twin unrolls the relaxation rounds (idempotent at the fixpoint; sf0.01
+    eccentricity is 10, the unroll is 20)."""
+    from ..algos.sssp import sssp_hops
+
+    edges = copurchase_edges(sf_dir).filter(expr=f"weight >= {min_weight}")
+    ids, dist, _ = sssp_hops(symmetrize(edges.drop_columns(["weight"])))
+    return pd.DataFrame({"vertex_id": ids, "hops": dist})
+
+
 def order_graph_measures(sf_dir: str):
     """The `gf` measure table (graph/gdb.py — reference filter.c:386-533
     dispatch) over PARQUET-DERIVED transactions: per-order graphs with

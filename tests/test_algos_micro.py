@@ -326,3 +326,76 @@ def test_kcore_random_graphs_match_bruteforce():
         oids, oflags = _kcore_bruteforce(pairs, k)
         assert np.array_equal(ids, oids), (trial, k)
         assert np.array_equal(flags, oflags), (trial, k)
+
+
+def _bfs_bruteforce(pairs, source=None):
+    import collections
+
+    adj = collections.defaultdict(set)
+    for a, b in pairs:
+        if a != b:
+            adj[int(a)].add(int(b))
+            adj[int(b)].add(int(a))
+    verts = sorted(adj)
+    if source is None:
+        source = verts[0]
+    dist = {source: 0}
+    frontier = [source]
+    r = 0
+    while frontier:
+        r += 1
+        nxt = []
+        for v in frontier:
+            for w in adj[v]:
+                if w not in dist:
+                    dist[w] = r
+                    nxt.append(w)
+        frontier = nxt
+    return np.array(verts, np.int64), np.array(
+        [dist.get(v, -1) for v in verts], np.int64
+    )
+
+
+@pytest.mark.parametrize("name", sorted(GRAPHS))
+def test_sssp_matches_bruteforce_micro(name):
+    from graphminingtools_ray.algos.sssp import sssp_hops
+    from graphminingtools_ray.algos.triangles import simple_undirected
+
+    pairs = GRAPHS[name]
+    ids, dist, info = sssp_hops(
+        symmetrize(simple_undirected(edges_ds(pairs)))
+    )
+    oids, odist = _bfs_bruteforce(pairs)
+    assert np.array_equal(ids, oids)
+    assert np.array_equal(dist, odist)
+    assert info["converged"]
+
+
+def test_sssp_random_graphs_match_bruteforce():
+    """Seeded sparse ER graphs (disconnected, so the -1 path is exercised)
+    through the multi-partition path."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from graphminingtools_ray.algos.sssp import sssp_hops
+    from graphminingtools_ray.algos.triangles import simple_undirected
+    from graphminingtools_ray.graph import symmetrize as symz
+
+    rng = np.random.default_rng(23)
+    for trial in range(3):
+        n = 80
+        a = rng.integers(0, n, 90)
+        b = rng.integers(0, n, 90)
+        m = a != b
+        pairs = list(zip(a[m].tolist(), b[m].tolist()))
+        edges = rd.from_arrow(pa.table({
+            "src": np.array([p[0] for p in pairs], np.int64),
+            "dst": np.array([p[1] for p in pairs], np.int64),
+        }))
+        ids, dist, info = sssp_hops(
+            symz(simple_undirected(edges)), num_state_partitions=4
+        )
+        oids, odist = _bfs_bruteforce(pairs)
+        assert np.array_equal(ids, oids), trial
+        assert np.array_equal(dist, odist), trial
+        assert (dist == -1).any() or info["converged"]
