@@ -450,6 +450,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "degree_assortativity": graph_queries.degree_assortativity_query,
         "k_core": graph_queries.k_core_query,
         "sssp_hops": graph_queries.sssp_hops_query,
+        "personalized_pagerank": graph_queries.ppr_query,
         # levelwise mining level 1 (lwm_initAndCollect semantics)
         "frequent_vertex_labels": mining.frequent_vertex_labels,
         "frequent_edge_triples": mining.frequent_edge_triples,
@@ -705,6 +706,48 @@ def _kcore_sql(k: int = 3, rounds: int = 24, min_weight: int = 2) -> str:
                CASE WHEN c.v IS NULL THEN 0 ELSE 1 END::BIGINT AS in_core
         FROM a0 LEFT JOIN a{rounds} c ON a0.v = c.v
         """
+    )
+
+
+def _ppr_sql(k: int = 5, damping: float = 0.85, n_seeds: int = 8) -> str:
+    """SQL twin of personalized PageRank (graph_queries.ppr_query): seeds =
+    the n smallest vertex ids, r0 = uniform over seeds, then
+    r' = (1-d)·t + d·sum(r[src]/outdeg[src]) unrolled k times (t = the
+    seed-restart distribution; the symmetrized graph has no dangling
+    vertices). Float contract as _pagerank_sql: round half-away to 9 vs a
+    ~1e-19 sum-order difference."""
+    head = f"""
+        WITH {_OP}, {_E0}, {_E_SYM},
+        verts AS MATERIALIZED (SELECT DISTINCT src AS v FROM e),
+        seeds AS MATERIALIZED (
+            SELECT v FROM verts ORDER BY v LIMIT {n_seeds}),
+        ns AS MATERIALIZED (SELECT CAST(COUNT(*) AS DOUBLE) AS c FROM seeds),
+        deg AS MATERIALIZED (
+            SELECT src AS v, CAST(COUNT(*) AS DOUBLE) AS outdeg
+            FROM e GROUP BY 1),
+        tele AS MATERIALIZED (
+            SELECT verts.v,
+                   CASE WHEN seeds.v IS NOT NULL
+                        THEN 1.0 / (SELECT c FROM ns) ELSE 0.0 END AS t
+            FROM verts LEFT JOIN seeds ON verts.v = seeds.v),
+        r0 AS MATERIALIZED (SELECT v, t AS r FROM tele)
+    """
+    levels = []
+    for i in range(1, k + 1):
+        levels.append(f"""
+        r{i} AS MATERIALIZED (
+            SELECT tele.v,
+                   (1.0 - {damping}) * tele.t
+                   + {damping} * COALESCE(s.c, 0.0) AS r
+            FROM tele LEFT JOIN (
+                SELECT e.dst AS v, SUM(p.r / deg.outdeg) AS c
+                FROM e JOIN r{i - 1} p ON p.v = e.src
+                       JOIN deg ON deg.v = e.src
+                GROUP BY e.dst) s ON s.v = tele.v
+        )""")
+    return (
+        head + "," + ",".join(levels)
+        + f' SELECT v AS vertex_id, ROUND(r, 9) AS "rank" FROM r{k}'
     )
 
 
@@ -1550,6 +1593,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "k_core": _kcore_sql(k=3, rounds=24, min_weight=2),
         "sssp_hops": _sssp_sql(rounds=20, min_weight=2),
+        "personalized_pagerank": _ppr_sql(k=5),
         "label_propagation": _lpa_sql(iters=20, min_weight=3),
         # two synchronous LPA supersteps, vote + winner rule (max count,
         # tie -> min label, one self-vote) unrolled twice — certifies the

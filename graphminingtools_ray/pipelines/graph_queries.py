@@ -298,6 +298,30 @@ def k_core_query(sf_dir: str, k: int = 3, min_weight: int = 2):
                          "in_core": in_core.astype(np.int64)})
 
 
+def ppr_query(sf_dir: str, k: int = 5, n_seeds: int = 8):
+    """Personalized PageRank: exactly ``k`` seed-restart supersteps from the
+    ``n_seeds`` smallest vertex ids (deterministic seed rule so the SQL twin
+    can reproduce it with ORDER BY v LIMIT n). Fixed-k + tol=0 makes the
+    arithmetic SQL-expressible, same contract as ``pagerank_query``."""
+    from ..algos.ppr import personalized_pagerank
+
+    sym = symmetrize(copurchase_edges(sf_dir).drop_columns(["weight"]))
+
+    # n_seeds smallest vertex ids: per-batch partial bottom-n (no global
+    # sort barrier), tiny final merge
+    def bottom(t: pa.Table) -> pa.Table:
+        u = np.unique(t["src"].to_numpy())
+        return pa.table({"v": u[:n_seeds]})
+
+    part = sym.map_batches(bottom, batch_format="pyarrow").to_pandas()
+    seeds = np.unique(part["v"].to_numpy())[:n_seeds]
+
+    ids, ranks, _ = personalized_pagerank(sym, seeds, k=k)
+    return pd.DataFrame(
+        {"vertex_id": ids, "rank": round_half_away(ranks, 9)}
+    )
+
+
 def sssp_hops_query(sf_dir: str, min_weight: int = 2):
     """Single-source BFS hop distances from the minimum vertex id on the
     weight>=2 co-purchase subgraph (distributed min-plus relaxation,

@@ -399,3 +399,34 @@ def test_sssp_random_graphs_match_bruteforce():
         assert np.array_equal(ids, oids), trial
         assert np.array_equal(dist, odist), trial
         assert (dist == -1).any() or info["converged"]
+
+
+@pytest.mark.parametrize("name", sorted(GRAPHS))
+def test_ppr_matches_numpy_oracle(name):
+    """Seed-restart power iteration vs a dense numpy oracle following the
+    same arithmetic path (fixed k, (1-d)t + d·A^T D^-1 r)."""
+    from graphminingtools_ray.algos.ppr import personalized_pagerank
+    from graphminingtools_ray.algos.triangles import simple_undirected
+
+    pairs = GRAPHS[name]
+    ids_all = sorted({int(v) for p in pairs for v in p if p[0] != p[1]})
+    seeds = np.array(ids_all[:2], np.int64)
+    ids, r, info = personalized_pagerank(
+        symmetrize(simple_undirected(edges_ds(pairs))), seeds, k=7,
+        num_state_partitions=4,
+    )
+    # dense oracle on the simple symmetric graph
+    n = len(ids_all)
+    pos = {v: i for i, v in enumerate(ids_all)}
+    A = np.zeros((n, n))
+    for a, b in {tuple(sorted((int(x), int(y)))) for x, y in pairs if x != y}:
+        A[pos[a], pos[b]] = A[pos[b], pos[a]] = 1.0
+    outdeg = A.sum(axis=1)
+    t = np.isin(np.array(ids_all), seeds).astype(float) / len(seeds)
+    rr = t.copy()
+    for _ in range(7):
+        rr = 0.15 * t + 0.85 * (A.T @ (rr / np.maximum(outdeg, 1)))
+    assert np.array_equal(ids, np.array(ids_all))
+    np.testing.assert_allclose(r, rr, atol=1e-12)
+    # restart mass conservation: total rank sums to 1 (no dangling)
+    assert abs(r.sum() - 1.0) < 1e-9
