@@ -441,6 +441,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "triangles_per_vertex": graph_queries.triangles_per_vertex_query,
         "connected_components": graph_queries.components_query,
         "pagerank": graph_queries.pagerank_query,
+        "pagerank_weighted": graph_queries.pagerank_weighted_query,
         "pagerank_fixpoint": graph_queries.pagerank_fixpoint_query,
         "wl_relabel_1": graph_queries.wl_relabel_query,
         "label_propagation": graph_queries.label_propagation_query,
@@ -706,6 +707,43 @@ def _kcore_sql(k: int = 3, rounds: int = 24, min_weight: int = 2) -> str:
                CASE WHEN c.v IS NULL THEN 0 ELSE 1 END::BIGINT AS in_core
         FROM a0 LEFT JOIN a{rounds} c ON a0.v = c.v
         """
+    )
+
+
+def _pagerank_weighted_sql(k: int = 5, damping: float = 0.85) -> str:
+    """SQL twin of weighted PageRank (graph_queries.pagerank_weighted_query):
+    W(u) = sum of incident co-purchase weights, per-edge contribution
+    (r/W)*w — the engine's exact op order (coef = rank/outdeg first, then
+    the weight multiply), so only the sum order differs (~1e-19 vs the
+    5e-10 round-9 window)."""
+    head = f"""
+        WITH {_OP}, {_E0},
+        ew AS MATERIALIZED (
+            SELECT src, dst, CAST(weight AS DOUBLE) AS w FROM e0
+            UNION ALL
+            SELECT dst, src, CAST(weight AS DOUBLE) AS w FROM e0),
+        verts AS MATERIALIZED (SELECT DISTINCT src AS v FROM ew),
+        nn AS MATERIALIZED (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM verts),
+        deg AS MATERIALIZED (
+            SELECT src AS v, SUM(w) AS outdeg FROM ew GROUP BY 1),
+        r0 AS MATERIALIZED (SELECT v, 1.0 / (SELECT n FROM nn) AS r FROM verts)
+    """
+    levels = []
+    for i in range(1, k + 1):
+        levels.append(f"""
+        r{i} AS MATERIALIZED (
+            SELECT verts.v,
+                   (1.0 - {damping}) / (SELECT n FROM nn)
+                   + {damping} * COALESCE(s.c, 0.0) AS r
+            FROM verts LEFT JOIN (
+                SELECT ew.dst AS v, SUM((p.r / deg.outdeg) * ew.w) AS c
+                FROM ew JOIN r{i - 1} p ON p.v = ew.src
+                        JOIN deg ON deg.v = ew.src
+                GROUP BY ew.dst) s ON s.v = verts.v
+        )""")
+    return (
+        head + "," + ",".join(levels)
+        + f' SELECT v AS vertex_id, ROUND(r, 9) AS "rank" FROM r{k}'
     )
 
 
@@ -1546,6 +1584,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT v AS vertex_id, MIN(r)::BIGINT AS component FROM reach GROUP BY v
         """,
         "pagerank": _pagerank_sql(k=5),
+        "pagerank_weighted": _pagerank_weighted_sql(k=5),
         # cc(v) = 2t/(d(d-1)): both sides divide 2.0*t (exact float) by the
         # exact int d(d-1) and round half-away to 9 — elementwise IEEE ops
         # on identical inputs, value-exact

@@ -80,6 +80,21 @@ def pagerank_query(sf_dir: str, k: int = 5):
     )
 
 
+def pagerank_weighted_query(sf_dir: str, k: int = 5):
+    """Weighted PageRank over the co-purchase counts: contributions are
+    w(u,v)·r(u)/W(u) with W(u) the weighted out-degree (the engine's
+    ``weighted=True`` build path — this is its driver-gate row). Fixed k,
+    tol=0; SQL mirrors the engine's op order ((r/W)*w) so the float paths
+    agree within the round-9 window like the unweighted twin."""
+    ids, ranks, info = pagerank(
+        symmetrize(copurchase_edges(sf_dir)), tol=0.0, max_iter=k,
+        weighted=True,
+    )
+    return pd.DataFrame(
+        {"vertex_id": ids, "rank": round_half_away(ranks, 9)}
+    )
+
+
 def pagerank_fixpoint_query(sf_dir: str):
     """PageRank to L-inf convergence (the north-star fixpoint). No SQL oracle
     (data-dependent iteration count): driver records rows-only; exactness vs

@@ -430,3 +430,45 @@ def test_ppr_matches_numpy_oracle(name):
     np.testing.assert_allclose(r, rr, atol=1e-12)
     # restart mass conservation: total rank sums to 1 (no dangling)
     assert abs(r.sum() - 1.0) < 1e-9
+
+
+def test_pagerank_weighted_matches_numpy_oracle():
+    """Weighted PageRank (contribution w*r/W, W = weighted out-degree) vs a
+    dense numpy oracle on a seeded weighted graph through the
+    multi-partition path."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from graphminingtools_ray.algos import pagerank
+    from graphminingtools_ray.graph import symmetrize as symz
+
+    rng = np.random.default_rng(31)
+    n = 25
+    a = rng.integers(0, n, 80)
+    b = rng.integers(0, n, 80)
+    m = a != b
+    a, b = a[m], b[m]
+    key = a * n + b
+    _, idx = np.unique(key, return_index=True)
+    a, b = a[idx], b[idx]
+    w = rng.integers(1, 9, len(a)).astype(np.float64)
+    edges = rd.from_arrow(pa.table({
+        "src": a.astype(np.int64), "dst": b.astype(np.int64), "weight": w,
+    }))
+    ids, r, info = pagerank(
+        symz(edges), tol=0.0, max_iter=9, weighted=True,
+        num_state_partitions=4,
+    )
+    verts = np.unique(np.concatenate([a, b]))
+    pos = {int(v): i for i, v in enumerate(verts)}
+    nv = len(verts)
+    A = np.zeros((nv, nv))
+    for s, d, ww in zip(a, b, w):
+        A[pos[int(s)], pos[int(d)]] += ww
+        A[pos[int(d)], pos[int(s)]] += ww
+    W = A.sum(axis=1)
+    rr = np.full(nv, 1.0 / nv)
+    for _ in range(9):
+        rr = 0.15 / nv + 0.85 * (A.T @ (rr / W))
+    assert np.array_equal(ids, verts)
+    np.testing.assert_allclose(r, rr, atol=1e-12)
