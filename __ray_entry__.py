@@ -289,6 +289,14 @@ def _opk_features(sf_dir: str):
     return opk_features(sf_dir, depth=3)
 
 
+def _edge_jaccard(sf_dir: str):
+    """Per-edge common-neighbor support + neighborhood Jaccard over the
+    co-purchase graph (pipelines/linkpred.py) — edges in >=1 triangle."""
+    from graphminingtools_ray.pipelines.linkpred import edge_jaccard_query
+
+    return edge_jaccard_query(sf_dir)
+
+
 def _ngram_jaccard_dup(sf_dir: str):
     """EXACT word-3-gram Jaccard near-dup pairs over the df<=64-capped
     shingle space, threshold 0.3 — the non-probabilistic twin of
@@ -452,6 +460,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "k_core": graph_queries.k_core_query,
         "sssp_hops": graph_queries.sssp_hops_query,
         "personalized_pagerank": graph_queries.ppr_query,
+        "edge_jaccard": _edge_jaccard,
         # levelwise mining level 1 (lwm_initAndCollect semantics)
         "frequent_vertex_labels": mining.frequent_vertex_labels,
         "frequent_edge_triples": mining.frequent_edge_triples,
@@ -1633,6 +1642,27 @@ def oracle_sql() -> dict[str, str]:
         "k_core": _kcore_sql(k=3, rounds=24, min_weight=2),
         "sssp_hops": _sssp_sql(rounds=20, min_weight=2),
         "personalized_pagerank": _ppr_sql(k=5),
+        # per-edge triangle support + neighborhood Jaccard: the triangle
+        # CTE unnested to its three (normalized) edges, then exact-int
+        # counts into one elementwise float division
+        "edge_jaccard": f"""
+            WITH {_OP}, {_E0}, {_E_SYM},
+            deg AS MATERIALIZED (
+                SELECT src AS v, COUNT(*)::BIGINT AS d FROM e GROUP BY 1),
+            tri AS (SELECT ab.src AS a, ab.dst AS b, bc.dst AS c
+                    FROM e0 ab JOIN e0 bc ON ab.dst = bc.src
+                               JOIN e0 ac ON ac.src = ab.src
+                                         AND ac.dst = bc.dst),
+            cn AS (SELECT u, v, COUNT(*)::BIGINT AS cn FROM (
+                     SELECT a AS u, b AS v FROM tri
+                     UNION ALL SELECT b, c FROM tri
+                     UNION ALL SELECT a, c FROM tri) GROUP BY 1, 2)
+            SELECT cn.u AS src, cn.v AS dst, cn.cn AS common_neighbors,
+                   du.d AS deg_src, dv.d AS deg_dst,
+                   ROUND(cn.cn / (du.d + dv.d - cn.cn), 9) AS jaccard
+            FROM cn JOIN deg du ON du.v = cn.u
+                    JOIN deg dv ON dv.v = cn.v
+        """,
         "label_propagation": _lpa_sql(iters=20, min_weight=3),
         # two synchronous LPA supersteps, vote + winner rule (max count,
         # tie -> min label, one self-vote) unrolled twice — certifies the

@@ -472,3 +472,40 @@ def test_pagerank_weighted_matches_numpy_oracle():
         rr = 0.15 / nv + 0.85 * (A.T @ (rr / W))
     assert np.array_equal(ids, verts)
     np.testing.assert_allclose(r, rr, atol=1e-12)
+
+
+def test_edge_common_neighbors_match_bruteforce():
+    """Per-edge triangle support on seeded ER graphs vs a set-intersection
+    oracle (common neighbors of each edge's endpoints)."""
+    import collections
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from graphminingtools_ray.pipelines.linkpred import edge_common_neighbors
+
+    rng = np.random.default_rng(41)
+    for trial in range(3):
+        n = 45
+        a = rng.integers(0, n, 320)
+        b = rng.integers(0, n, 320)
+        m = a != b
+        pairs = {tuple(sorted((int(x), int(y))))
+                 for x, y in zip(a[m], b[m])}
+        edges = rd.from_arrow(pa.table({
+            "src": np.array([p[0] for p in pairs], np.int64),
+            "dst": np.array([p[1] for p in pairs], np.int64),
+        }))
+        cn_ds, _ = edge_common_neighbors(edges, num_buckets=8)
+        got = {(int(r["u"]), int(r["v"])): int(r["cn"])
+               for r in cn_ds.to_pandas().to_dict("records")}
+        adj = collections.defaultdict(set)
+        for u, v in pairs:
+            adj[u].add(v)
+            adj[v].add(u)
+        want = {}
+        for u, v in pairs:
+            c = len(adj[u] & adj[v])
+            if c:
+                want[(u, v)] = c
+        assert got == want, trial
