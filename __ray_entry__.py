@@ -431,6 +431,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "filter_project_revenue": relational.filter_project_revenue,
         "nation_revenue": relational.nation_revenue,
         "topk_orders": relational.topk_orders,
+        "topk_orders_per_group": relational.topk_orders_per_group,
+        "price_percentiles": relational.price_percentiles,
         "q3_shipping_priority": relational.q3_shipping_priority,
         "q5_local_supplier_volume": relational.q5_local_supplier_volume,
         "click_view_asof": relational.click_view_asof,
@@ -1447,6 +1449,32 @@ def oracle_sql() -> dict[str, str]:
         "topk_orders": """
             SELECT o_orderkey, o_custkey, o_totalprice
             FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+        """,
+        "topk_orders_per_group": """
+            SELECT o_orderkey, o_orderpriority, o_totalprice FROM (
+                SELECT o_orderkey, o_orderpriority, o_totalprice,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY o_orderpriority
+                           ORDER BY o_totalprice DESC, o_orderkey) AS rn
+                FROM orders) WHERE rn <= 3
+        """,
+        # exact order statistics on integer cents, lower interpolation
+        # (rank = floor(q*(n-1)), 0-indexed) — all-integer, hash-exact
+        "price_percentiles": """
+            WITH c AS (SELECT CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                           AS v FROM lineitem),
+            o AS (SELECT v, ROW_NUMBER() OVER (ORDER BY v) AS rn FROM c),
+            nn AS (SELECT COUNT(*)::BIGINT AS n FROM c)
+            SELECT (SELECT n FROM nn) AS n,
+                   (SELECT v FROM o WHERE rn = CAST(FLOOR(
+                        0.50 * ((SELECT n FROM nn) - 1)) AS BIGINT) + 1)
+                       AS p50_c,
+                   (SELECT v FROM o WHERE rn = CAST(FLOOR(
+                        0.90 * ((SELECT n FROM nn) - 1)) AS BIGINT) + 1)
+                       AS p90_c,
+                   (SELECT v FROM o WHERE rn = CAST(FLOOR(
+                        0.99 * ((SELECT n FROM nn) - 1)) AS BIGINT) + 1)
+                       AS p99_c
         """,
         "click_view_asof": """
             WITH clicks AS (SELECT event_id, ts, user_id FROM events

@@ -659,3 +659,78 @@ def q5_local_supplier_volume(sf_dir: str):
     out = out[["r_name", "n_name", "revenue_e4"]]
     out["revenue_e4"] = out["revenue_e4"].astype(np.int64)
     return out.sort_values(["r_name", "n_name"]).reset_index(drop=True)
+
+
+def topk_orders_per_group(sf_dir: str, k: int = 3):
+    """Grouped top-k (SURVEY §2.6 widened): the k highest-value orders per
+    o_orderpriority, tiebreak o_orderkey asc. Per-batch partial top-k per
+    group (the combiner — only group_count × k rows leave each batch), tiny
+    final merge; no global sort barrier."""
+    ds = read_table(
+        sf_dir, "orders",
+        columns=["o_orderkey", "o_orderpriority", "o_totalprice"],
+    )
+
+    def batch_topk_grouped(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        df = df.sort_values(
+            ["o_orderpriority", "o_totalprice", "o_orderkey"],
+            ascending=[True, False, True],
+        )
+        return pa.Table.from_pandas(
+            df.groupby("o_orderpriority", sort=False).head(k),
+            preserve_index=False,
+        )
+
+    parts = ds.map_batches(batch_topk_grouped,
+                           batch_format="pyarrow").to_pandas()
+    out = parts.sort_values(
+        ["o_orderpriority", "o_totalprice", "o_orderkey"],
+        ascending=[True, False, True],
+    ).groupby("o_orderpriority", sort=True).head(k)
+    return out.reset_index(drop=True)
+
+
+def price_percentiles(sf_dir: str):
+    """EXACT distributed order statistics (p50/p90/p99, lower-interpolation
+    rank floor(q·(n−1))) of l_extendedprice in integer cents. Per-batch
+    value-histogram partials → value-keyed exchange sum → cumulative rank
+    walk over the sorted distinct values (distinct-value-scale final,
+    bounded by the price domain — the classic exact-quantile shape; at an
+    unbounded domain swap in a sketch). All-integer, hash-exact vs SQL."""
+    from ..functions.bucketing import bucketed_group_combine
+
+    li = read_table(sf_dir, "lineitem", columns=["l_extendedprice"])
+
+    def partials(t: pa.Table) -> pa.Table:
+        c = np.rint(
+            t["l_extendedprice"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        uv, cnt = np.unique(c, return_counts=True)
+        return pa.table({"v": uv, "cnt": cnt.astype(np.int64)})
+
+    def sum_bucket(t: pa.Table) -> pa.Table:
+        v = t["v"].to_numpy()
+        uv, inv = np.unique(v, return_inverse=True)
+        cnt = np.bincount(inv, weights=t["cnt"].to_numpy(),
+                          minlength=len(uv)).astype(np.int64)
+        return pa.table({"v": uv, "cnt": cnt})
+
+    hist = bucketed_group_combine(
+        li.map_batches(partials, batch_format="pyarrow"), ["v"], sum_bucket
+    ).to_pandas().sort_values("v").reset_index(drop=True)
+    v = hist["v"].to_numpy()
+    cnt = hist["cnt"].to_numpy()
+    n = int(cnt.sum())
+    cum = np.cumsum(cnt)
+
+    def at_rank(q: float) -> int:
+        kq = int(np.floor(q * (n - 1)))  # 0-indexed lower interpolation
+        return int(v[np.searchsorted(cum, kq + 1)])
+
+    return pd.DataFrame({
+        "n": [np.int64(n)],
+        "p50_c": [np.int64(at_rank(0.50))],
+        "p90_c": [np.int64(at_rank(0.90))],
+        "p99_c": [np.int64(at_rank(0.99))],
+    })
