@@ -497,6 +497,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard_dup": _ngram_jaccard_dup,
         "token_counts": text_q.token_counts,
         "benchmark_contamination": text_q.benchmark_contamination,
+        "corpus_mix_report": text_q.corpus_mix_report,
         "simhash_fingerprints": text_q.simhash_fingerprints,
         "winnow_fingerprints": text_q.winnow_fingerprints,
         # SQL-oracled md5 twins of the sketch family (stages/dedup_md5.py):
@@ -1874,6 +1875,17 @@ def oracle_sql() -> dict[str, str]:
                        '''(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+'))::BIGINT
                        AS n_bpe_tokens
             FROM documents
+        """,
+        "corpus_mix_report": r"""
+            SELECT source, COUNT(*)::BIGINT AS n_docs,
+                   SUM(n_chars)::BIGINT AS sum_chars,
+                   SUM(len(regexp_extract_all(COALESCE(text, ''),
+                       '\S+')))::BIGINT AS sum_ws_tokens,
+                   SUM(len(regexp_extract_all(COALESCE(text, ''),
+                       '''(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+')))::BIGINT
+                       AS sum_bpe_tokens,
+                   COUNT(DISTINCT lang)::BIGINT AS n_langs
+            FROM documents GROUP BY 1
         """,
         # benchmark set = doc_id % 13 == 0; shingles are the md5 family's
         # word-3-grams (same windowing CTE as the sketch twins) compared as

@@ -37,6 +37,7 @@ from .partitioned import (
     init_state,
     unpack_panel_layout,
     state_to_arrays,
+    state_to_dataset,
     unpack_part_block,
     _row_lists,
 )
@@ -178,3 +179,14 @@ def k_core(
         return np.empty(0, np.int64), np.empty(0, np.int64), info
     ids, flags = state_to_arrays(state_ds, g)
     return ids, flags.astype(np.int64), info
+
+
+def k_core_dataset(edges_symmetric: rd.Dataset, **kw):
+    """Streaming result: Dataset of (vertex_id, in_core 0/1)."""
+    state_ds, g, info = k_core_partitioned(edges_symmetric, **kw)
+    if state_ds is None:
+        return rd.from_arrow(
+            pa.table({"vertex_id": pa.array([], pa.int64()),
+                      "in_core": pa.array([], pa.int64())})
+        ), info
+    return state_to_dataset(state_ds, g, "in_core"), info

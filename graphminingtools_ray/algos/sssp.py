@@ -33,6 +33,7 @@ from .partitioned import (
     init_state,
     unpack_panel_layout,
     state_to_arrays,
+    state_to_dataset,
     unpack_part_block,
     _row_lists,
 )
@@ -117,23 +118,22 @@ def _min_dist_part(h: dict, part: int, *panels: pa.Table):
     return row_table, changed
 
 
-def sssp_hops(
+def sssp_hops_partitioned(
     edges_symmetric: rd.Dataset,
     source: int | None = None,
     max_iter: int = 200,
     num_state_partitions: int = 8,
 ):
-    """-> (vertex_ids, hop distances with -1 for unreachable, info).
-    ``source=None`` uses the minimum vertex id (deterministic default).
-    ``edges_symmetric`` must contain both half-edges (graph.symmetrize)."""
-    # deterministic default: global min vertex id (distributed scalar
-    # aggregate over the edge view — symmetrized, so src covers all ids)
+    """Core loop. -> (state_ds, graph, info). State stays distributed
+    (int64 dist, _INF = unreached). ``source=None`` uses the minimum vertex
+    id (distributed scalar aggregate). ``edges_symmetric`` must contain
+    both half-edges (graph.symmetrize)."""
     if source is None:
         source = int(edges_symmetric.min("src"))
     g = build_partitioned_graph(edges_symmetric, P=num_state_partitions)
     if g.n_vertices == 0:
-        return np.empty(0, np.int64), np.empty(0, np.int64), {
-            "iterations": 0, "supersteps": []}
+        return None, g, {"iterations": 0, "supersteps": [],
+                         "source": int(source)}
 
     state_ds, state_index, _ = init_state(
         g,
@@ -173,9 +173,46 @@ def sssp_hops(
             break
 
     state_ds = rd.from_arrow_refs([row_refs[p] for p in parts_sorted])
+    info = {"iterations": len(supersteps), "converged": converged,
+            "source": int(source), "supersteps": supersteps}
+    return state_ds, g, info
+
+
+def sssp_hops(
+    edges_symmetric: rd.Dataset,
+    source: int | None = None,
+    max_iter: int = 200,
+    num_state_partitions: int = 8,
+):
+    """-> (vertex_ids, hop distances with -1 for unreachable, info) —
+    numpy result delivery over the distributed loop."""
+    state_ds, g, info = sssp_hops_partitioned(
+        edges_symmetric, source, max_iter, num_state_partitions
+    )
+    if state_ds is None:
+        return np.empty(0, np.int64), np.empty(0, np.int64), info
     ids, dist = state_to_arrays(state_ds, g)
     dist = dist.astype(np.int64)
     dist[dist >= _INF] = -1
-    info = {"iterations": len(supersteps), "converged": converged,
-            "source": int(source), "supersteps": supersteps}
     return ids, dist, info
+
+
+def sssp_hops_dataset(edges_symmetric: rd.Dataset,
+                      source: int | None = None, **kw):
+    """Streaming result: Dataset of (vertex_id, hops) with -1 for
+    unreachable — the at-scale API (the -1 remap runs inside map_batches,
+    nothing vertex-scale on the driver)."""
+    state_ds, g, info = sssp_hops_partitioned(edges_symmetric, source, **kw)
+    if state_ds is None:
+        return rd.from_arrow(
+            pa.table({"vertex_id": pa.array([], pa.int64()),
+                      "hops": pa.array([], pa.int64())})
+        ), info
+    ds = state_to_dataset(state_ds, g, "hops")
+
+    def remap(t: pa.Table) -> pa.Table:
+        h = t["hops"].to_numpy(zero_copy_only=False).copy()
+        h[h >= _INF] = -1
+        return pa.table({"vertex_id": t["vertex_id"], "hops": h})
+
+    return ds.map_batches(remap, batch_format="pyarrow"), info

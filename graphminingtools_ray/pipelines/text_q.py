@@ -804,3 +804,44 @@ def benchmark_contamination(sf_dir: str, n: int = 3, bench_mod: int = 13):
         out["n_contaminated"].to_numpy() / out["n_shingles"].to_numpy(), 9
     )
     return out
+
+
+def corpus_mix_report(sf_dir: str):
+    """Per-source corpus-mix report (the training-data 'what am I training
+    on' table): doc count, char volume, whitespace + BPE-ish token volume,
+    distinct languages. One vectorized pass with per-(source,lang) partials
+    (the combiner — sources × langs rows leave each batch); tiny final.
+    Counts/sums are exact ints, hash-exact vs SQL."""
+    from ..stages.text import _pl_utf8
+
+    ds = _docs(sf_dir, columns=("doc_id", "text", "lang", "source",
+                                "n_chars"))
+
+    def partials(t: pa.Table) -> pa.Table:
+        s = _pl_utf8(t["text"])
+        df = pd.DataFrame({
+            "source": t["source"].to_pandas(),
+            "lang": t["lang"].to_pandas(),
+            "n_chars": t["n_chars"].to_numpy(zero_copy_only=False),
+            "ws": s.str.count_matches(r"\S+").to_numpy().astype(np.int64),
+            "bpe": s.str.count_matches(BPE_ISH_RE)
+            .to_numpy().astype(np.int64),
+        })
+        g = df.groupby(["source", "lang"], sort=False).agg(
+            n_docs=("n_chars", "size"), sum_chars=("n_chars", "sum"),
+            sum_ws_tokens=("ws", "sum"), sum_bpe_tokens=("bpe", "sum"),
+        ).reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    parts = ds.map_batches(partials, batch_format="pyarrow").to_pandas()
+    by_sl = parts.groupby(["source", "lang"], sort=True).sum().reset_index()
+    out = by_sl.groupby("source", sort=True).agg(
+        n_docs=("n_docs", "sum"), sum_chars=("sum_chars", "sum"),
+        sum_ws_tokens=("sum_ws_tokens", "sum"),
+        sum_bpe_tokens=("sum_bpe_tokens", "sum"),
+        n_langs=("lang", "nunique"),
+    ).reset_index()
+    for c in ["n_docs", "sum_chars", "sum_ws_tokens", "sum_bpe_tokens",
+              "n_langs"]:
+        out[c] = out[c].astype(np.int64)
+    return out

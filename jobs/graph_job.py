@@ -35,7 +35,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def main() -> int:
     ap = argparse.ArgumentParser()
-    ap.add_argument("algo", choices=["cc", "lpa", "triangles"])
+    ap.add_argument("algo", choices=["cc", "lpa", "triangles", "kcore",
+                                     "sssp"])
+    ap.add_argument("--k", type=int, default=3, help="kcore: the k")
+    ap.add_argument("--source", type=int, default=None,
+                    help="sssp: source vertex (default: min id)")
     ap.add_argument("--edges", required=True,
                     help="parquet dir/file with src,dst[,weight]")
     ap.add_argument("--out", required=True,
@@ -107,6 +111,26 @@ def main() -> int:
                 num_state_partitions=args.num_state_partitions,
             )
             out_ds.write_parquet(os.path.join(args.out, "components"))
+        elif args.algo == "kcore":
+            from graphminingtools_ray.algos.kcore import k_core_dataset
+
+            out_ds, info = k_core_dataset(
+                edges,
+                k=args.k,
+                max_iter=args.max_iter or 200,
+                num_state_partitions=args.num_state_partitions,
+            )
+            out_ds.write_parquet(os.path.join(args.out, "kcore"))
+        elif args.algo == "sssp":
+            from graphminingtools_ray.algos.sssp import sssp_hops_dataset
+
+            out_ds, info = sssp_hops_dataset(
+                edges,
+                source=args.source,
+                max_iter=args.max_iter or 200,
+                num_state_partitions=args.num_state_partitions,
+            )
+            out_ds.write_parquet(os.path.join(args.out, "hops"))
         else:
             from graphminingtools_ray.algos.labelprop import (
                 label_propagation_dataset,
