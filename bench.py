@@ -587,6 +587,61 @@ def run_lpa_big(num_cpus: int) -> dict:
     }
 
 
+def run_kcore_big(num_cpus: int, k: int | None = None) -> dict:
+    """k-core peeling over the pinned 512M-edge bench graph — the peel
+    superstep is an alive-COUNT exchange (one int partial per dst, the
+    lightest panel family on the substrate), so this bounds the substrate's
+    count-panel throughput. DIRECTED-DEGREE VARIANT: the unsymmetrized edge
+    view (same graph and P as --pagerank/--lpa for comparability) — degrees
+    counted over incoming directed edges, a deliberate deviation from the
+    operator's edges_symmetric contract, stated in the metric name. k
+    defaults to 220 (below the ~256 mean in-degree): a non-trivial peel
+    that kills the sparse tail over several rounds."""
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=num_cpus,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from graphminingtools_ray.context import configure
+
+    configure()
+    import ray.data as rd
+
+    from graphminingtools_ray.algos.kcore import k_core_partitioned
+
+    k = k if k is not None else int(os.environ.get("GRAFT_KCORE_K", "220"))
+    path = ensure_bench_graph()
+    t0 = time.perf_counter()
+    _, g, info = k_core_partitioned(
+        rd.read_parquet(path), k=k, max_iter=50, num_state_partitions=8,
+    )
+    total = time.perf_counter() - t0
+    secs = sorted(s["seconds"] for s in info["supersteps"][1:])
+    med = secs[len(secs) // 2] if secs else float("nan")
+    ray.shutdown()
+    return {
+        "metric": "k-core peel superstep seconds (median, first dropped) on "
+        "the directed 512M-edge bench graph — DIRECTED-DEGREE VARIANT "
+        "(unsymmetrized input for comparability with --pagerank/--lpa)",
+        "value": round(med, 3),
+        "unit": "sec",
+        "k": k,
+        "total_sec": round(total, 3),
+        "iterations": info["iterations"],
+        "converged": info["converged"],
+        "superstep_sec": [round(s["seconds"], 3) for s in info["supersteps"]],
+        "died": [s["died"] for s in info["supersteps"]],
+        "n_edges": g.n_edges,
+        "edges_per_sec_per_superstep": round(g.n_edges / med, 1)
+        if med == med else None,
+        "num_cpus": num_cpus,
+    }
+
+
 def run_scaling(sf_dir: str, lo: int = 8, hi: int = 32) -> dict:
     ensure_bench_corpus()  # generate once, before either subprocess runs
     ensure_bench_graph()
@@ -704,5 +759,7 @@ if __name__ == "__main__":
         print(json.dumps(run_cc_big(num_cpus)))
     elif "--lpa" in sys.argv:
         print(json.dumps(run_lpa_big(num_cpus)))
+    elif "--kcore" in sys.argv:
+        print(json.dumps(run_kcore_big(num_cpus)))
     else:
         print(json.dumps(run_benchmarks(sf_dir, num_cpus)))
