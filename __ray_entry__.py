@@ -463,6 +463,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sssp_hops": graph_queries.sssp_hops_query,
         "personalized_pagerank": graph_queries.ppr_query,
         "edge_jaccard": _edge_jaccard,
+        "harmonic_centrality": graph_queries.harmonic_centrality_query,
         # levelwise mining level 1 (lwm_initAndCollect semantics)
         "frequent_vertex_labels": mining.frequent_vertex_labels,
         "frequent_edge_triples": mining.frequent_edge_triples,
@@ -834,6 +835,56 @@ def _sssp_sql(rounds: int = 20, min_weight: int = 2) -> str:
         + f"""
         SELECT verts.v AS vertex_id, COALESCE(r.d, -1)::BIGINT AS hops
         FROM verts LEFT JOIN d{rounds} r ON verts.v = r.v
+        """
+    )
+
+
+def _harmonic_sql(n_seeds: int = 4, rounds: int = 20,
+                  min_weight: int = 2) -> str:
+    """SQL twin of harmonic centrality (graph_queries.harmonic_centrality_query):
+    one unrolled BFS per seed (the n smallest vertex ids), then the exact
+    integer sum LCM(1..40)//d per vertex and one elementwise float
+    division. Valid like _sssp_sql (min-lattice idempotence past the
+    eccentricity)."""
+    lcm = 5342931457063200
+    head = f"""
+        WITH {_OP},
+        e0 AS (SELECT a.p AS src, b.p AS dst FROM op a
+               JOIN op b ON a.o = b.o AND a.p < b.p
+               GROUP BY 1, 2 HAVING COUNT(*) >= {min_weight}),
+        e AS MATERIALIZED (SELECT src, dst FROM e0
+                           UNION ALL SELECT dst, src FROM e0),
+        verts AS MATERIALIZED (SELECT DISTINCT src AS v FROM e),
+        seeds AS MATERIALIZED (
+            SELECT v, ROW_NUMBER() OVER (ORDER BY v) AS rn
+            FROM verts ORDER BY v LIMIT {n_seeds})
+    """
+    chains = []
+    finals = []
+    for j in range(n_seeds):
+        chains.append(f"""
+        s{j}d0 AS MATERIALIZED (
+            SELECT v, 0::BIGINT AS d FROM seeds WHERE rn = {j + 1})""")
+        for i in range(1, rounds + 1):
+            chains.append(f"""
+        s{j}d{i} AS MATERIALIZED (
+            SELECT v, MIN(d)::BIGINT AS d FROM (
+                SELECT v, d FROM s{j}d{i - 1}
+                UNION ALL
+                SELECT e.dst AS v, p.d + 1 AS d
+                FROM e JOIN s{j}d{i - 1} p ON e.src = p.v
+            ) GROUP BY 1)""")
+        finals.append(f"SELECT v, d FROM s{j}d{rounds} WHERE d > 0")
+    return (
+        head + "," + ",".join(chains)
+        + f""",
+        contrib AS ({' UNION ALL '.join(finals)}),
+        num AS (SELECT v, SUM({lcm} // d)::BIGINT AS hc_num
+                FROM contrib GROUP BY 1)
+        SELECT verts.v AS vertex_id,
+               COALESCE(num.hc_num, 0)::BIGINT AS hc_num,
+               ROUND(COALESCE(num.hc_num, 0) / {lcm}.0, 9) AS harmonic
+        FROM verts LEFT JOIN num ON verts.v = num.v
         """
     )
 
@@ -1670,6 +1721,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "k_core": _kcore_sql(k=3, rounds=24, min_weight=2),
         "sssp_hops": _sssp_sql(rounds=20, min_weight=2),
+        "harmonic_centrality": _harmonic_sql(n_seeds=4, rounds=20,
+                                             min_weight=2),
         "personalized_pagerank": _ppr_sql(k=5),
         # per-edge triangle support + neighborhood Jaccard: the triangle
         # CTE unnested to its three (normalized) edges, then exact-int

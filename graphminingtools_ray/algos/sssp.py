@@ -123,14 +123,17 @@ def sssp_hops_partitioned(
     source: int | None = None,
     max_iter: int = 200,
     num_state_partitions: int = 8,
+    graph=None,
 ):
     """Core loop. -> (state_ds, graph, info). State stays distributed
     (int64 dist, _INF = unreached). ``source=None`` uses the minimum vertex
     id (distributed scalar aggregate). ``edges_symmetric`` must contain
-    both half-edges (graph.symmetrize)."""
+    both half-edges (graph.symmetrize). ``graph`` reuses a prebuilt
+    PartitionedGraph (multi-source callers build once, relax per seed)."""
     if source is None:
         source = int(edges_symmetric.min("src"))
-    g = build_partitioned_graph(edges_symmetric, P=num_state_partitions)
+    g = graph if graph is not None else build_partitioned_graph(
+        edges_symmetric, P=num_state_partitions)
     if g.n_vertices == 0:
         return None, g, {"iterations": 0, "supersteps": [],
                          "source": int(source)}

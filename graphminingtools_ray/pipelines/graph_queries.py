@@ -350,6 +350,56 @@ def sssp_hops_query(sf_dir: str, min_weight: int = 2):
     return pd.DataFrame({"vertex_id": ids, "hops": dist})
 
 
+_HARMONIC_LCM = 5342931457063200  # lcm(1..40): LCM//d exact for any d<=40
+
+
+def harmonic_centrality_query(sf_dir: str, n_seeds: int = 4,
+                              min_weight: int = 2):
+    """Seed-set harmonic centrality (Boldi & Vigna 2014 axioms; the
+    sampled-source estimator): hc(v) = Σ_{s∈S, 0<d(s,v)} 1/d(s,v) over the
+    ``n_seeds`` smallest vertex ids of the weight>=2 co-purchase subgraph.
+    One substrate graph build shared across per-seed BFS runs. Exactness:
+    the sum is the EXACT integer Σ LCM(1..40)/d (any hop distance ≤ 40
+    divides the LCM — asserted loudly), then one elementwise float
+    division, hash-exact vs the per-seed-unrolled SQL twin."""
+    import ray.data as rd
+
+    from ..algos.partitioned import build_partitioned_graph
+    from ..algos.sssp import sssp_hops_partitioned, state_to_arrays
+
+    sym = symmetrize(
+        copurchase_edges(sf_dir).filter(expr=f"weight >= {min_weight}")
+        .drop_columns(["weight"])
+    )
+
+    def bottom(t: pa.Table) -> pa.Table:
+        u = np.unique(t["src"].to_numpy())
+        return pa.table({"v": u[:n_seeds]})
+
+    part = sym.map_batches(bottom, batch_format="pyarrow").to_pandas()
+    seeds = np.unique(part["v"].to_numpy())[:n_seeds]
+
+    g = build_partitioned_graph(sym, P=8)
+    hc_num = None
+    ids = None
+    for s in seeds:
+        state_ds, _, _ = sssp_hops_partitioned(sym, source=int(s), graph=g)
+        sids, dist = state_to_arrays(state_ds, g)
+        dist = dist.astype(np.int64)
+        reach = (dist > 0) & (dist < 41)
+        assert int(dist[(dist > 0) & (dist < 2**40)].max(initial=0)) <= 40, \
+            "hop distance exceeds the LCM(1..40) exactness bound"
+        if hc_num is None:
+            ids = sids
+            hc_num = np.zeros(len(ids), np.int64)
+        hc_num[reach] += _HARMONIC_LCM // dist[reach]
+    return pd.DataFrame({
+        "vertex_id": ids,
+        "hc_num": hc_num,
+        "harmonic": round_half_away(hc_num / float(_HARMONIC_LCM), 9),
+    })
+
+
 def order_graph_measures(sf_dir: str):
     """The `gf` measure table (graph/gdb.py — reference filter.c:386-533
     dispatch) over PARQUET-DERIVED transactions: per-order graphs with

@@ -509,3 +509,52 @@ def test_edge_common_neighbors_match_bruteforce():
             if c:
                 want[(u, v)] = c
         assert got == want, trial
+
+
+def test_harmonic_centrality_exact_integer_sums():
+    """The LCM-scaled integer harmonic sums equal brute-force BFS sums on a
+    seeded disconnected graph (exercises unreachable + self exclusion)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from graphminingtools_ray.algos.partitioned import (
+        build_partitioned_graph,
+    )
+    from graphminingtools_ray.algos.sssp import (
+        sssp_hops_partitioned,
+        state_to_arrays,
+    )
+    from graphminingtools_ray.pipelines.graph_queries import _HARMONIC_LCM
+
+    rng = np.random.default_rng(47)
+    n = 50
+    a = rng.integers(0, n, 70)
+    b = rng.integers(0, n, 70)
+    m = a != b
+    pairs = sorted({tuple(sorted((int(x), int(y))))
+                    for x, y in zip(a[m], b[m])})
+    src = np.array([p[0] for p in pairs] + [p[1] for p in pairs], np.int64)
+    dst = np.array([p[1] for p in pairs] + [p[0] for p in pairs], np.int64)
+    sym = rd.from_arrow(pa.table({"src": src, "dst": dst}))
+    verts = sorted({v for p in pairs for v in p})
+    seeds = verts[:3]
+    g = build_partitioned_graph(sym, P=4)
+    hc = None
+    ids = None
+    for s in seeds:
+        state_ds, _, _ = sssp_hops_partitioned(sym, source=s, graph=g)
+        sids, d = state_to_arrays(state_ds, g)
+        d = d.astype(np.int64)
+        if hc is None:
+            ids, hc = sids, np.zeros(len(sids), np.int64)
+        reach = (d > 0) & (d < 41)
+        hc[reach] += _HARMONIC_LCM // d[reach]
+    oids, want = None, {}
+    for s in seeds:
+        od, odist = _bfs_bruteforce(pairs, source=s)
+        oids = od
+        for v, dd in zip(od, odist):
+            if 0 < dd <= 40:
+                want[int(v)] = want.get(int(v), 0) + _HARMONIC_LCM // int(dd)
+    assert np.array_equal(ids, oids)
+    assert np.array_equal(hc, np.array([want.get(int(v), 0) for v in ids]))
