@@ -32,6 +32,7 @@ import ray
 import ray.data as rd
 
 from .partitioned import (
+    PartitionedCheckpoint,
     build_partitioned_graph,
     flatten_panel_group,
     init_state,
@@ -89,9 +90,12 @@ def _alive_count_cell(block: pa.Table, layout: pa.Table, h: dict,
 
 
 @ray.remote(num_returns=2)
-def _peel_part(h: dict, part: int, k: int, *panels: pa.Table):
+def _peel_part(h: dict, part: int, k: int, iteration: int, ckpt_tmp, digest,
+               *panels: pa.Table):
     """REDUCE side: sum this part's alive-degree panels (order-free exact
     int64 adds) and kill vertices below k. Emits (state row, died-count)."""
+    sref, srow = h["static"][part]
+    (ids_p,) = _row_lists(ray.get(sref), srow, ["ids"])
     vref, vrow = h["state"][part]
     (alive_old,) = _row_lists(ray.get(vref), vrow, ["values"])
     deg = np.zeros(len(alive_old), dtype=np.int64)
@@ -102,6 +106,10 @@ def _peel_part(h: dict, part: int, k: int, *panels: pa.Table):
             np.add.at(deg, dst_local, partial)
     new_alive = np.where((alive_old > 0) & (deg >= k), 1, 0).astype(np.int64)
     died = int(np.count_nonzero(new_alive != alive_old))
+    if ckpt_tmp is not None:
+        PartitionedCheckpoint.write_shard(
+            ckpt_tmp, iteration, part, digest, ids_p, new_alive
+        )
     row_table = pa.table(
         {
             "part": pa.array([part], pa.int64()),
@@ -116,24 +124,55 @@ def k_core_partitioned(
     k: int = 3,
     max_iter: int = 200,
     num_state_partitions: int = 8,
+    checkpoint_dir: str | None = None,
 ):
     """Core loop. -> (state_ds, graph, info). State stays distributed;
     state value 1 = in the k-core, 0 = peeled. ``edges_symmetric`` must
-    contain both half-edges (graph.symmetrize)."""
+    contain both half-edges (graph.symmetrize). With ``checkpoint_dir``,
+    per-partition shards + lineage manifests land per superstep (same
+    PartitionedCheckpoint contract as CC/LPA/PageRank) and a re-run with
+    the same graph digest resumes from the last committed round."""
     g = build_partitioned_graph(edges_symmetric, P=num_state_partitions)
     if g.n_vertices == 0:
         return None, g, {"iterations": 0, "supersteps": []}
 
-    state_ds, state_index, _ = init_state(
-        g, lambda part, ids, outdeg: np.ones(len(ids), np.int64), pa.int64()
+    ckpt = (
+        PartitionedCheckpoint(checkpoint_dir, g.digest)
+        if checkpoint_dir is not None
+        else None
     )
+    start_iter = 0
+    resumed_from = None
+    state_ds = state_index = None
+    if ckpt is not None:
+        latest = ckpt.latest_meta()
+        if latest is not None:
+            it, manifest = latest
+            meta = manifest.get("meta", {})
+            state_ds, state_index = ckpt.load_state(g, it, pa.int64())
+            start_iter = it + 1
+            resumed_from = it
+            if meta.get("converged"):
+                return state_ds, g, {
+                    "iterations": it + 1,
+                    "converged": True,
+                    "resumed_from": it,
+                    "supersteps": [],
+                }
+    if state_ds is None:
+        state_ds, state_index, _ = init_state(
+            g, lambda part, ids, outdeg: np.ones(len(ids), np.int64),
+            pa.int64()
+        )
     supersteps = []
     converged = False
     parts_sorted = list(g.parts)
     row_refs: dict = {}
-    for it in range(max_iter):
+    for it in range(start_iter, max_iter):
         t0 = time.perf_counter()
-        handles_ref = ray.put({"state": state_index})
+        handles_ref = ray.put({"static": g.static_index,
+                               "state": state_index})
+        tmp = ckpt.tmp_dir(it) if ckpt is not None else None
         panel_refs: dict[int, list] = {p: [] for p in parts_sorted}
         for bref, lref, dst_parts, _bid in g.panel_blocks:
             refs = _alive_count_cell.options(
@@ -146,20 +185,28 @@ def k_core_partitioned(
         row_refs, died_refs = {}, {}
         for p in parts_sorted:
             row_refs[p], died_refs[p] = _peel_part.remote(
-                handles_ref, p, k, *panel_refs[p]
+                handles_ref, p, k, it, tmp, g.digest, *panel_refs[p]
             )
         died = int(sum(ray.get([died_refs[p] for p in parts_sorted])))
         state_index = {p: (row_refs[p], 0) for p in parts_sorted}
         dt = time.perf_counter() - t0
         supersteps.append({"iteration": it, "seconds": dt, "died": died})
-        if died == 0:
-            converged = True
+        converged = died == 0
+        if ckpt is not None:
+            ckpt.commit(
+                it, parts_sorted,
+                meta={"died": died, "converged": converged, "k": k,
+                      "seconds": dt, "n_edges": g.n_edges},
+            )
+        if converged:
             break
 
-    state_ds = rd.from_arrow_refs([row_refs[p] for p in parts_sorted])
+    if row_refs:
+        state_ds = rd.from_arrow_refs([row_refs[p] for p in parts_sorted])
     info = {
-        "iterations": len(supersteps),
+        "iterations": len(supersteps) + start_iter,
         "converged": converged,
+        "resumed_from": resumed_from,
         "supersteps": supersteps,
     }
     return state_ds, g, info
@@ -170,10 +217,11 @@ def k_core(
     k: int = 3,
     max_iter: int = 200,
     num_state_partitions: int = 8,
+    checkpoint_dir: str | None = None,
 ):
     """-> (vertex_ids, in_core 0/1 flags, info) — numpy result delivery."""
     state_ds, g, info = k_core_partitioned(
-        edges_symmetric, k, max_iter, num_state_partitions
+        edges_symmetric, k, max_iter, num_state_partitions, checkpoint_dir
     )
     if state_ds is None:
         return np.empty(0, np.int64), np.empty(0, np.int64), info

@@ -119,6 +119,7 @@ def main() -> int:
                 k=args.k,
                 max_iter=args.max_iter or 200,
                 num_state_partitions=args.num_state_partitions,
+                checkpoint_dir=args.checkpoint_dir,
             )
             out_ds.write_parquet(os.path.join(args.out, "kcore"))
         elif args.algo == "sssp":

@@ -82,3 +82,28 @@ def test_lpa_resume(tmp_path):
     assert info["resumed_from"] == 1
     assert np.array_equal(ids_a, ids_b)
     assert np.array_equal(lab_a, lab_b)
+
+
+def test_kcore_resume(tmp_path):
+    """Interrupted peel (max_iter=1) resumes from the committed round and
+    reaches the same core as an uninterrupted run."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from graphminingtools_ray.algos.kcore import k_core
+
+    # a 16-vertex path feeding a 4-clique: k=2 peels the path inward from
+    # the free end, one synchronous round per vertex — a long cascade
+    pairs = [(i, i + 1) for i in range(16)] + [
+        (16, 17), (16, 18), (16, 19), (17, 18), (17, 19), (18, 19)]
+    src = np.array([p[0] for p in pairs] + [p[1] for p in pairs], np.int64)
+    dst = np.array([p[1] for p in pairs] + [p[0] for p in pairs], np.int64)
+    edges = rd.from_arrow(pa.table({"src": src, "dst": dst}))
+    ck = str(tmp_path / "kcore")
+    ids_a, fl_a, info_a = k_core(edges, k=2)
+    assert info_a["iterations"] > 5  # the peel must be non-trivial
+    k_core(edges, k=2, max_iter=3, checkpoint_dir=ck)
+    ids_b, fl_b, info = k_core(edges, k=2, checkpoint_dir=ck)
+    assert info["resumed_from"] == 2
+    assert np.array_equal(ids_a, ids_b)
+    assert np.array_equal(fl_a, fl_b)
