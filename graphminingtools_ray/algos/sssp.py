@@ -28,6 +28,7 @@ import ray
 import ray.data as rd
 
 from .partitioned import (
+    PartitionedCheckpoint,
     build_partitioned_graph,
     flatten_panel_group,
     init_state,
@@ -97,9 +98,12 @@ def _relax_cell(block: pa.Table, layout: pa.Table, h: dict,
 
 
 @ray.remote(num_returns=2)
-def _min_dist_part(h: dict, part: int, *panels: pa.Table):
+def _min_dist_part(h: dict, part: int, iteration: int, ckpt_tmp, digest,
+                   *panels: pa.Table):
     """REDUCE side: min-merge this part's distance panels (order-free exact
     int64 min-lattice); emits (state row, changed-count scalar)."""
+    sref, srow = h["static"][part]
+    (ids_p,) = _row_lists(ray.get(sref), srow, ["ids"])
     vref, vrow = h["state"][part]
     (dist_old,) = _row_lists(ray.get(vref), vrow, ["values"])
     new_dist = dist_old.copy()
@@ -109,6 +113,10 @@ def _min_dist_part(h: dict, part: int, *panels: pa.Table):
         if len(dst_local):
             np.minimum.at(new_dist, dst_local, partial)
     changed = int(np.count_nonzero(new_dist != dist_old))
+    if ckpt_tmp is not None:
+        PartitionedCheckpoint.write_shard(
+            ckpt_tmp, iteration, part, digest, ids_p, new_dist
+        )
     row_table = pa.table(
         {
             "part": pa.array([part], pa.int64()),
@@ -124,12 +132,17 @@ def sssp_hops_partitioned(
     max_iter: int = 200,
     num_state_partitions: int = 8,
     graph=None,
+    checkpoint_dir: str | None = None,
 ):
     """Core loop. -> (state_ds, graph, info). State stays distributed
     (int64 dist, _INF = unreached). ``source=None`` uses the minimum vertex
     id (distributed scalar aggregate). ``edges_symmetric`` must contain
     both half-edges (graph.symmetrize). ``graph`` reuses a prebuilt
-    PartitionedGraph (multi-source callers build once, relax per seed)."""
+    PartitionedGraph (multi-source callers build once, relax per seed).
+    With ``checkpoint_dir``: per-partition distance shards + lineage per
+    superstep, digest-keyed resume (the CC/LPA/PageRank contract); the
+    digest covers the graph only, so checkpoints of different SOURCES must
+    use different directories."""
     if source is None:
         source = int(edges_symmetric.min("src"))
     g = graph if graph is not None else build_partitioned_graph(
@@ -138,20 +151,46 @@ def sssp_hops_partitioned(
         return None, g, {"iterations": 0, "supersteps": [],
                          "source": int(source)}
 
-    state_ds, state_index, _ = init_state(
-        g,
-        lambda part, ids, outdeg: np.where(
-            ids == source, 0, _INF).astype(np.int64),
-        pa.int64(),
+    ckpt = (
+        PartitionedCheckpoint(checkpoint_dir, g.digest)
+        if checkpoint_dir is not None
+        else None
     )
+    start_iter = 0
+    resumed_from = None
+    state_ds = state_index = None
+    if ckpt is not None:
+        latest = ckpt.latest_meta()
+        if latest is not None:
+            it, manifest = latest
+            meta = manifest.get("meta", {})
+            state_ds, state_index = ckpt.load_state(g, it, pa.int64())
+            start_iter = it + 1
+            resumed_from = it
+            if meta.get("converged"):
+                return state_ds, g, {
+                    "iterations": it + 1,
+                    "converged": True,
+                    "resumed_from": it,
+                    "source": int(source),
+                    "supersteps": [],
+                }
+    if state_ds is None:
+        state_ds, state_index, _ = init_state(
+            g,
+            lambda part, ids, outdeg: np.where(
+                ids == source, 0, _INF).astype(np.int64),
+            pa.int64(),
+        )
     supersteps = []
     converged = False
     parts_sorted = list(g.parts)
     row_refs: dict = {}
-    for it in range(max_iter):
+    for it in range(start_iter, max_iter):
         t0 = time.perf_counter()
         handles_ref = ray.put({"static": g.static_index,
                                "state": state_index})
+        tmp = ckpt.tmp_dir(it) if ckpt is not None else None
         panel_refs: dict[int, list] = {p: [] for p in parts_sorted}
         for bref, lref, dst_parts, _bid in g.panel_blocks:
             refs = _relax_cell.options(num_returns=len(dst_parts)).remote(
@@ -164,19 +203,28 @@ def sssp_hops_partitioned(
         row_refs, chg_refs = {}, {}
         for p in parts_sorted:
             row_refs[p], chg_refs[p] = _min_dist_part.remote(
-                handles_ref, p, *panel_refs[p]
+                handles_ref, p, it, tmp, g.digest, *panel_refs[p]
             )
         changed = int(sum(ray.get([chg_refs[p] for p in parts_sorted])))
         state_index = {p: (row_refs[p], 0) for p in parts_sorted}
         dt = time.perf_counter() - t0
         supersteps.append({"iteration": it, "seconds": dt,
                            "changed": changed})
-        if changed == 0:
-            converged = True
+        converged = changed == 0
+        if ckpt is not None:
+            ckpt.commit(
+                it, parts_sorted,
+                meta={"changed": changed, "converged": converged,
+                      "source": int(source), "seconds": dt,
+                      "n_edges": g.n_edges},
+            )
+        if converged:
             break
 
-    state_ds = rd.from_arrow_refs([row_refs[p] for p in parts_sorted])
-    info = {"iterations": len(supersteps), "converged": converged,
+    if row_refs:
+        state_ds = rd.from_arrow_refs([row_refs[p] for p in parts_sorted])
+    info = {"iterations": len(supersteps) + start_iter,
+            "converged": converged, "resumed_from": resumed_from,
             "source": int(source), "supersteps": supersteps}
     return state_ds, g, info
 
@@ -186,11 +234,13 @@ def sssp_hops(
     source: int | None = None,
     max_iter: int = 200,
     num_state_partitions: int = 8,
+    checkpoint_dir: str | None = None,
 ):
     """-> (vertex_ids, hop distances with -1 for unreachable, info) —
     numpy result delivery over the distributed loop."""
     state_ds, g, info = sssp_hops_partitioned(
-        edges_symmetric, source, max_iter, num_state_partitions
+        edges_symmetric, source, max_iter, num_state_partitions,
+        checkpoint_dir=checkpoint_dir,
     )
     if state_ds is None:
         return np.empty(0, np.int64), np.empty(0, np.int64), info

@@ -130,6 +130,7 @@ def main() -> int:
                 source=args.source,
                 max_iter=args.max_iter or 200,
                 num_state_partitions=args.num_state_partitions,
+                checkpoint_dir=args.checkpoint_dir,
             )
             out_ds.write_parquet(os.path.join(args.out, "hops"))
         else:

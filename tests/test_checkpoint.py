@@ -107,3 +107,25 @@ def test_kcore_resume(tmp_path):
     assert info["resumed_from"] == 2
     assert np.array_equal(ids_a, ids_b)
     assert np.array_equal(fl_a, fl_b)
+
+
+def test_sssp_resume(tmp_path):
+    """Interrupted BFS resumes from the committed round; distances equal an
+    uninterrupted run (a path graph needs one round per hop)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from graphminingtools_ray.algos.sssp import sssp_hops
+
+    pairs = [(i, i + 1) for i in range(20)]
+    src = np.array([p[0] for p in pairs] + [p[1] for p in pairs], np.int64)
+    dst = np.array([p[1] for p in pairs] + [p[0] for p in pairs], np.int64)
+    edges = rd.from_arrow(pa.table({"src": src, "dst": dst}))
+    ck = str(tmp_path / "sssp")
+    ids_a, d_a, info_a = sssp_hops(edges, source=0)
+    assert info_a["iterations"] > 2
+    sssp_hops(edges, source=0, max_iter=2, checkpoint_dir=ck)
+    ids_b, d_b, info = sssp_hops(edges, source=0, checkpoint_dir=ck)
+    assert info["resumed_from"] == 1
+    assert np.array_equal(ids_a, ids_b)
+    assert np.array_equal(d_a, d_b)
