@@ -464,6 +464,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "personalized_pagerank": graph_queries.ppr_query,
         "edge_jaccard": _edge_jaccard,
         "harmonic_centrality": graph_queries.harmonic_centrality_query,
+        # rows-only: fractional Brandes dependency sums have no order-free
+        # SQL twin; exactness pinned by the pure-Python Brandes pytest
+        "betweenness_sampled": graph_queries.betweenness_query,
         # levelwise mining level 1 (lwm_initAndCollect semantics)
         "frequent_vertex_labels": mining.frequent_vertex_labels,
         "frequent_edge_triples": mining.frequent_edge_triples,

@@ -350,6 +350,34 @@ def sssp_hops_query(sf_dir: str, min_weight: int = 2):
     return pd.DataFrame({"vertex_id": ids, "hops": dist})
 
 
+def betweenness_query(sf_dir: str, n_sources: int = 2, min_weight: int = 2):
+    """Sampled-source betweenness (Brandes dependencies from the
+    ``n_sources`` smallest vertex ids) on the weight>=2 co-purchase
+    subgraph. Rows-only at the driver gate (the fractional dependency sums
+    have no order-free SQL twin); exactness vs pure-Python Brandes is
+    pinned by tests/test_algos_micro.py, and the panel discipline makes
+    the float result bit-deterministic run-to-run."""
+    from ..algos.betweenness import betweenness_sampled
+
+    sym = symmetrize(
+        copurchase_edges(sf_dir).filter(expr=f"weight >= {min_weight}")
+        .drop_columns(["weight"])
+    )
+
+    def bottom(t: pa.Table) -> pa.Table:
+        u = np.unique(t["src"].to_numpy())
+        return pa.table({"v": u[:n_sources]})
+
+    part = sym.map_batches(bottom, batch_format="pyarrow").to_pandas()
+    sources = np.unique(part["v"].to_numpy())[:n_sources]
+    # P=4: the gate graph is small, and betweenness runs ~3 supersteps per
+    # BFS level — fewer grid cells cut the per-superstep scheduling floor
+    ids, bc, _ = betweenness_sampled(sym, sources, num_state_partitions=4)
+    return pd.DataFrame(
+        {"vertex_id": ids, "betweenness": round_half_away(bc, 9)}
+    )
+
+
 _HARMONIC_LCM = 5342931457063200  # lcm(1..40): LCM//d exact for any d<=40
 
 

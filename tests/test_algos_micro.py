@@ -558,3 +558,91 @@ def test_harmonic_centrality_exact_integer_sums():
                 want[int(v)] = want.get(int(v), 0) + _HARMONIC_LCM // int(dd)
     assert np.array_equal(ids, oids)
     assert np.array_equal(hc, np.array([want.get(int(v), 0) for v in ids]))
+
+
+def _brandes_bruteforce(pairs, sources):
+    """Pure-Python Brandes (2001) dependency accumulation per source."""
+    import collections
+
+    adj = collections.defaultdict(set)
+    for a, b in pairs:
+        if a != b:
+            adj[int(a)].add(int(b))
+            adj[int(b)].add(int(a))
+    verts = sorted(adj)
+    bc = {v: 0.0 for v in verts}
+    for s in sources:
+        stack = []
+        pred = {v: [] for v in verts}
+        sigma = {v: 0.0 for v in verts}
+        dist = {v: -1 for v in verts}
+        sigma[s] = 1.0
+        dist[s] = 0
+        queue = collections.deque([s])
+        while queue:
+            v = queue.popleft()
+            stack.append(v)
+            for w in adj[v]:
+                if dist[w] < 0:
+                    dist[w] = dist[v] + 1
+                    queue.append(w)
+                if dist[w] == dist[v] + 1:
+                    sigma[w] += sigma[v]
+                    pred[w].append(v)
+        delta = {v: 0.0 for v in verts}
+        while stack:
+            w = stack.pop()
+            for v in pred[w]:
+                delta[v] += sigma[v] / sigma[w] * (1.0 + delta[w])
+            if w != s:
+                bc[w] += delta[w]
+    return np.array(verts, np.int64), np.array([bc[v] for v in verts])
+
+
+@pytest.mark.parametrize("name", sorted(GRAPHS))
+def test_betweenness_matches_brandes_micro(name):
+    from graphminingtools_ray.algos.betweenness import betweenness_sampled
+    from graphminingtools_ray.algos.triangles import simple_undirected
+
+    pairs = [(a, b) for a, b in GRAPHS[name] if a != b]
+    verts = sorted({v for p in pairs for v in p})
+    ids, bc, info = betweenness_sampled(
+        symmetrize(simple_undirected(edges_ds(pairs))),
+        np.array(verts, np.int64),  # every vertex -> exact betweenness
+    )
+    oids, obc = _brandes_bruteforce(pairs, verts)
+    assert np.array_equal(ids, oids)
+    np.testing.assert_allclose(bc, obc, atol=1e-9)
+
+
+def test_betweenness_random_graphs_match_brandes():
+    """Seeded sparse ER graphs (disconnected) with a source subset through
+    the multi-partition path."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from graphminingtools_ray.algos.betweenness import betweenness_sampled
+    from graphminingtools_ray.algos.triangles import simple_undirected
+    from graphminingtools_ray.graph import symmetrize as symz
+
+    rng = np.random.default_rng(61)
+    for trial in range(2):
+        n = 45
+        a = rng.integers(0, n, 110)
+        b = rng.integers(0, n, 110)
+        m = a != b
+        pairs = sorted({tuple(sorted((int(x), int(y))))
+                        for x, y in zip(a[m], b[m])})
+        verts = sorted({v for p in pairs for v in p})
+        sources = verts[:5]
+        edges = rd.from_arrow(pa.table({
+            "src": np.array([p[0] for p in pairs], np.int64),
+            "dst": np.array([p[1] for p in pairs], np.int64),
+        }))
+        ids, bc, _ = betweenness_sampled(
+            symz(simple_undirected(edges)),
+            np.array(sources, np.int64), num_state_partitions=4,
+        )
+        oids, obc = _brandes_bruteforce(pairs, sources)
+        assert np.array_equal(ids, oids), trial
+        np.testing.assert_allclose(bc, obc, atol=1e-9)
