@@ -289,6 +289,14 @@ def _opk_features(sf_dir: str):
     return opk_features(sf_dir, depth=3)
 
 
+def _k_truss(sf_dir: str):
+    """k=10 truss edge set of the co-purchase graph
+    (pipelines/linkpred.k_truss_query)."""
+    from graphminingtools_ray.pipelines.linkpred import k_truss_query
+
+    return k_truss_query(sf_dir)
+
+
 def _edge_jaccard(sf_dir: str):
     """Per-edge common-neighbor support + neighborhood Jaccard over the
     co-purchase graph (pipelines/linkpred.py) — edges in >=1 triangle."""
@@ -463,6 +471,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sssp_hops": graph_queries.sssp_hops_query,
         "personalized_pagerank": graph_queries.ppr_query,
         "edge_jaccard": _edge_jaccard,
+        "k_truss": _k_truss,
         "harmonic_centrality": graph_queries.harmonic_centrality_query,
         # rows-only: fractional Brandes dependency sums have no order-free
         # SQL twin; exactness pinned by the pure-Python Brandes pytest
@@ -839,6 +848,39 @@ def _sssp_sql(rounds: int = 20, min_weight: int = 2) -> str:
         SELECT verts.v AS vertex_id, COALESCE(r.d, -1)::BIGINT AS hops
         FROM verts LEFT JOIN d{rounds} r ON verts.v = r.v
         """
+    )
+
+
+def _ktruss_sql(k: int = 10, rounds: int = 16) -> str:
+    """SQL twin of the k-truss query (pipelines/linkpred.k_truss_query):
+    the peel round (drop edges with in-subgraph triangle support < k-2)
+    unrolled ``rounds`` times. Valid for the engine's fixpoint early exit
+    because truss peeling is idempotent once converged (sf0.01 peels in 8
+    rounds; 16 leaves margin). Each round's support table comes from the
+    triangle CTE over the surviving edge set, unnested to its three
+    normalized edges."""
+    head = f"WITH {_OP}, t0 AS MATERIALIZED ({_E0.split('AS ', 1)[1]})"
+    levels = []
+    for i in range(1, rounds + 1):
+        levels.append(f"""
+        tri{i} AS MATERIALIZED (
+            SELECT ab.src AS a, ab.dst AS b, bc.dst AS c
+            FROM t{i - 1} ab JOIN t{i - 1} bc ON ab.dst = bc.src
+                 JOIN t{i - 1} ac ON ac.src = ab.src
+                                 AND ac.dst = bc.dst),
+        sup{i} AS (
+            SELECT u, v, COUNT(*)::BIGINT AS s FROM (
+                SELECT a AS u, b AS v FROM tri{i}
+                UNION ALL SELECT b, c FROM tri{i}
+                UNION ALL SELECT a, c FROM tri{i}
+            ) GROUP BY 1, 2),
+        t{i} AS MATERIALIZED (
+            SELECT t.src, t.dst FROM t{i - 1} t
+            JOIN sup{i} ON sup{i}.u = t.src AND sup{i}.v = t.dst
+            WHERE sup{i}.s >= {k - 2})""")
+    return (
+        head + "," + ",".join(levels)
+        + f" SELECT src, dst FROM t{rounds}"
     )
 
 
@@ -1723,6 +1765,7 @@ def oracle_sql() -> dict[str, str]:
             FROM s
         """,
         "k_core": _kcore_sql(k=3, rounds=24, min_weight=2),
+        "k_truss": _ktruss_sql(k=10, rounds=16),
         "sssp_hops": _sssp_sql(rounds=20, min_weight=2),
         "harmonic_centrality": _harmonic_sql(n_seeds=4, rounds=20,
                                              min_weight=2),

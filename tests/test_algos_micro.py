@@ -646,3 +646,46 @@ def test_betweenness_random_graphs_match_brandes():
         oids, obc = _brandes_bruteforce(pairs, sources)
         assert np.array_equal(ids, oids), trial
         np.testing.assert_allclose(bc, obc, atol=1e-9)
+
+
+def _truss_bruteforce(pairs, k):
+    """Sequential truss peel: drop edges with in-subgraph triangle support
+    < k-2 until stable."""
+    edges = {tuple(sorted((int(a), int(b)))) for a, b in pairs if a != b}
+    while True:
+        import collections
+
+        adj = collections.defaultdict(set)
+        for u, v in edges:
+            adj[u].add(v)
+            adj[v].add(u)
+        sup = {e: len(adj[e[0]] & adj[e[1]]) for e in edges}
+        dead = {e for e, s in sup.items() if s < k - 2}
+        if not dead:
+            return edges
+        edges -= dead
+
+
+@pytest.mark.parametrize("k", [3, 4, 5])
+def test_ktruss_matches_bruteforce(k):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from graphminingtools_ray.pipelines.linkpred import k_truss
+
+    rng = np.random.default_rng(67)
+    n = 40
+    a = rng.integers(0, n, 260)
+    b = rng.integers(0, n, 260)
+    m = a != b
+    pairs = sorted({tuple(sorted((int(x), int(y))))
+                    for x, y in zip(a[m], b[m])})
+    edges = rd.from_arrow(pa.table({
+        "src": np.array([p[0] for p in pairs], np.int64),
+        "dst": np.array([p[1] for p in pairs], np.int64),
+    }))
+    truss, info = k_truss(edges, k=k, num_buckets=8)
+    got = {(int(r["src"]), int(r["dst"]))
+           for r in truss.to_pandas().to_dict("records")}
+    want = _truss_bruteforce(pairs, k)
+    assert got == want, (k, len(got), len(want))
