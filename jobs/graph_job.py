@@ -11,10 +11,15 @@ metrics, run via ray job submit").
         --edges /data/edges --checkpoint-dir /data/ck --out /data/labels
     ray job submit -- python jobs/graph_job.py triangles \
         --edges /data/edges --out /data/triangles
+    ray job submit -- python jobs/graph_job.py kcore --k 3 \
+        --edges /data/edges --checkpoint-dir /data/ck --out /data/kcore
+    ray job submit -- python jobs/graph_job.py sssp --source 0 \
+        --edges /data/edges --checkpoint-dir /data/ck --out /data/hops
 
-cc / lpa run on the 2D-grid superstep substrate: a killed submission
-re-run with the same arguments resumes from the last completed superstep
-(state/checkpoint.py lineage manifests, keyed by the graph digest).
+cc / lpa / kcore / sssp run on the 2D-grid superstep substrate: a killed
+submission re-run with the same arguments resumes from the last completed
+superstep (state/checkpoint.py lineage manifests, keyed by the graph
+digest — sssp checkpoints of different sources need different dirs).
 triangles is a single streaming pass (no iterative state to checkpoint);
 its output parquet is the resumable artifact. Metrics (per-superstep
 seconds, changed counts) land next to the output as metrics.json.
