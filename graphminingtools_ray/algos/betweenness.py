@@ -39,6 +39,7 @@ import ray.data as rd
 
 from .partitioned import (
     build_partitioned_graph,
+    flatten_float_panels,
     index_state,
     init_state,
     state_to_arrays,
@@ -47,29 +48,6 @@ from .partitioned import (
     _row_lists,
 )
 from .sssp import _INF, sssp_hops_partitioned
-
-
-def _flatten_ordered(panels, n_p: int) -> np.ndarray:
-    """Canonical block_id-order float accumulation (pagerank discipline)."""
-    incoming = np.zeros(n_p, dtype=np.float64)
-    if not panels:
-        return incoming
-    t = pa.concat_tables(panels)
-    order = np.argsort(t["block_id"].to_numpy(), kind="stable")
-    dst_col = t["dst"].combine_chunks()
-    par_col = t["partial"].combine_chunks()
-    sparse_dst, sparse_par = [], []
-    for i in order:
-        i = int(i)
-        dv = dst_col[i].values.to_numpy(zero_copy_only=False)
-        pv = par_col[i].values.to_numpy(zero_copy_only=False)
-        if len(dv):
-            sparse_dst.append(dv)
-            sparse_par.append(pv)
-    if sparse_dst:
-        np.add.at(incoming, np.concatenate(sparse_dst),
-                  np.concatenate(sparse_par))
-    return incoming
 
 
 @ray.remote
@@ -137,7 +115,7 @@ def _sigma_update(h: dict, part: int, level: int, *panels: pa.Table):
     (dist_p,) = _row_lists(ray.get(dref), drow, ["values"])
     sref, srow_ = h["sigma"][part]
     (sigma_old,) = _row_lists(ray.get(sref), srow_, ["values"])
-    incoming = _flatten_ordered(panels, len(sigma_old))
+    incoming = flatten_float_panels(panels, len(sigma_old))
     at_level = dist_p == level
     new_sigma = np.where(at_level, incoming, sigma_old)
     n_set = int(np.count_nonzero(at_level))
@@ -156,7 +134,7 @@ def _delta_update(h: dict, part: int, level: int, *panels: pa.Table):
     (sigma_p,) = _row_lists(ray.get(sref), srow_, ["values"])
     eref, erow = h["delta"][part]
     (delta_old,) = _row_lists(ray.get(eref), erow, ["values"])
-    incoming = _flatten_ordered(panels, len(delta_old))
+    incoming = flatten_float_panels(panels, len(delta_old))
     at_level = dist_p == level
     new_delta = np.where(at_level, sigma_p * incoming, delta_old)
     return pa.table(

@@ -38,7 +38,7 @@ import ray.data as rd
 from .partitioned import (
     PartitionedCheckpoint,
     build_partitioned_graph,
-    flatten_panel_group,
+    flatten_float_panels,
     init_state,
     unpack_panel_layout,
     state_to_arrays,
@@ -136,31 +136,7 @@ def _update_part(h: dict, part: int, damping: float, n: int,
     ids_p, outdeg_p = _row_lists(ray.get(sref), srow, ["ids", "outdeg"])
     vref, vrow = h["state"][part]
     (rank_old,) = _row_lists(ray.get(vref), vrow, ["values"])
-    incoming = np.zeros(len(ids_p), dtype=np.float64)
-    if panels:
-        t = pa.concat_tables(panels)
-        order = np.argsort(t["block_id"].to_numpy(), kind="stable")
-        dst_col = t["dst"].combine_chunks()
-        par_col = t["partial"].combine_chunks()
-        n_p = len(ids_p)
-        # canonical accumulation: dense panels first (vector adds), then
-        # sparse panels, each family in block_id order → bit-deterministic
-        sparse_dst, sparse_par = [], []
-        for i in order:
-            i = int(i)
-            dv = dst_col[i].values.to_numpy(zero_copy_only=False)
-            pv = par_col[i].values.to_numpy(zero_copy_only=False)
-            if len(dv) == 0 and len(pv) == n_p:
-                incoming += pv
-            elif len(dv):
-                sparse_dst.append(dv)
-                sparse_par.append(pv)
-        if sparse_dst:
-            np.add.at(
-                incoming,
-                np.concatenate(sparse_dst),
-                np.concatenate(sparse_par),
-            )
+    incoming = flatten_float_panels(panels, len(ids_p))
     new_rank = (1.0 - damping) / n + damping * (incoming + dangling_mass / n)
     delta = float(np.max(np.abs(new_rank - rank_old))) if len(ids_p) else 0.0
     dangling_partial = float(new_rank[outdeg_p == 0.0].sum())

@@ -211,6 +211,35 @@ def flatten_panel_group(t: pa.Table):
     return dst, partial
 
 
+def flatten_float_panels(panels, n_p: int) -> np.ndarray:
+    """Canonical float-panel accumulation shared by PageRank / PPR /
+    betweenness: flatten in stable block_id order, DENSE panels first
+    (empty dst list + partial length == n_p, pure vector adds) then sparse
+    panels via one np.add.at — bit-deterministic run-to-run. Returns the
+    length-n_p incoming vector."""
+    incoming = np.zeros(n_p, dtype=np.float64)
+    if not panels:
+        return incoming
+    t = pa.concat_tables(panels)
+    order = np.argsort(t["block_id"].to_numpy(), kind="stable")
+    dst_col = t["dst"].combine_chunks()
+    par_col = t["partial"].combine_chunks()
+    sparse_dst, sparse_par = [], []
+    for i in order:
+        i = int(i)
+        dv = dst_col[i].values.to_numpy(zero_copy_only=False)
+        pv = par_col[i].values.to_numpy(zero_copy_only=False)
+        if len(dv) == 0 and len(pv) == n_p:
+            incoming += pv
+        elif len(dv):
+            sparse_dst.append(dv)
+            sparse_par.append(pv)
+    if sparse_dst:
+        np.add.at(incoming, np.concatenate(sparse_dst),
+                  np.concatenate(sparse_par))
+    return incoming
+
+
 def unpack_part_block(batch: pa.Table, row: int):
     srcs = batch["srcs"][row].values.to_numpy(zero_copy_only=False)
     src_index = batch["src_index"][row].values.to_numpy(zero_copy_only=False)

@@ -31,6 +31,7 @@ import ray.data as rd
 from .pagerank import _contrib_cell
 from .partitioned import (
     build_partitioned_graph,
+    flatten_float_panels,
     init_state,
     state_to_arrays,
     _row_lists,
@@ -46,29 +47,7 @@ def _ppr_update_part(h: dict, part: int, damping: float, seeds: np.ndarray,
     panels = refs[:n_panels]
     sref, srow = h["static"][part]
     ids_p, outdeg_p = _row_lists(ray.get(sref), srow, ["ids", "outdeg"])
-    incoming = np.zeros(len(ids_p), dtype=np.float64)
-    if panels:
-        t = pa.concat_tables(panels)
-        order = np.argsort(t["block_id"].to_numpy(), kind="stable")
-        dst_col = t["dst"].combine_chunks()
-        par_col = t["partial"].combine_chunks()
-        n_p = len(ids_p)
-        sparse_dst, sparse_par = [], []
-        for i in order:
-            i = int(i)
-            dv = dst_col[i].values.to_numpy(zero_copy_only=False)
-            pv = par_col[i].values.to_numpy(zero_copy_only=False)
-            if len(dv) == 0 and len(pv) == n_p:
-                incoming += pv
-            elif len(dv):
-                sparse_dst.append(dv)
-                sparse_par.append(pv)
-        if sparse_dst:
-            np.add.at(
-                incoming,
-                np.concatenate(sparse_dst),
-                np.concatenate(sparse_par),
-            )
+    incoming = flatten_float_panels(panels, len(ids_p))
     tele = np.isin(ids_p, seeds).astype(np.float64) / float(len(seeds))
     new_rank = (1.0 - damping) * tele + damping * incoming
     return pa.table(

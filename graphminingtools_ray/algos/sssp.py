@@ -164,6 +164,12 @@ def sssp_hops_partitioned(
         if latest is not None:
             it, manifest = latest
             meta = manifest.get("meta", {})
+            if "source" in meta and int(meta["source"]) != int(source):
+                raise ValueError(
+                    f"checkpoint at this dir is for source {meta['source']}"
+                    f", not {source}: the digest covers the graph only — "
+                    "use a different checkpoint_dir per source"
+                )
             state_ds, state_index = ckpt.load_state(g, it, pa.int64())
             start_iter = it + 1
             resumed_from = it

@@ -152,6 +152,17 @@ def wl_relabel_query(sf_dir: str):
     return pd.DataFrame({"vertex_id": ids, "label": list(labels)})
 
 
+def _smallest_vertices(sym, n: int) -> np.ndarray:
+    """The n smallest vertex ids of a symmetrized edge Dataset: per-batch
+    partial bottom-n (no global sort barrier), tiny final merge."""
+    def bottom(t: pa.Table) -> pa.Table:
+        u = np.unique(t["src"].to_numpy())
+        return pa.table({"v": u[:n]})
+
+    part = sym.map_batches(bottom, batch_format="pyarrow").to_pandas()
+    return np.unique(part["v"].to_numpy())[:n]
+
+
 def clustering_coefficient_query(sf_dir: str):
     """Per-vertex local clustering coefficient over the co-purchase graph:
     cc(v) = 2·tri(v) / (deg(v)·(deg(v)−1)), 0 when deg < 2. Triangles come
@@ -161,9 +172,18 @@ def clustering_coefficient_query(sf_dir: str):
     Arithmetic contract with the SQL twin: 2.0·t (float) divided by the
     exact int d·(d−1), rounded half-away to 9 — elementwise IEEE ops on
     identical inputs, so the driver hash-checks values exactly."""
-    edges = copurchase_edges(sf_dir)
+    from ..functions.bucketing import bucketed_group_combine
+
+    edges = copurchase_edges(sf_dir).materialize()  # ONE self-join, reused
     ids, tri, _ = triangle_counts(edges)
-    deg = degree_query(sf_dir).to_pandas().sort_values("vertex_id")
+
+    def count_by_src(t: pa.Table) -> pa.Table:
+        uk, counts = np.unique(t["src"].to_numpy(), return_counts=True)
+        return pa.table({"vertex_id": uk, "degree": counts.astype(np.int64)})
+
+    deg = bucketed_group_combine(
+        symmetrize(edges.drop_columns(["weight"])), ["src"], count_by_src
+    ).to_pandas().sort_values("vertex_id")
     v = deg["vertex_id"].to_numpy()
     d = deg["degree"].to_numpy().astype(np.int64)
     t = np.zeros(len(v), np.int64)
@@ -192,7 +212,6 @@ def degree_assortativity_query(sf_dir: str):
     edges with d(src) plus one dst-keyed sum — both edge-scale distributed
     with per-bucket partials; the final combine is bucket-count rows."""
     import pyarrow as pa
-    import ray.data as rd
 
     from ..functions.bucketing import bucketed_group_combine
 
@@ -265,8 +284,14 @@ def degree_assortativity_query(sf_dir: str):
         # T per vertex present in this bucket (every vertex's deg row and
         # all its incoming (dst, c) rows hash to the same bucket)
         tpos = np.searchsorted(dv, e_dst)
-        tv = np.zeros(len(dv), np.int64)
-        np.add.at(tv, tpos, e_c)
+        if len(e_c) and float(e_c.astype(np.float64).sum()) >= 2.0**62:
+            # arbitrary-precision accumulation: T(v) can exceed int64 at
+            # hub scale (same regime as the sx/sx2/sxy fallbacks)
+            tv = np.zeros(len(dv), object)
+            np.add.at(tv, tpos, e_c.astype(object))
+        else:
+            tv = np.zeros(len(dv), np.int64)
+            np.add.at(tv, tpos, e_c)
         sums = {
             "m": _exact_sum(dd),
             "sx": _exact_sum(dd * dd) if dd.max(initial=0) < 3_000_000_000
@@ -321,16 +346,7 @@ def ppr_query(sf_dir: str, k: int = 5, n_seeds: int = 8):
     from ..algos.ppr import personalized_pagerank
 
     sym = symmetrize(copurchase_edges(sf_dir).drop_columns(["weight"]))
-
-    # n_seeds smallest vertex ids: per-batch partial bottom-n (no global
-    # sort barrier), tiny final merge
-    def bottom(t: pa.Table) -> pa.Table:
-        u = np.unique(t["src"].to_numpy())
-        return pa.table({"v": u[:n_seeds]})
-
-    part = sym.map_batches(bottom, batch_format="pyarrow").to_pandas()
-    seeds = np.unique(part["v"].to_numpy())[:n_seeds]
-
+    seeds = _smallest_vertices(sym, n_seeds)
     ids, ranks, _ = personalized_pagerank(sym, seeds, k=k)
     return pd.DataFrame(
         {"vertex_id": ids, "rank": round_half_away(ranks, 9)}
@@ -390,8 +406,6 @@ def harmonic_centrality_query(sf_dir: str, n_seeds: int = 4,
     the sum is the EXACT integer Σ LCM(1..40)/d (any hop distance ≤ 40
     divides the LCM — asserted loudly), then one elementwise float
     division, hash-exact vs the per-seed-unrolled SQL twin."""
-    import ray.data as rd
-
     from ..algos.partitioned import build_partitioned_graph
     from ..algos.sssp import sssp_hops_partitioned, state_to_arrays
 
@@ -400,13 +414,7 @@ def harmonic_centrality_query(sf_dir: str, n_seeds: int = 4,
         .drop_columns(["weight"])
     )
 
-    def bottom(t: pa.Table) -> pa.Table:
-        u = np.unique(t["src"].to_numpy())
-        return pa.table({"v": u[:n_seeds]})
-
-    part = sym.map_batches(bottom, batch_format="pyarrow").to_pandas()
-    seeds = np.unique(part["v"].to_numpy())[:n_seeds]
-
+    seeds = _smallest_vertices(sym, n_seeds)
     g = build_partitioned_graph(sym, P=8)
     hc_num = None
     ids = None
@@ -415,8 +423,13 @@ def harmonic_centrality_query(sf_dir: str, n_seeds: int = 4,
         sids, dist = state_to_arrays(state_ds, g)
         dist = dist.astype(np.int64)
         reach = (dist > 0) & (dist < 41)
-        assert int(dist[(dist > 0) & (dist < 2**40)].max(initial=0)) <= 40, \
-            "hop distance exceeds the LCM(1..40) exactness bound"
+        finite = dist[(dist > 0) & (dist < 2**40)]
+        if len(finite) and int(finite.max()) > 40:
+            # explicit raise (not assert — must survive python -O): beyond
+            # 40 hops the LCM-scaled integer sum is no longer exact
+            raise ValueError(
+                "hop distance exceeds the LCM(1..40) exactness bound"
+            )
         if hc_num is None:
             ids = sids
             hc_num = np.zeros(len(ids), np.int64)

@@ -217,8 +217,6 @@ def k_truss(edges, k: int = 10, num_buckets: int = 32,
 
     -> (Dataset of surviving (src, dst), info). The k-truss is unique, so
     synchronous rounds reach the same fixpoint as sequential peeling."""
-    import ray.data as rd
-
     simple = simple_undirected(edges, num_buckets=num_buckets)
     cur = simple.materialize()
     n_edges = cur.count()
