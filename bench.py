@@ -587,6 +587,63 @@ def run_lpa_big(num_cpus: int) -> dict:
     }
 
 
+def run_betweenness_big(num_cpus: int) -> dict:
+    """Single-source Brandes dependencies over the SYMMETRIZED 512M-edge
+    bench graph (1.02B half-edges) — the sigma/delta level exchanges are
+    PageRank-class float panels, so this measures the newest operator
+    family at substrate scale. One source (vertex 0, a hub under the
+    quadratic skew); per-level seconds reported, build excluded."""
+    import numpy as np
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=num_cpus,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from graphminingtools_ray.context import configure
+
+    configure()
+    import ray.data as rd
+
+    from graphminingtools_ray.algos.betweenness import betweenness_sampled
+    from graphminingtools_ray.graph.build import symmetrize
+
+    from graphminingtools_ray.algos.partitioned import (
+        build_partitioned_graph,
+    )
+
+    path = ensure_bench_graph()
+    t_build0 = time.perf_counter()
+    g = build_partitioned_graph(
+        symmetrize(rd.read_parquet(path)), P=8
+    )
+    build_sec = time.perf_counter() - t_build0
+    t0 = time.perf_counter()
+    ids, bc, info = betweenness_sampled(
+        symmetrize(rd.read_parquet(path)), np.array([0], np.int64),
+        num_state_partitions=8, graph=g,
+    )
+    total = time.perf_counter() - t0
+    per = total / max(info["supersteps"], 1)
+    ray.shutdown()
+    return {
+        "metric": "Brandes betweenness (1 source) seconds per superstep on "
+        "the symmetrized 512M-edge bench graph (build excluded; sigma/delta "
+        "levels are PageRank-class float panel exchanges)",
+        "value": round(per, 3),
+        "unit": "sec",
+        "total_sec": round(total, 3),
+        "build_sec": round(build_sec, 3),
+        "supersteps": info["supersteps"],
+        "n_half_edges": int(g.n_edges),
+        "n_nonzero_bc": int((bc > 0).sum()),
+        "num_cpus": num_cpus,
+    }
+
+
 def run_kcore_big(num_cpus: int, k: int | None = None) -> dict:
     """k-core peeling over the pinned 512M-edge bench graph — the peel
     superstep is an alive-COUNT exchange (one int partial per dst, the
@@ -761,5 +818,7 @@ if __name__ == "__main__":
         print(json.dumps(run_lpa_big(num_cpus)))
     elif "--kcore" in sys.argv:
         print(json.dumps(run_kcore_big(num_cpus)))
+    elif "--betweenness" in sys.argv:
+        print(json.dumps(run_betweenness_big(num_cpus)))
     else:
         print(json.dumps(run_benchmarks(sf_dir, num_cpus)))

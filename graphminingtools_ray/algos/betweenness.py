@@ -184,6 +184,7 @@ def betweenness_sampled(
     edges_symmetric: rd.Dataset,
     sources: np.ndarray,
     num_state_partitions: int = 8,
+    graph=None,
 ):
     """-> (vertex_ids, bc, info): exact per-source Brandes dependencies
     summed over ``sources`` (the sampled-source estimator; pass every
@@ -192,7 +193,8 @@ def betweenness_sampled(
     graphs (the directed-sum convention — halve for the undirected value).
     """
     sources = [int(s) for s in sources]
-    g = build_partitioned_graph(edges_symmetric, P=num_state_partitions)
+    g = graph if graph is not None else build_partitioned_graph(
+        edges_symmetric, P=num_state_partitions)
     if g.n_vertices == 0:
         return np.empty(0, np.int64), np.empty(0, np.float64), {
             "sources": sources, "supersteps": 0}
