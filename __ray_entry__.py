@@ -476,6 +476,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # rows-only: fractional Brandes dependency sums have no order-free
         # SQL twin; exactness pinned by the pure-Python Brandes pytest
         "betweenness_sampled": graph_queries.betweenness_query,
+        "random_walks": graph_queries.random_walks_query,
         # levelwise mining level 1 (lwm_initAndCollect semantics)
         "frequent_vertex_labels": mining.frequent_vertex_labels,
         "frequent_edge_triples": mining.frequent_edge_triples,
@@ -848,6 +849,50 @@ def _sssp_sql(rounds: int = 20, min_weight: int = 2) -> str:
         SELECT verts.v AS vertex_id, COALESCE(r.d, -1)::BIGINT AS hops
         FROM verts LEFT JOIN d{rounds} r ON verts.v = r.v
         """
+    )
+
+
+def _walks_sql(length: int = 4, min_weight: int = 2) -> str:
+    """SQL twin of the deterministic walk corpus (graph/walks.py): next
+    hop = md5_number_lower('{walk_id}:{step}') mod degree indexing the
+    dst-sorted neighbor list (ROW_NUMBER over the same order) — exact
+    unsigned-int arithmetic on both sides."""
+    head = f"""
+        WITH {_OP},
+        e0 AS (SELECT a.p AS src, b.p AS dst FROM op a
+               JOIN op b ON a.o = b.o AND a.p < b.p
+               GROUP BY 1, 2 HAVING COUNT(*) >= {min_weight}),
+        e AS MATERIALIZED (SELECT src, dst FROM e0
+                           UNION ALL SELECT dst, src FROM e0),
+        nbrs AS MATERIALIZED (
+            SELECT src, dst,
+                   ROW_NUMBER() OVER (PARTITION BY src ORDER BY dst) - 1
+                       AS idx
+            FROM e),
+        deg AS MATERIALIZED (
+            SELECT src AS v, COUNT(*)::BIGINT AS d FROM e GROUP BY 1),
+        w0 AS MATERIALIZED (
+            SELECT v AS walk_id, v FROM (SELECT DISTINCT src AS v FROM e))
+    """
+    levels = []
+    finals = ["SELECT walk_id, 0::BIGINT AS step, walk_id AS vertex_id "
+              "FROM w0"]
+    for t in range(1, length + 1):
+        levels.append(f"""
+        w{t} AS MATERIALIZED (
+            SELECT w.walk_id, n.dst AS v
+            FROM w{t - 1} w
+            JOIN deg ON deg.v = w.v
+            JOIN nbrs n ON n.src = w.v
+             AND n.idx = CAST(md5_number_lower(
+                    CAST(w.walk_id AS VARCHAR) || ':{t}')
+                    % CAST(deg.d AS UBIGINT) AS BIGINT))""")
+        finals.append(
+            f"SELECT walk_id, {t}::BIGINT AS step, v AS vertex_id FROM w{t}"
+        )
+    return (
+        head + "," + ",".join(levels)
+        + " " + " UNION ALL ".join(finals)
     )
 
 
@@ -1766,6 +1811,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "k_core": _kcore_sql(k=3, rounds=24, min_weight=2),
         "k_truss": _ktruss_sql(k=10, rounds=16),
+        "random_walks": _walks_sql(length=4, min_weight=2),
         "sssp_hops": _sssp_sql(rounds=20, min_weight=2),
         "harmonic_centrality": _harmonic_sql(n_seeds=4, rounds=20,
                                              min_weight=2),

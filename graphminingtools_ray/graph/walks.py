@@ -1,0 +1,140 @@
+"""Deterministic random-walk corpus generation (DeepWalk / node2vec-style
+walk sampling — the link-graph training-data op that feeds embedding
+models; Perozzi et al. 2014).
+
+One walk per start vertex, L steps. The next-hop choice is a DETERMINISTIC
+seeded hash — neighbor index = md5_u64("{walk_id}:{step}") mod degree over
+the dst-sorted neighbor list — so the walk corpus is reproducible
+bit-for-bit across runs AND value-exact against a DuckDB twin
+(md5_number_lower + ROW_NUMBER over the same neighbor order), unlike PRNG
+walks whose stream depends on scheduling.
+
+Scale shape: the adjacency crosses the wire ONCE into a hash-partitioned
+CSR index in the object store (per-part: sorted srcs, dst-sorted neighbor
+lists, offsets — the triangles probe-index pattern); each step exchanges
+only the WALK rows (walk-scale, not edge-scale) keyed on the current
+vertex, and the per-bucket step function reads its partition's CSR
+zero-copy. L steps = L walk-scale exchanges + 1 edge-scale index build.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+
+from ..algos.partitioned import PartCache, index_state
+from ..functions.bucketing import (
+    bucketed_group_combine,
+    int_bucket,
+    partition_group_combine,
+)
+from ..stages.dedup_md5 import md5_u64
+
+
+def _adjacency_index(edges_symmetric, P: int):
+    """One keyed exchange → per-part CSR rows (srcs sorted, neighbors
+    dst-sorted per src, offsets) in the object store."""
+
+    def add_part(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "part", pa.array(int_bucket(t["src"].to_numpy(), P))
+        )
+
+    def build_csr(t: pa.Table) -> pa.Table:
+        part = int(t["part"][0].as_py())
+        s = t["src"].to_numpy()
+        d = t["dst"].to_numpy()
+        order = np.lexsort((d, s))
+        s, d = s[order], d[order]
+        # dedupe (src, dst): the walk semantics are over the simple graph
+        keep = np.ones(len(s), bool)
+        keep[1:] = (s[1:] != s[:-1]) | (d[1:] != d[:-1])
+        s, d = s[keep], d[keep]
+        srcs = np.unique(s)
+        counts = np.bincount(np.searchsorted(srcs, s),
+                             minlength=len(srcs))
+        offsets = np.concatenate([[0], np.cumsum(counts)])
+        return pa.table(
+            {
+                "part": pa.array([part], pa.int64()),
+                "srcs": pa.array([srcs], pa.list_(pa.int64())),
+                "offsets": pa.array([offsets], pa.list_(pa.int64())),
+                "nbrs": pa.array([d], pa.list_(pa.int64())),
+            }
+        )
+
+    ds = partition_group_combine(
+        edges_symmetric.map_batches(add_part, batch_format="pyarrow"),
+        "part", P, build_csr,
+    ).materialize()
+    index, _ = index_state(ds)
+    return index
+
+
+def random_walks(edges_symmetric, length: int = 4, num_buckets: int = 32):
+    """-> pandas DataFrame (walk_id, step, vertex_id): one deterministic
+    L-step walk per start vertex of the simple symmetric graph.
+    ``edges_symmetric`` must contain both half-edges, so every visited
+    vertex has at least one neighbor."""
+    P = num_buckets
+    adj_index = _adjacency_index(edges_symmetric, P)
+    adj_ref = ray.put(adj_index)
+
+    # step-0 walk rows: one per vertex (walk_id = start vertex), derived
+    # from the index itself so starts match the graph exactly
+    @ray.remote
+    def starts_of(block: pa.Table, row: int) -> np.ndarray:
+        return block["srcs"][row].values.to_numpy(zero_copy_only=False)
+
+    start_ids = np.concatenate(
+        ray.get([starts_of.remote(ref, row)
+                 for ref, row in adj_index.values()])
+    )
+    start_ids = np.unique(start_ids)
+
+    import ray.data as rd
+
+    cur = rd.from_arrow(pa.table({"walk_id": start_ids, "v": start_ids}))
+    out_frames = [pd.DataFrame({
+        "walk_id": start_ids,
+        "step": np.zeros(len(start_ids), np.int64),
+        "vertex_id": start_ids,
+    })]
+
+    for t_step in range(1, length + 1):
+        def step_fn(t: pa.Table, _t_step=t_step) -> pa.Table:
+            wid = t["walk_id"].to_numpy()
+            v = t["v"].to_numpy()
+            cache = PartCache(ray.get(adj_ref),
+                              ["srcs", "offsets", "nbrs"])
+            nxt = np.empty(len(v), np.int64)
+            parts = int_bucket(v, P)
+            # deterministic seeded pick: md5("{walk}:{step}") mod degree
+            seeds = np.char.add(
+                np.char.add(wid.astype(np.int64).astype("U"), ":"),
+                f"{_t_step}",
+            )
+            h = md5_u64(seeds.astype(object))
+            for p in np.unique(parts):
+                m = parts == p
+                srcs, offsets, nbrs = cache.get(int(p))
+                pos = np.searchsorted(srcs, v[m])
+                deg = (offsets[pos + 1] - offsets[pos]).astype(np.uint64)
+                idx = (h[m] % deg).astype(np.int64)
+                nxt[m] = nbrs[offsets[pos] + idx]
+            return pa.table({"walk_id": wid, "v": nxt})
+
+        cur = bucketed_group_combine(
+            cur, ["v"], step_fn, num_buckets=P
+        ).materialize()
+        df = cur.to_pandas()
+        out_frames.append(pd.DataFrame({
+            "walk_id": df["walk_id"].to_numpy(),
+            "step": np.full(len(df), t_step, np.int64),
+            "vertex_id": df["v"].to_numpy(),
+        }))
+
+    out = pd.concat(out_frames, ignore_index=True)
+    return out.sort_values(["walk_id", "step"]).reset_index(drop=True)

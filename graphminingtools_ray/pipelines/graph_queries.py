@@ -441,6 +441,18 @@ def harmonic_centrality_query(sf_dir: str, n_seeds: int = 4,
     })
 
 
+def random_walks_query(sf_dir: str, length: int = 4, min_weight: int = 2):
+    """Deterministic DeepWalk-style walk corpus (graph/walks.py) on the
+    weight>=2 co-purchase subgraph: one L-step walk per vertex, next hop =
+    md5-seeded index into the dst-sorted neighbor list — reproducible and
+    value-exact vs the md5_number_lower SQL twin."""
+    from ..graph.walks import random_walks
+
+    edges = copurchase_edges(sf_dir).filter(expr=f"weight >= {min_weight}")
+    return random_walks(symmetrize(edges.drop_columns(["weight"])),
+                        length=length)
+
+
 def order_graph_measures(sf_dir: str):
     """The `gf` measure table (graph/gdb.py — reference filter.c:386-533
     dispatch) over PARQUET-DERIVED transactions: per-order graphs with

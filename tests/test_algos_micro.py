@@ -689,3 +689,43 @@ def test_ktruss_matches_bruteforce(k):
            for r in truss.to_pandas().to_dict("records")}
     want = _truss_bruteforce(pairs, k)
     assert got == want, (k, len(got), len(want))
+
+
+def test_random_walks_follow_edges_and_seed_rule():
+    """Walks are valid (every consecutive pair is an edge) and each hop
+    matches the md5-seeded index rule on the dst-sorted neighbor list;
+    two runs are bit-identical."""
+    import collections
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from graphminingtools_ray.graph.walks import random_walks
+    from graphminingtools_ray.stages.dedup_md5 import md5_u64_one
+
+    rng = np.random.default_rng(71)
+    n = 30
+    a = rng.integers(0, n, 120)
+    b = rng.integers(0, n, 120)
+    m = a != b
+    pairs = sorted({tuple(sorted((int(x), int(y))))
+                    for x, y in zip(a[m], b[m])})
+    src = np.array([p[0] for p in pairs] + [p[1] for p in pairs], np.int64)
+    dst = np.array([p[1] for p in pairs] + [p[0] for p in pairs], np.int64)
+    sym = rd.from_arrow(pa.table({"src": src, "dst": dst}))
+    w1 = random_walks(sym, length=5, num_buckets=4)
+    w2 = random_walks(sym, length=5, num_buckets=4)
+    assert w1.equals(w2)  # bit-identical across runs
+    adj = collections.defaultdict(list)
+    for u, v in zip(src, dst):
+        adj[int(u)].append(int(v))
+    adj = {u: sorted(set(vs)) for u, vs in adj.items()}
+    by_walk = {wid: g.sort_values("step")["vertex_id"].tolist()
+               for wid, g in w1.groupby("walk_id")}
+    assert set(by_walk) == set(adj)
+    for wid, path in by_walk.items():
+        assert path[0] == wid
+        for t, (u, v) in enumerate(zip(path[:-1], path[1:]), start=1):
+            nbrs = adj[u]
+            idx = md5_u64_one(f"{wid}:{t}") % len(nbrs)
+            assert v == nbrs[idx], (wid, t)
