@@ -477,6 +477,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # SQL twin; exactness pinned by the pure-Python Brandes pytest
         "betweenness_sampled": graph_queries.betweenness_query,
         "random_walks": graph_queries.random_walks_query,
+        "diameter_lb": graph_queries.diameter_lb_query,
         # levelwise mining level 1 (lwm_initAndCollect semantics)
         "frequent_vertex_labels": mining.frequent_vertex_labels,
         "frequent_edge_triples": mining.frequent_edge_triples,
@@ -512,6 +513,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_counts": text_q.token_counts,
         "benchmark_contamination": text_q.benchmark_contamination,
         "corpus_mix_report": text_q.corpus_mix_report,
+        "doc_top_terms": text_q.doc_top_terms,
         "simhash_fingerprints": text_q.simhash_fingerprints,
         "winnow_fingerprints": text_q.winnow_fingerprints,
         # SQL-oracled md5 twins of the sketch family (stages/dedup_md5.py):
@@ -926,6 +928,58 @@ def _ktruss_sql(k: int = 10, rounds: int = 16) -> str:
     return (
         head + "," + ",".join(levels)
         + f" SELECT src, dst FROM t{rounds}"
+    )
+
+
+def _diameter_sql(rounds: int = 20, min_weight: int = 2) -> str:
+    """SQL twin of the double-BFS diameter lower bound
+    (graph_queries.diameter_lb_query): BFS-unroll from MIN(v), pick the
+    deterministic farthest vertex (max dist, tie → min id), BFS-unroll
+    again from it."""
+    head = f"""
+        WITH {_OP},
+        e0 AS (SELECT a.p AS src, b.p AS dst FROM op a
+               JOIN op b ON a.o = b.o AND a.p < b.p
+               GROUP BY 1, 2 HAVING COUNT(*) >= {min_weight}),
+        e AS MATERIALIZED (SELECT src, dst FROM e0
+                           UNION ALL SELECT dst, src FROM e0),
+        verts AS MATERIALIZED (SELECT DISTINCT src AS v FROM e),
+        a_d0 AS MATERIALIZED (
+            SELECT (SELECT MIN(v) FROM verts) AS v, 0::BIGINT AS d)
+    """
+    levels = []
+    for i in range(1, rounds + 1):
+        levels.append(f"""
+        a_d{i} AS MATERIALIZED (
+            SELECT v, MIN(d)::BIGINT AS d FROM (
+                SELECT v, d FROM a_d{i - 1}
+                UNION ALL
+                SELECT e.dst AS v, p.d + 1 AS d
+                FROM e JOIN a_d{i - 1} p ON e.src = p.v
+            ) GROUP BY 1)""")
+    levels.append(f"""
+        far AS MATERIALIZED (
+            SELECT MIN(v) AS v FROM a_d{rounds}
+            WHERE d = (SELECT MAX(d) FROM a_d{rounds} WHERE d > 0)),
+        b_d0 AS MATERIALIZED (SELECT (SELECT v FROM far) AS v, 0::BIGINT AS d)
+    """)
+    for i in range(1, rounds + 1):
+        levels.append(f"""
+        b_d{i} AS MATERIALIZED (
+            SELECT v, MIN(d)::BIGINT AS d FROM (
+                SELECT v, d FROM b_d{i - 1}
+                UNION ALL
+                SELECT e.dst AS v, p.d + 1 AS d
+                FROM e JOIN b_d{i - 1} p ON e.src = p.v
+            ) GROUP BY 1)""")
+    return (
+        head + "," + ",".join(levels)
+        + f"""
+        SELECT (SELECT MIN(v) FROM verts) AS source_0,
+               (SELECT MAX(d) FROM a_d{rounds})::BIGINT AS ecc_0,
+               (SELECT v FROM far) AS source_1,
+               (SELECT MAX(d) FROM b_d{rounds})::BIGINT AS diameter_lb
+        """
     )
 
 
@@ -1812,6 +1866,7 @@ def oracle_sql() -> dict[str, str]:
         "k_core": _kcore_sql(k=3, rounds=24, min_weight=2),
         "k_truss": _ktruss_sql(k=10, rounds=16),
         "random_walks": _walks_sql(length=4, min_weight=2),
+        "diameter_lb": _diameter_sql(rounds=20, min_weight=2),
         "sssp_hops": _sssp_sql(rounds=20, min_weight=2),
         "harmonic_centrality": _harmonic_sql(n_seeds=4, rounds=20,
                                              min_weight=2),
@@ -2031,6 +2086,25 @@ def oracle_sql() -> dict[str, str]:
                        AS sum_bpe_tokens,
                    COUNT(DISTINCT lang)::BIGINT AS n_langs
             FROM documents GROUP BY 1
+        """,
+        # top-k salient terms per doc, ALL-INTEGER ranking (tf desc, df asc,
+        # term asc) — ties inside the top-k boundary resolve identically on
+        # both sides because the full sort key is total
+        "doc_top_terms": r"""
+            WITH long AS (
+                SELECT doc_id, UNNEST(regexp_extract_all(
+                    COALESCE(text, ''), '\S+')) AS term
+                FROM documents),
+            tf AS (SELECT doc_id, term, COUNT(*)::BIGINT AS tf
+                   FROM long GROUP BY 1, 2),
+            df AS (SELECT term, COUNT(*)::BIGINT AS df FROM tf GROUP BY 1)
+            SELECT doc_id, term, tf, df FROM (
+                SELECT tf.doc_id, tf.term, tf.tf, df.df,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY tf.doc_id
+                           ORDER BY tf.tf DESC, df.df ASC, tf.term ASC)
+                           AS rn
+                FROM tf JOIN df ON df.term = tf.term) WHERE rn <= 5
         """,
         # benchmark set = doc_id % 13 == 0; shingles are the md5 family's
         # word-3-grams (same windowing CTE as the sketch twins) compared as

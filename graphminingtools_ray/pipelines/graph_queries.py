@@ -453,6 +453,40 @@ def random_walks_query(sf_dir: str, length: int = 4, min_weight: int = 2):
                         length=length)
 
 
+def diameter_lb_query(sf_dir: str, min_weight: int = 2):
+    """Double-BFS diameter lower bound (the classic 2-sweep heuristic,
+    exact as a bound): BFS from the min vertex id, then BFS from the
+    deterministic farthest vertex (max dist, tie → min id); its
+    eccentricity lower-bounds the diameter. Two relaxation runs on ONE
+    substrate graph; SQL twin chains two unrolled BFS with the same
+    farthest-vertex rule."""
+    from ..algos.partitioned import build_partitioned_graph
+    from ..algos.sssp import sssp_hops_partitioned, state_to_arrays
+
+    sym = symmetrize(
+        copurchase_edges(sf_dir).filter(expr=f"weight >= {min_weight}")
+        .drop_columns(["weight"])
+    )
+    s0 = int(_smallest_vertices(sym, 1)[0])
+    g = build_partitioned_graph(sym, P=8)
+
+    def bfs(src: int):
+        state_ds, _, _ = sssp_hops_partitioned(sym, source=src, graph=g)
+        ids, dist = state_to_arrays(state_ds, g)
+        dist = dist.astype(np.int64)
+        reach = (dist > 0) & (dist < 2**40)
+        ecc = int(dist[reach].max()) if reach.any() else 0
+        far = int(ids[reach][dist[reach] == ecc].min()) if ecc else src
+        return ecc, far
+
+    ecc0, s1 = bfs(s0)
+    ecc1, _ = bfs(s1)
+    return pd.DataFrame({
+        "source_0": [np.int64(s0)], "ecc_0": [np.int64(ecc0)],
+        "source_1": [np.int64(s1)], "diameter_lb": [np.int64(ecc1)],
+    })
+
+
 def order_graph_measures(sf_dir: str):
     """The `gf` measure table (graph/gdb.py — reference filter.c:386-533
     dispatch) over PARQUET-DERIVED transactions: per-order graphs with

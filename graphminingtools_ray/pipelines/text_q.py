@@ -845,3 +845,53 @@ def corpus_mix_report(sf_dir: str):
               "n_langs"]:
         out[c] = out[c].astype(np.int64)
     return out
+
+
+def doc_top_terms(sf_dir: str, k: int = 5):
+    """Top-k salient terms per document, ranked by (tf DESC, df ASC, term
+    ASC) — the tf-idf-shaped ranking kept ALL-INTEGER (no float idf, so the
+    driver hash-checks it exactly; a log-idf score is one elementwise map
+    away client-side). tf comes free per batch (documents are row-atomic);
+    df needs one term-keyed exchange; the df join and the per-doc top-k are
+    one exchange each. Term vocabulary crosses the wire, not the corpus."""
+    from ..functions.bucketing import bucketed_group_combine
+    from ..stages.dedup_md5 import tokens_flat
+
+    def tf_rows(t: pa.Table) -> pa.Table:
+        toks, offs = tokens_flat(pa.compute.fill_null(t["text"], ""))
+        counts = np.diff(offs)
+        doc = np.repeat(t["doc_id"].to_numpy(), counts)
+        df_ = pd.DataFrame({"doc": doc, "term": toks})
+        g = df_.groupby(["doc", "term"], sort=False).size().reset_index(
+            name="tf")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    tf_ds = _docs(sf_dir).map_batches(tf_rows, batch_format="pyarrow")
+
+    # df per term + join onto tf rows in ONE term-keyed exchange (every
+    # term's rows land in one bucket, so the bucket computes its terms' df
+    # from its own rows — no separate df table or second pass)
+    def df_join(t: pa.Table) -> pa.Table:
+        df_ = t.to_pandas()
+        dfc = df_.groupby("term", sort=False)["doc"].nunique()
+        df_["df"] = dfc[df_["term"]].to_numpy().astype(np.int64)
+        return pa.Table.from_pandas(df_, preserve_index=False)
+
+    annotated = bucketed_group_combine(tf_ds, ["term"], df_join)
+
+    def topk(t: pa.Table) -> pa.Table:
+        df_ = t.to_pandas().sort_values(
+            ["doc", "tf", "df", "term"],
+            ascending=[True, False, True, True],
+        )
+        return pa.Table.from_pandas(
+            df_.groupby("doc", sort=False).head(k), preserve_index=False
+        )
+
+    out = bucketed_group_combine(annotated, ["doc"], topk).to_pandas()
+    out = out.rename(columns={"doc": "doc_id"}).sort_values(
+        ["doc_id", "tf", "df", "term"],
+        ascending=[True, False, True, True],
+    ).reset_index(drop=True)
+    out["tf"] = out["tf"].astype(np.int64)
+    return out[["doc_id", "term", "tf", "df"]]
