@@ -478,6 +478,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "betweenness_sampled": graph_queries.betweenness_query,
         "random_walks": graph_queries.random_walks_query,
         "diameter_lb": graph_queries.diameter_lb_query,
+        "random_walks_weighted": graph_queries.random_walks_weighted_query,
         # levelwise mining level 1 (lwm_initAndCollect semantics)
         "frequent_vertex_labels": mining.frequent_vertex_labels,
         "frequent_edge_triples": mining.frequent_edge_triples,
@@ -889,6 +890,50 @@ def _walks_sql(length: int = 4, min_weight: int = 2) -> str:
              AND n.idx = CAST(md5_number_lower(
                     CAST(w.walk_id AS VARCHAR) || ':{t}')
                     % CAST(deg.d AS UBIGINT) AS BIGINT))""")
+        finals.append(
+            f"SELECT walk_id, {t}::BIGINT AS step, v AS vertex_id FROM w{t}"
+        )
+    return (
+        head + "," + ",".join(levels)
+        + " " + " UNION ALL ".join(finals)
+    )
+
+
+def _walks_weighted_sql(length: int = 4, min_weight: int = 2) -> str:
+    """SQL twin of weight-proportional walks: r = md5 mod W(v); the chosen
+    neighbor is the unique one whose inclusive windowed-cumsum bracket
+    contains r (cum - w <= r < cum) over the dst-sorted neighbor order."""
+    head = f"""
+        WITH {_OP},
+        e0 AS (SELECT a.p AS src, b.p AS dst, COUNT(*)::BIGINT AS w FROM op a
+               JOIN op b ON a.o = b.o AND a.p < b.p
+               GROUP BY 1, 2 HAVING COUNT(*) >= {min_weight}),
+        e AS MATERIALIZED (SELECT src, dst, w FROM e0
+                           UNION ALL SELECT dst, src, w FROM e0),
+        nbrs AS MATERIALIZED (
+            SELECT src, dst, w,
+                   SUM(w) OVER (PARTITION BY src ORDER BY dst
+                                ROWS UNBOUNDED PRECEDING) AS cum
+            FROM e),
+        tot AS MATERIALIZED (
+            SELECT src AS v, SUM(w)::BIGINT AS wt FROM e GROUP BY 1),
+        w0 AS MATERIALIZED (
+            SELECT v AS walk_id, v FROM (SELECT DISTINCT src AS v FROM e))
+    """
+    levels = []
+    finals = ["SELECT walk_id, 0::BIGINT AS step, walk_id AS vertex_id "
+              "FROM w0"]
+    for t in range(1, length + 1):
+        levels.append(f"""
+        w{t} AS MATERIALIZED (
+            SELECT w.walk_id, n.dst AS v
+            FROM w{t - 1} w
+            JOIN tot ON tot.v = w.v
+            JOIN nbrs n ON n.src = w.v
+             AND CAST(md5_number_lower(
+                    CAST(w.walk_id AS VARCHAR) || ':{t}')
+                    % CAST(tot.wt AS UBIGINT) AS BIGINT)
+                 BETWEEN n.cum - n.w AND n.cum - 1)""")
         finals.append(
             f"SELECT walk_id, {t}::BIGINT AS step, v AS vertex_id FROM w{t}"
         )
@@ -1867,6 +1912,8 @@ def oracle_sql() -> dict[str, str]:
         "k_truss": _ktruss_sql(k=10, rounds=16),
         "random_walks": _walks_sql(length=4, min_weight=2),
         "diameter_lb": _diameter_sql(rounds=20, min_weight=2),
+        "random_walks_weighted": _walks_weighted_sql(length=4,
+                                                     min_weight=2),
         "sssp_hops": _sssp_sql(rounds=20, min_weight=2),
         "harmonic_centrality": _harmonic_sql(n_seeds=4, rounds=20,
                                              min_weight=2),

@@ -33,9 +33,10 @@ from ..functions.bucketing import (
 from ..stages.dedup_md5 import md5_u64
 
 
-def _adjacency_index(edges_symmetric, P: int):
+def _adjacency_index(edges_symmetric, P: int, weighted: bool = False):
     """One keyed exchange → per-part CSR rows (srcs sorted, neighbors
-    dst-sorted per src, offsets) in the object store."""
+    dst-sorted per src, offsets; with ``weighted`` also the per-src
+    inclusive weight cumsum) in the object store."""
 
     def add_part(t: pa.Table) -> pa.Table:
         return t.append_column(
@@ -46,8 +47,12 @@ def _adjacency_index(edges_symmetric, P: int):
         part = int(t["part"][0].as_py())
         s = t["src"].to_numpy()
         d = t["dst"].to_numpy()
+        w = (t["weight"].to_numpy(zero_copy_only=False).astype(np.int64)
+             if weighted else None)
         order = np.lexsort((d, s))
         s, d = s[order], d[order]
+        if weighted:
+            w = w[order]
         # dedupe (src, dst): the walk semantics are over the simple graph
         keep = np.ones(len(s), bool)
         keep[1:] = (s[1:] != s[:-1]) | (d[1:] != d[:-1])
@@ -56,14 +61,21 @@ def _adjacency_index(edges_symmetric, P: int):
         counts = np.bincount(np.searchsorted(srcs, s),
                              minlength=len(srcs))
         offsets = np.concatenate([[0], np.cumsum(counts)])
-        return pa.table(
-            {
-                "part": pa.array([part], pa.int64()),
-                "srcs": pa.array([srcs], pa.list_(pa.int64())),
-                "offsets": pa.array([offsets], pa.list_(pa.int64())),
-                "nbrs": pa.array([d], pa.list_(pa.int64())),
-            }
-        )
+        cols = {
+            "part": pa.array([part], pa.int64()),
+            "srcs": pa.array([srcs], pa.list_(pa.int64())),
+            "offsets": pa.array([offsets], pa.list_(pa.int64())),
+            "nbrs": pa.array([d], pa.list_(pa.int64())),
+        }
+        if weighted:
+            w = w[keep]
+            # per-src inclusive cumsum (reset at src boundaries)
+            cum = np.cumsum(w)
+            base = np.repeat(
+                np.concatenate([[0], cum])[offsets[:-1]], counts
+            )
+            cols["wcum"] = pa.array([cum - base], pa.list_(pa.int64()))
+        return pa.table(cols)
 
     ds = partition_group_combine(
         edges_symmetric.map_batches(add_part, batch_format="pyarrow"),
@@ -73,13 +85,17 @@ def _adjacency_index(edges_symmetric, P: int):
     return index
 
 
-def random_walks(edges_symmetric, length: int = 4, num_buckets: int = 32):
+def random_walks(edges_symmetric, length: int = 4, num_buckets: int = 32,
+                 weighted: bool = False):
     """-> pandas DataFrame (walk_id, step, vertex_id): one deterministic
     L-step walk per start vertex of the simple symmetric graph.
     ``edges_symmetric`` must contain both half-edges, so every visited
-    vertex has at least one neighbor."""
+    vertex has at least one neighbor. With ``weighted`` the transition is
+    proportional to the integer edge weight: the seeded draw indexes the
+    per-src inclusive weight cumsum (r = md5 mod W(v), first neighbor with
+    cum > r) — still deterministic and SQL-exact."""
     P = num_buckets
-    adj_index = _adjacency_index(edges_symmetric, P)
+    adj_index = _adjacency_index(edges_symmetric, P, weighted=weighted)
     adj_ref = ray.put(adj_index)
 
     # step-0 walk rows: one per vertex (walk_id = start vertex), derived
@@ -107,8 +123,11 @@ def random_walks(edges_symmetric, length: int = 4, num_buckets: int = 32):
         def step_fn(t: pa.Table, _t_step=t_step) -> pa.Table:
             wid = t["walk_id"].to_numpy()
             v = t["v"].to_numpy()
-            cache = PartCache(ray.get(adj_ref),
-                              ["srcs", "offsets", "nbrs"])
+            cache = PartCache(
+                ray.get(adj_ref),
+                ["srcs", "offsets", "nbrs", "wcum"] if weighted
+                else ["srcs", "offsets", "nbrs"],
+            )
             nxt = np.empty(len(v), np.int64)
             parts = int_bucket(v, P)
             # deterministic seeded pick: md5("{walk}:{step}") mod degree
@@ -119,11 +138,30 @@ def random_walks(edges_symmetric, length: int = 4, num_buckets: int = 32):
             h = md5_u64(seeds.astype(object))
             for p in np.unique(parts):
                 m = parts == p
-                srcs, offsets, nbrs = cache.get(int(p))
+                entry = cache.get(int(p))
+                if weighted:
+                    srcs, offsets, nbrs, wcum = entry
+                else:
+                    srcs, offsets, nbrs = entry
                 pos = np.searchsorted(srcs, v[m])
-                deg = (offsets[pos + 1] - offsets[pos]).astype(np.uint64)
-                idx = (h[m] % deg).astype(np.int64)
-                nxt[m] = nbrs[offsets[pos] + idx]
+                if weighted:
+                    # r = h mod W(v); pick the first neighbor whose
+                    # inclusive cumsum exceeds r (weight-proportional)
+                    lo = offsets[pos]
+                    hi = offsets[pos + 1]
+                    W = wcum[hi - 1].astype(np.uint64)
+                    r = (h[m] % W).astype(np.int64)
+                    idx = np.empty(len(r), np.int64)
+                    for j in range(len(r)):  # few rows per part per batch
+                        idx[j] = np.searchsorted(
+                            wcum[lo[j]:hi[j]], r[j], side="right"
+                        )
+                    nxt[m] = nbrs[lo + idx]
+                else:
+                    deg = (offsets[pos + 1] - offsets[pos]).astype(
+                        np.uint64)
+                    idx = (h[m] % deg).astype(np.int64)
+                    nxt[m] = nbrs[offsets[pos] + idx]
             return pa.table({"walk_id": wid, "v": nxt})
 
         cur = bucketed_group_combine(

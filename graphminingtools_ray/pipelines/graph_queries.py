@@ -453,6 +453,18 @@ def random_walks_query(sf_dir: str, length: int = 4, min_weight: int = 2):
                         length=length)
 
 
+def random_walks_weighted_query(sf_dir: str, length: int = 4,
+                                min_weight: int = 2):
+    """Weight-proportional deterministic walks (transition ∝ co-purchase
+    count): the seeded draw indexes the per-src inclusive weight cumsum —
+    r = md5 mod W(v), first neighbor with cum > r. SQL twin uses the
+    windowed SUM over the same dst order."""
+    from ..graph.walks import random_walks
+
+    edges = copurchase_edges(sf_dir).filter(expr=f"weight >= {min_weight}")
+    return random_walks(symmetrize(edges), length=length, weighted=True)
+
+
 def diameter_lb_query(sf_dir: str, min_weight: int = 2):
     """Double-BFS diameter lower bound (the classic 2-sweep heuristic,
     exact as a bound): BFS from the min vertex id, then BFS from the

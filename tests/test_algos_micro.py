@@ -729,3 +729,42 @@ def test_random_walks_follow_edges_and_seed_rule():
             nbrs = adj[u]
             idx = md5_u64_one(f"{wid}:{t}") % len(nbrs)
             assert v == nbrs[idx], (wid, t)
+
+
+def test_weighted_random_walks_follow_cdf_rule():
+    """Weighted hops land in the correct inclusive-cumsum bracket of the
+    dst-sorted neighbor weights."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from graphminingtools_ray.graph.walks import random_walks
+    from graphminingtools_ray.stages.dedup_md5 import md5_u64_one
+
+    rng = np.random.default_rng(73)
+    n = 25
+    a = rng.integers(0, n, 90)
+    b = rng.integers(0, n, 90)
+    m = a != b
+    pairs = sorted({tuple(sorted((int(x), int(y))))
+                    for x, y in zip(a[m], b[m])})
+    w = {p: int(rng.integers(1, 7)) for p in pairs}
+    src = [p[0] for p in pairs] + [p[1] for p in pairs]
+    dst = [p[1] for p in pairs] + [p[0] for p in pairs]
+    wt = [w[p] for p in pairs] * 2
+    sym = rd.from_arrow(pa.table({
+        "src": np.array(src, np.int64), "dst": np.array(dst, np.int64),
+        "weight": np.array(wt, np.int64),
+    }))
+    walks = random_walks(sym, length=4, num_buckets=4, weighted=True)
+    adj = {}
+    for u, v, ww in zip(src, dst, wt):
+        adj.setdefault(u, {})[v] = ww
+    by_walk = {wid: g.sort_values("step")["vertex_id"].tolist()
+               for wid, g in walks.groupby("walk_id")}
+    for wid, path in by_walk.items():
+        for t, (u, v) in enumerate(zip(path[:-1], path[1:]), start=1):
+            nbrs = sorted(adj[u])
+            cum = np.cumsum([adj[u][x] for x in nbrs])
+            r = md5_u64_one(f"{wid}:{t}") % int(cum[-1])
+            want = nbrs[int(np.searchsorted(cum, r, side="right"))]
+            assert v == want, (wid, t)
