@@ -479,6 +479,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "random_walks": graph_queries.random_walks_query,
         "diameter_lb": graph_queries.diameter_lb_query,
         "random_walks_weighted": graph_queries.random_walks_weighted_query,
+        "node2vec_walks": graph_queries.node2vec_walks_query,
         # levelwise mining level 1 (lwm_initAndCollect semantics)
         "frequent_vertex_labels": mining.frequent_vertex_labels,
         "frequent_edge_triples": mining.frequent_edge_triples,
@@ -895,6 +896,74 @@ def _walks_sql(length: int = 4, min_weight: int = 2) -> str:
         )
     return (
         head + "," + ",".join(levels)
+        + " " + " UNION ALL ".join(finals)
+    )
+
+
+def _node2vec_sql(length: int = 4, min_weight: int = 2) -> str:
+    """SQL twin of node2vec biased walks (graph/walks.node2vec_walks):
+    first hop uniform (ROW_NUMBER index), then per-step candidate weights
+    CASE cand = prev → 1 / edge(prev,cand) exists → 2 / else 4, chosen by
+    the md5 draw through the per-walk windowed weight cumsum over the
+    dst-sorted candidates."""
+    head = f"""
+        WITH {_OP},
+        e0 AS (SELECT a.p AS src, b.p AS dst FROM op a
+               JOIN op b ON a.o = b.o AND a.p < b.p
+               GROUP BY 1, 2 HAVING COUNT(*) >= {min_weight}),
+        e AS MATERIALIZED (SELECT src, dst FROM e0
+                           UNION ALL SELECT dst, src FROM e0),
+        nbrs AS MATERIALIZED (
+            SELECT src, dst,
+                   ROW_NUMBER() OVER (PARTITION BY src ORDER BY dst) - 1
+                       AS idx
+            FROM e),
+        deg AS MATERIALIZED (
+            SELECT src AS v, COUNT(*)::BIGINT AS d FROM e GROUP BY 1),
+        w0 AS MATERIALIZED (
+            SELECT v AS walk_id, v FROM (SELECT DISTINCT src AS v FROM e)),
+        n2v1 AS MATERIALIZED (
+            SELECT w.walk_id, w.v AS prev, n.dst AS v
+            FROM w0 w
+            JOIN deg ON deg.v = w.v
+            JOIN nbrs n ON n.src = w.v
+             AND n.idx = CAST(md5_number_lower(
+                    CAST(w.walk_id AS VARCHAR) || ':1')
+                    % CAST(deg.d AS UBIGINT) AS BIGINT))
+    """
+    levels = []
+    finals = [
+        "SELECT walk_id, 0::BIGINT AS step, walk_id AS vertex_id FROM w0",
+        "SELECT walk_id, 1::BIGINT AS step, v AS vertex_id FROM n2v1",
+    ]
+    for t in range(2, length + 1):
+        levels.append(f"""
+        cum{t} AS MATERIALIZED (
+            SELECT walk_id, cur, cand, wgt,
+                   SUM(wgt) OVER (PARTITION BY walk_id ORDER BY cand
+                                  ROWS UNBOUNDED PRECEDING) AS cum,
+                   SUM(wgt) OVER (PARTITION BY walk_id) AS tot
+            FROM (
+                SELECT c.walk_id, c.cur, c.cand,
+                       CASE WHEN c.cand = c.prev THEN 1
+                            WHEN chk.src IS NOT NULL THEN 2
+                            ELSE 4 END AS wgt
+                FROM (SELECT w.walk_id, w.prev, w.v AS cur, n.dst AS cand
+                      FROM n2v{t - 1} w JOIN e n ON n.src = w.v) c
+                LEFT JOIN e chk ON chk.src = c.prev
+                               AND chk.dst = c.cand)),
+        n2v{t} AS MATERIALIZED (
+            SELECT walk_id, cur AS prev, cand AS v FROM cum{t}
+            WHERE CAST(md5_number_lower(
+                      CAST(walk_id AS VARCHAR) || ':{t}')
+                      % CAST(tot AS UBIGINT) AS BIGINT)
+                  BETWEEN cum - wgt AND cum - 1)""")
+        finals.append(
+            f"SELECT walk_id, {t}::BIGINT AS step, v AS vertex_id "
+            f"FROM n2v{t}"
+        )
+    return (
+        head + ("," if levels else "") + ",".join(levels)
         + " " + " UNION ALL ".join(finals)
     )
 
@@ -1914,6 +1983,7 @@ def oracle_sql() -> dict[str, str]:
         "diameter_lb": _diameter_sql(rounds=20, min_weight=2),
         "random_walks_weighted": _walks_weighted_sql(length=4,
                                                      min_weight=2),
+        "node2vec_walks": _node2vec_sql(length=4, min_weight=2),
         "sssp_hops": _sssp_sql(rounds=20, min_weight=2),
         "harmonic_centrality": _harmonic_sql(n_seeds=4, rounds=20,
                                              min_weight=2),

@@ -176,3 +176,112 @@ def random_walks(edges_symmetric, length: int = 4, num_buckets: int = 32,
 
     out = pd.concat(out_frames, ignore_index=True)
     return out.sort_values(["walk_id", "step"]).reset_index(drop=True)
+
+
+def node2vec_walks(edges_symmetric, length: int = 4, num_buckets: int = 32):
+    """Second-order biased walks (Grover & Leskovec 2016 node2vec) with the
+    fixed integer bias (p=2, q=0.5 scaled ×2): candidate weight 1 for
+    returning to the previous vertex, 2 for a common neighbor of prev and
+    cur (distance 1 from prev), 4 otherwise (distance 2 — the
+    community-exploring setting). First hop is uniform (no prev). The
+    seeded draw indexes the per-walk integer weight cumsum over the
+    dst-sorted candidate list — deterministic, bit-reproducible, and
+    value-exact vs the DuckDB twin (CASE weights + windowed SUM bracket).
+
+    Same scale shape as random_walks (adjacency crosses once, steps
+    exchange walk rows), plus each biased step reads the PREVIOUS vertex's
+    neighbor list from the same partitioned CSR for the membership test."""
+    P = num_buckets
+    adj_index = _adjacency_index(edges_symmetric, P)
+    adj_ref = ray.put(adj_index)
+
+    @ray.remote
+    def starts_of(block: pa.Table, row: int) -> np.ndarray:
+        return block["srcs"][row].values.to_numpy(zero_copy_only=False)
+
+    start_ids = np.unique(np.concatenate(
+        ray.get([starts_of.remote(ref, row)
+                 for ref, row in adj_index.values()])
+    ))
+
+    import ray.data as rd
+
+    out_frames = [pd.DataFrame({
+        "walk_id": start_ids,
+        "step": np.zeros(len(start_ids), np.int64),
+        "vertex_id": start_ids,
+    })]
+
+    def first_step(t: pa.Table) -> pa.Table:
+        wid = t["walk_id"].to_numpy()
+        v = t["v"].to_numpy()
+        cache = PartCache(ray.get(adj_ref), ["srcs", "offsets", "nbrs"])
+        nxt = np.empty(len(v), np.int64)
+        parts = int_bucket(v, P)
+        seeds = np.char.add(
+            np.char.add(wid.astype(np.int64).astype("U"), ":"), "1")
+        h = md5_u64(seeds.astype(object))
+        for p in np.unique(parts):
+            m = parts == p
+            srcs, offsets, nbrs = cache.get(int(p))
+            pos = np.searchsorted(srcs, v[m])
+            deg = (offsets[pos + 1] - offsets[pos]).astype(np.uint64)
+            idx = (h[m] % deg).astype(np.int64)
+            nxt[m] = nbrs[offsets[pos] + idx]
+        return pa.table({"walk_id": wid, "prev": v, "v": nxt})
+
+    cur = bucketed_group_combine(
+        rd.from_arrow(pa.table({"walk_id": start_ids, "v": start_ids})),
+        ["v"], first_step, num_buckets=P,
+    ).materialize()
+    df = cur.to_pandas()
+    out_frames.append(pd.DataFrame({
+        "walk_id": df["walk_id"].to_numpy(),
+        "step": np.ones(len(df), np.int64),
+        "vertex_id": df["v"].to_numpy(),
+    }))
+
+    W_RET, W_COMMON, W_FAR = 1, 2, 4  # p=2, q=0.5, scaled x2
+
+    for t_step in range(2, length + 1):
+        def step_fn(t: pa.Table, _t_step=t_step) -> pa.Table:
+            wid = t["walk_id"].to_numpy()
+            prev = t["prev"].to_numpy()
+            v = t["v"].to_numpy()
+            cache = PartCache(ray.get(adj_ref), ["srcs", "offsets", "nbrs"])
+            seeds = np.char.add(
+                np.char.add(wid.astype(np.int64).astype("U"), ":"),
+                f"{_t_step}",
+            )
+            h = md5_u64(seeds.astype(object))
+            nxt = np.empty(len(v), np.int64)
+
+            def nbrs_of(vertex: int):
+                srcs, offsets, nbrs = cache.get(int(int_bucket(
+                    np.array([vertex], np.int64), P)[0]))
+                pos = int(np.searchsorted(srcs, vertex))
+                return nbrs[offsets[pos]:offsets[pos + 1]]
+
+            for j in range(len(v)):  # per-walk bias (candidate-set scale)
+                cands = nbrs_of(int(v[j]))
+                pn = nbrs_of(int(prev[j]))
+                member = pn[np.minimum(np.searchsorted(pn, cands),
+                                       len(pn) - 1)] == cands
+                wgt = np.where(cands == prev[j], W_RET,
+                               np.where(member, W_COMMON, W_FAR))
+                cum = np.cumsum(wgt)
+                r = int(h[j] % np.uint64(cum[-1]))
+                nxt[j] = cands[int(np.searchsorted(cum, r, side="right"))]
+            return pa.table({"walk_id": wid, "prev": v, "v": nxt})
+
+        cur = bucketed_group_combine(cur, ["v"], step_fn,
+                                     num_buckets=P).materialize()
+        df = cur.to_pandas()
+        out_frames.append(pd.DataFrame({
+            "walk_id": df["walk_id"].to_numpy(),
+            "step": np.full(len(df), t_step, np.int64),
+            "vertex_id": df["v"].to_numpy(),
+        }))
+
+    out = pd.concat(out_frames, ignore_index=True)
+    return out.sort_values(["walk_id", "step"]).reset_index(drop=True)

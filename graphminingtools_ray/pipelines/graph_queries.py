@@ -465,6 +465,19 @@ def random_walks_weighted_query(sf_dir: str, length: int = 4,
     return random_walks(symmetrize(edges), length=length, weighted=True)
 
 
+def node2vec_walks_query(sf_dir: str, length: int = 4,
+                         min_weight: int = 2):
+    """node2vec second-order biased walks (fixed integer bias p=2, q=0.5:
+    weights 1 return / 2 common-neighbor / 4 exploring) on the weight>=2
+    co-purchase subgraph — deterministic and hash-exact vs the CASE-weight
+    windowed-cumsum SQL twin."""
+    from ..graph.walks import node2vec_walks
+
+    edges = copurchase_edges(sf_dir).filter(expr=f"weight >= {min_weight}")
+    return node2vec_walks(symmetrize(edges.drop_columns(["weight"])),
+                          length=length)
+
+
 def diameter_lb_query(sf_dir: str, min_weight: int = 2):
     """Double-BFS diameter lower bound (the classic 2-sweep heuristic,
     exact as a bound): BFS from the min vertex id, then BFS from the

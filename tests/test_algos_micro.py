@@ -768,3 +768,46 @@ def test_weighted_random_walks_follow_cdf_rule():
             r = md5_u64_one(f"{wid}:{t}") % int(cum[-1])
             want = nbrs[int(np.searchsorted(cum, r, side="right"))]
             assert v == want, (wid, t)
+
+
+def test_node2vec_walks_follow_bias_rule():
+    """Each biased hop matches the integer bias rule (1 return / 2 common
+    neighbor / 4 exploring) through the seeded cumsum; first hop uniform."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from graphminingtools_ray.graph.walks import node2vec_walks
+    from graphminingtools_ray.stages.dedup_md5 import md5_u64_one
+
+    rng = np.random.default_rng(79)
+    n = 25
+    a = rng.integers(0, n, 100)
+    b = rng.integers(0, n, 100)
+    m = a != b
+    pairs = sorted({tuple(sorted((int(x), int(y))))
+                    for x, y in zip(a[m], b[m])})
+    src = np.array([p[0] for p in pairs] + [p[1] for p in pairs], np.int64)
+    dst = np.array([p[1] for p in pairs] + [p[0] for p in pairs], np.int64)
+    sym = rd.from_arrow(pa.table({"src": src, "dst": dst}))
+    walks = node2vec_walks(sym, length=4, num_buckets=4)
+    import collections
+
+    adj = collections.defaultdict(set)
+    for u, v in zip(src, dst):
+        adj[int(u)].add(int(v))
+    by_walk = {wid: g.sort_values("step")["vertex_id"].tolist()
+               for wid, g in walks.groupby("walk_id")}
+    for wid, path in by_walk.items():
+        # first hop: uniform index
+        nbrs = sorted(adj[path[0]])
+        idx = md5_u64_one(f"{wid}:1") % len(nbrs)
+        assert path[1] == nbrs[idx], (wid, "step1")
+        for t in range(2, len(path)):
+            prev, cur = path[t - 2], path[t - 1]
+            cands = sorted(adj[cur])
+            wgt = [1 if c == prev else (2 if c in adj[prev] else 4)
+                   for c in cands]
+            cum = np.cumsum(wgt)
+            r = md5_u64_one(f"{wid}:{t}") % int(cum[-1])
+            want = cands[int(np.searchsorted(cum, r, side="right"))]
+            assert path[t] == want, (wid, t)
