@@ -699,6 +699,59 @@ def run_kcore_big(num_cpus: int, k: int | None = None) -> dict:
     }
 
 
+def run_walks_big(num_cpus: int) -> dict:
+    """Deterministic walk corpus over the pinned 512M-edge bench graph
+    (symmetrized: 1.02B half-edges, 2M vertices): L=4, one walk per vertex
+    → a 10M-row corpus. Exercises the round-4 cluster-shaped assembly —
+    the corpus is consumed as a streaming Dataset count + per-step parquet
+    sink, never a driver DataFrame (the round-3 driver-side concat/sort
+    could not survive this size)."""
+    import shutil
+
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=num_cpus,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from graphminingtools_ray.context import configure
+
+    configure()
+    import ray.data as rd
+
+    from graphminingtools_ray.graph.build import symmetrize
+    from graphminingtools_ray.graph.walks import random_walks
+
+    path = ensure_bench_graph()
+    length = int(os.environ.get("GRAFT_WALK_LEN", "4"))
+    t0 = time.perf_counter()
+    walks = random_walks(symmetrize(rd.read_parquet(path)), length=length)
+    t_steps = round(time.perf_counter() - t0, 3)  # index build + L exchanges
+    out_dir = "/tmp/graft_bench_walks"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    t1 = time.perf_counter()
+    walks.write_parquet(out_dir)
+    t_sink = round(time.perf_counter() - t1, 3)
+    n_rows = rd.read_parquet(out_dir).count()
+    total = round(time.perf_counter() - t0, 3)
+    ray.shutdown()
+    return {
+        "metric": "L=4 walk corpus (build+steps+parquet sink) on the "
+        "512M-edge bench graph",
+        "value": total,
+        "unit": "sec",
+        "steps_sec": t_steps,
+        "sink_sec": t_sink,
+        "corpus_rows": n_rows,
+        "walk_rows_per_sec": round(n_rows / total, 1),
+        "length": length,
+        "num_cpus": num_cpus,
+    }
+
+
 def run_scaling(sf_dir: str, lo: int = 8, hi: int = 32) -> dict:
     ensure_bench_corpus()  # generate once, before either subprocess runs
     ensure_bench_graph()
@@ -820,5 +873,7 @@ if __name__ == "__main__":
         print(json.dumps(run_kcore_big(num_cpus)))
     elif "--betweenness" in sys.argv:
         print(json.dumps(run_betweenness_big(num_cpus)))
+    elif "--walks" in sys.argv:
+        print(json.dumps(run_walks_big(num_cpus)))
     else:
         print(json.dumps(run_benchmarks(sf_dir, num_cpus)))

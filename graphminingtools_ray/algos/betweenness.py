@@ -180,6 +180,68 @@ def _exchange(g, handles_ref, level, mode, parts_sorted):
     return panel_refs
 
 
+def brandes_forward(
+    edges_symmetric: rd.Dataset,
+    source: int | None = None,
+    num_state_partitions: int = 8,
+    graph=None,
+):
+    """-> (ids, dist, sigma, info): the FORWARD half of one Brandes source
+    sweep — exact BFS hop distances (-1 unreached) plus exact
+    shortest-path counts sigma (0 unreached). sigma is an INTEGER path
+    count, so unlike the fractional backward dependencies it has an
+    order-free SQL twin (level-unrolled sums over the final dist table) —
+    this is the driver-gate-certifiable half of betweenness_sampled; the
+    fractional delta sweep stays pytest-oracled. The float64 level
+    accumulator is exact below 2^53; raises if a count exceeds it."""
+    g = graph if graph is not None else build_partitioned_graph(
+        edges_symmetric, P=num_state_partitions)
+    if g.n_vertices == 0:
+        return (np.empty(0, np.int64), np.empty(0, np.int64),
+                np.empty(0, np.int64), {"supersteps": 0})
+
+    parts_sorted = list(g.parts)
+    dist_state, _, dinfo = sssp_hops_partitioned(
+        edges_symmetric, source=source, graph=g,
+        num_state_partitions=num_state_partitions,
+    )
+    s = int(dinfo["source"])
+    dist_index, _ = index_state(dist_state)
+    _, sigma_index, _ = init_state(
+        g, lambda part, ids, outdeg: np.where(ids == s, 1.0, 0.0),
+        pa.float64()
+    )
+    max_level = max(ray.get([
+        _max_finite_dist.remote(dist_index[p][0], dist_index[p][1])
+        for p in parts_sorted
+    ]))
+    n_supersteps = dinfo["iterations"]
+    for level in range(1, max_level + 1):
+        handles_ref = ray.put({"dist": dist_index, "sigma": sigma_index})
+        panel_refs = _exchange(g, handles_ref, level, "sigma", parts_sorted)
+        rows, sets = {}, {}
+        for p in parts_sorted:
+            rows[p], sets[p] = _sigma_update.remote(
+                handles_ref, p, level, *panel_refs[p]
+            )
+        ray.get([sets[p] for p in parts_sorted])
+        sigma_index = {p: (rows[p], 0) for p in parts_sorted}
+        n_supersteps += 1
+
+    ids, dist = state_to_arrays(dist_state, g)
+    sigma_ds = rd.from_arrow_refs(
+        [sigma_index[p][0] for p in parts_sorted])
+    ids2, sigma_f = state_to_arrays(sigma_ds, g)
+    assert np.array_equal(ids, ids2)
+    if len(sigma_f) and float(np.max(sigma_f)) >= 2.0 ** 53:
+        raise ValueError("sigma exceeds the float64 exact-integer bound")
+    dist_out = np.where(dist >= _INF, -1, dist).astype(np.int64)
+    sigma = sigma_f.astype(np.int64)
+    info = {"source": s, "supersteps": n_supersteps,
+            "max_level": int(max_level)}
+    return ids, dist_out, sigma, info
+
+
 def betweenness_sampled(
     edges_symmetric: rd.Dataset,
     sources: np.ndarray,

@@ -149,6 +149,12 @@ def k_core_partitioned(
         if latest is not None:
             it, manifest = latest
             meta = manifest.get("meta", {})
+            if "k" in meta and int(meta["k"]) != int(k):
+                raise ValueError(
+                    f"checkpoint at this dir is for k={meta['k']}, not "
+                    f"k={k}: the digest covers the graph only — use a "
+                    "different checkpoint_dir per k"
+                )
             state_ds, state_index = ckpt.load_state(g, it, pa.int64())
             start_iter = it + 1
             resumed_from = it

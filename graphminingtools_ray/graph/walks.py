@@ -9,18 +9,32 @@ bit-for-bit across runs AND value-exact against a DuckDB twin
 (md5_number_lower + ROW_NUMBER over the same neighbor order), unlike PRNG
 walks whose stream depends on scheduling.
 
-Scale shape: the adjacency crosses the wire ONCE into a hash-partitioned
-CSR index in the object store (per-part: sorted srcs, dst-sorted neighbor
-lists, offsets — the triangles probe-index pattern); each step exchanges
-only the WALK rows (walk-scale, not edge-scale) keyed on the current
-vertex, and the per-bucket step function reads its partition's CSR
-zero-copy. L steps = L walk-scale exchanges + 1 edge-scale index build.
+Scale shape (cluster-shaped end to end; nothing vertex- or edge-scale ever
+lands on the driver):
+
+- the adjacency crosses the wire ONCE into a hash-partitioned CSR index in
+  the object store (per-part: sorted srcs, dst-sorted neighbor lists,
+  offsets — the triangles probe-index pattern);
+- the START rows are derived as a Dataset by mapping over the CSR part
+  blocks (each part's ``srcs`` inventory IS the start set — parts are
+  disjoint, so no driver concat/unique);
+- each step exchanges only the WALK rows (walk-scale, not edge-scale)
+  keyed on the current vertex, and the per-bucket step function reads its
+  partition's CSR zero-copy and picks next hops with VECTORIZED kernels
+  (global-cumsum searchsorted for weighted picks; flat candidate arrays +
+  batched bisection for the node2vec bias — no per-row Python);
+- the walk corpus is assembled as a UNION of per-step Datasets over the
+  already-materialized step blocks and returned as a Dataset — the caller
+  sinks it (``write_parquet``) or, at gate scale only, ``to_pandas()``.
+
+L steps = L walk-scale exchanges + 1 edge-scale index build.
 """
 
 from __future__ import annotations
 
+from functools import reduce
+
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 import ray
 
@@ -35,8 +49,12 @@ from ..stages.dedup_md5 import md5_u64
 
 def _adjacency_index(edges_symmetric, P: int, weighted: bool = False):
     """One keyed exchange → per-part CSR rows (srcs sorted, neighbors
-    dst-sorted per src, offsets; with ``weighted`` also the per-src
-    inclusive weight cumsum) in the object store."""
+    dst-sorted per src, offsets; with ``weighted`` also the part-GLOBAL
+    inclusive weight cumsum — globally nondecreasing, so a weighted pick
+    is ONE vectorized searchsorted per batch) in the object store.
+    Returns ``(index, parts_ds)``: the driver-held ``{part: (ref, row)}``
+    index plus the materialized parts Dataset (start rows derive from it
+    distributed)."""
 
     def add_part(t: pa.Table) -> pa.Table:
         return t.append_column(
@@ -68,13 +86,10 @@ def _adjacency_index(edges_symmetric, P: int, weighted: bool = False):
             "nbrs": pa.array([d], pa.list_(pa.int64())),
         }
         if weighted:
-            w = w[keep]
-            # per-src inclusive cumsum (reset at src boundaries)
-            cum = np.cumsum(w)
-            base = np.repeat(
-                np.concatenate([[0], cum])[offsets[:-1]], counts
-            )
-            cols["wcum"] = pa.array([cum - base], pa.list_(pa.int64()))
+            # part-global inclusive cumsum (NOT reset per src): within a
+            # src's slice [lo, hi) the within-src cum is wcum - wcum[lo-1],
+            # and global monotonicity makes the pick one searchsorted
+            cols["wcum"] = pa.array([np.cumsum(w[keep])], pa.list_(pa.int64()))
         return pa.table(cols)
 
     ds = partition_group_combine(
@@ -82,100 +97,125 @@ def _adjacency_index(edges_symmetric, P: int, weighted: bool = False):
         "part", P, build_csr,
     ).materialize()
     index, _ = index_state(ds)
-    return index
+    return index, ds
+
+
+def _starts_dataset(parts_ds):
+    """(walk_id, v) start rows — one per vertex — as a Dataset mapped from
+    the CSR part blocks (parts partition the vertex set, srcs are sorted
+    unique per part; nothing reaches the driver)."""
+
+    def extract(t: pa.Table) -> pa.Table:
+        srcs = t["srcs"].combine_chunks()
+        flat = srcs.flatten()
+        return pa.table({"walk_id": flat, "v": flat})
+
+    return parts_ds.map_batches(extract, batch_format="pyarrow")
+
+
+def _emit_step(ds, step: int):
+    """Lazy per-step projection of a materialized (walk_id, ..., v) step
+    Dataset into corpus rows (walk_id, step, vertex_id)."""
+
+    def project(t: pa.Table, _s=step) -> pa.Table:
+        return pa.table({
+            "walk_id": t["walk_id"].combine_chunks(),
+            "step": pa.array(np.full(t.num_rows, _s, np.int64)),
+            "vertex_id": t["v"].combine_chunks(),
+        })
+
+    return ds.map_batches(project, batch_format="pyarrow")
+
+
+def _seed_hash(wid: np.ndarray, step: int) -> np.ndarray:
+    """uint64 md5_number_lower('{walk_id}:{step}') per row."""
+    seeds = np.char.add(
+        np.char.add(wid.astype(np.int64).astype("U"), ":"), f"{step}"
+    )
+    return md5_u64(seeds.astype(object))
+
+
+def _slice_bounds(entry, v: np.ndarray):
+    """(lo, hi) neighbor-slice bounds of each vertex in its part's CSR."""
+    srcs, offsets = entry[0], entry[1]
+    pos = np.searchsorted(srcs, v)
+    return offsets[pos], offsets[pos + 1]
+
+
+def _uniform_next(cache: PartCache, v: np.ndarray, h: np.ndarray,
+                  P: int) -> np.ndarray:
+    """Vectorized uniform seeded pick: index = h mod degree into the
+    dst-sorted neighbor list."""
+    nxt = np.empty(len(v), np.int64)
+    parts = int_bucket(v, P)
+    for p in np.unique(parts):
+        m = parts == p
+        entry = cache.get(int(p))
+        lo, hi = _slice_bounds(entry, v[m])
+        deg = (hi - lo).astype(np.uint64)
+        idx = (h[m] % deg).astype(np.int64)
+        nxt[m] = entry[2][lo + idx]
+    return nxt
+
+
+def _weighted_next(cache: PartCache, v: np.ndarray, h: np.ndarray,
+                   P: int) -> np.ndarray:
+    """Vectorized weight-proportional pick: r = h mod W(v); first neighbor
+    whose within-src inclusive cumsum exceeds r — ONE searchsorted over the
+    part-global cumsum per part group (no per-row loop)."""
+    nxt = np.empty(len(v), np.int64)
+    parts = int_bucket(v, P)
+    for p in np.unique(parts):
+        m = parts == p
+        srcs, offsets, nbrs, wcum = cache.get(int(p))
+        lo, hi = _slice_bounds((srcs, offsets), v[m])
+        base = np.where(lo > 0, wcum[np.maximum(lo - 1, 0)], 0)
+        W = (wcum[hi - 1] - base).astype(np.uint64)
+        r = (h[m] % W).astype(np.int64)
+        # global cumsum is strictly increasing (weights >= 1), so the
+        # within-slice bracket cum - w <= r < cum is the first global
+        # position with wcum > base + r
+        nxt[m] = nbrs[np.searchsorted(wcum, base + r, side="right")]
+    return nxt
 
 
 def random_walks(edges_symmetric, length: int = 4, num_buckets: int = 32,
                  weighted: bool = False):
-    """-> pandas DataFrame (walk_id, step, vertex_id): one deterministic
+    """-> ray.data.Dataset (walk_id, step, vertex_id): one deterministic
     L-step walk per start vertex of the simple symmetric graph.
     ``edges_symmetric`` must contain both half-edges, so every visited
     vertex has at least one neighbor. With ``weighted`` the transition is
     proportional to the integer edge weight: the seeded draw indexes the
     per-src inclusive weight cumsum (r = md5 mod W(v), first neighbor with
-    cum > r) — still deterministic and SQL-exact."""
+    cum > r) — still deterministic and SQL-exact. The result streams —
+    sink it or ``to_pandas()`` only at gate scale."""
     P = num_buckets
-    adj_index = _adjacency_index(edges_symmetric, P, weighted=weighted)
+    adj_index, parts_ds = _adjacency_index(edges_symmetric, P,
+                                           weighted=weighted)
     adj_ref = ray.put(adj_index)
+    cols = (["srcs", "offsets", "nbrs", "wcum"] if weighted
+            else ["srcs", "offsets", "nbrs"])
 
-    # step-0 walk rows: one per vertex (walk_id = start vertex), derived
-    # from the index itself so starts match the graph exactly
-    @ray.remote
-    def starts_of(block: pa.Table, row: int) -> np.ndarray:
-        return block["srcs"][row].values.to_numpy(zero_copy_only=False)
-
-    start_ids = np.concatenate(
-        ray.get([starts_of.remote(ref, row)
-                 for ref, row in adj_index.values()])
-    )
-    start_ids = np.unique(start_ids)
-
-    import ray.data as rd
-
-    cur = rd.from_arrow(pa.table({"walk_id": start_ids, "v": start_ids}))
-    out_frames = [pd.DataFrame({
-        "walk_id": start_ids,
-        "step": np.zeros(len(start_ids), np.int64),
-        "vertex_id": start_ids,
-    })]
+    starts = _starts_dataset(parts_ds)
+    outs = [_emit_step(starts, 0)]
+    cur = starts
 
     for t_step in range(1, length + 1):
         def step_fn(t: pa.Table, _t_step=t_step) -> pa.Table:
             wid = t["walk_id"].to_numpy()
             v = t["v"].to_numpy()
-            cache = PartCache(
-                ray.get(adj_ref),
-                ["srcs", "offsets", "nbrs", "wcum"] if weighted
-                else ["srcs", "offsets", "nbrs"],
-            )
-            nxt = np.empty(len(v), np.int64)
-            parts = int_bucket(v, P)
-            # deterministic seeded pick: md5("{walk}:{step}") mod degree
-            seeds = np.char.add(
-                np.char.add(wid.astype(np.int64).astype("U"), ":"),
-                f"{_t_step}",
-            )
-            h = md5_u64(seeds.astype(object))
-            for p in np.unique(parts):
-                m = parts == p
-                entry = cache.get(int(p))
-                if weighted:
-                    srcs, offsets, nbrs, wcum = entry
-                else:
-                    srcs, offsets, nbrs = entry
-                pos = np.searchsorted(srcs, v[m])
-                if weighted:
-                    # r = h mod W(v); pick the first neighbor whose
-                    # inclusive cumsum exceeds r (weight-proportional)
-                    lo = offsets[pos]
-                    hi = offsets[pos + 1]
-                    W = wcum[hi - 1].astype(np.uint64)
-                    r = (h[m] % W).astype(np.int64)
-                    idx = np.empty(len(r), np.int64)
-                    for j in range(len(r)):  # few rows per part per batch
-                        idx[j] = np.searchsorted(
-                            wcum[lo[j]:hi[j]], r[j], side="right"
-                        )
-                    nxt[m] = nbrs[lo + idx]
-                else:
-                    deg = (offsets[pos + 1] - offsets[pos]).astype(
-                        np.uint64)
-                    idx = (h[m] % deg).astype(np.int64)
-                    nxt[m] = nbrs[offsets[pos] + idx]
+            cache = PartCache(ray.get(adj_ref), cols)
+            h = _seed_hash(wid, _t_step)
+            nxt = (_weighted_next(cache, v, h, P) if weighted
+                   else _uniform_next(cache, v, h, P))
             return pa.table({"walk_id": wid, "v": nxt})
 
         cur = bucketed_group_combine(
             cur, ["v"], step_fn, num_buckets=P
         ).materialize()
-        df = cur.to_pandas()
-        out_frames.append(pd.DataFrame({
-            "walk_id": df["walk_id"].to_numpy(),
-            "step": np.full(len(df), t_step, np.int64),
-            "vertex_id": df["v"].to_numpy(),
-        }))
+        outs.append(_emit_step(cur, t_step))
 
-    out = pd.concat(out_frames, ignore_index=True)
-    return out.sort_values(["walk_id", "step"]).reset_index(drop=True)
+    return reduce(lambda a, b: a.union(b), outs)
 
 
 def node2vec_walks(edges_symmetric, length: int = 4, num_buckets: int = 32):
@@ -189,57 +229,30 @@ def node2vec_walks(edges_symmetric, length: int = 4, num_buckets: int = 32):
     value-exact vs the DuckDB twin (CASE weights + windowed SUM bracket).
 
     Same scale shape as random_walks (adjacency crosses once, steps
-    exchange walk rows), plus each biased step reads the PREVIOUS vertex's
-    neighbor list from the same partitioned CSR for the membership test."""
+    exchange walk rows, output unioned as a Dataset), plus each biased
+    step reads the PREVIOUS vertex's neighbor list from the same
+    partitioned CSR for the membership test. The bias is computed on FLAT
+    candidate arrays (repeat/cumsum offsets + batched bisection into the
+    prev slices + one global-cumsum searchsorted per group) — no per-walk
+    Python loop."""
     P = num_buckets
-    adj_index = _adjacency_index(edges_symmetric, P)
+    adj_index, parts_ds = _adjacency_index(edges_symmetric, P)
     adj_ref = ray.put(adj_index)
 
-    @ray.remote
-    def starts_of(block: pa.Table, row: int) -> np.ndarray:
-        return block["srcs"][row].values.to_numpy(zero_copy_only=False)
-
-    start_ids = np.unique(np.concatenate(
-        ray.get([starts_of.remote(ref, row)
-                 for ref, row in adj_index.values()])
-    ))
-
-    import ray.data as rd
-
-    out_frames = [pd.DataFrame({
-        "walk_id": start_ids,
-        "step": np.zeros(len(start_ids), np.int64),
-        "vertex_id": start_ids,
-    })]
+    starts = _starts_dataset(parts_ds)
+    outs = [_emit_step(starts, 0)]
 
     def first_step(t: pa.Table) -> pa.Table:
         wid = t["walk_id"].to_numpy()
         v = t["v"].to_numpy()
         cache = PartCache(ray.get(adj_ref), ["srcs", "offsets", "nbrs"])
-        nxt = np.empty(len(v), np.int64)
-        parts = int_bucket(v, P)
-        seeds = np.char.add(
-            np.char.add(wid.astype(np.int64).astype("U"), ":"), "1")
-        h = md5_u64(seeds.astype(object))
-        for p in np.unique(parts):
-            m = parts == p
-            srcs, offsets, nbrs = cache.get(int(p))
-            pos = np.searchsorted(srcs, v[m])
-            deg = (offsets[pos + 1] - offsets[pos]).astype(np.uint64)
-            idx = (h[m] % deg).astype(np.int64)
-            nxt[m] = nbrs[offsets[pos] + idx]
+        nxt = _uniform_next(cache, v, _seed_hash(wid, 1), P)
         return pa.table({"walk_id": wid, "prev": v, "v": nxt})
 
     cur = bucketed_group_combine(
-        rd.from_arrow(pa.table({"walk_id": start_ids, "v": start_ids})),
-        ["v"], first_step, num_buckets=P,
+        starts, ["v"], first_step, num_buckets=P,
     ).materialize()
-    df = cur.to_pandas()
-    out_frames.append(pd.DataFrame({
-        "walk_id": df["walk_id"].to_numpy(),
-        "step": np.ones(len(df), np.int64),
-        "vertex_id": df["v"].to_numpy(),
-    }))
+    outs.append(_emit_step(cur, 1))
 
     W_RET, W_COMMON, W_FAR = 1, 2, 4  # p=2, q=0.5, scaled x2
 
@@ -249,39 +262,57 @@ def node2vec_walks(edges_symmetric, length: int = 4, num_buckets: int = 32):
             prev = t["prev"].to_numpy()
             v = t["v"].to_numpy()
             cache = PartCache(ray.get(adj_ref), ["srcs", "offsets", "nbrs"])
-            seeds = np.char.add(
-                np.char.add(wid.astype(np.int64).astype("U"), ":"),
-                f"{_t_step}",
-            )
-            h = md5_u64(seeds.astype(object))
+            h = _seed_hash(wid, _t_step)
             nxt = np.empty(len(v), np.int64)
-
-            def nbrs_of(vertex: int):
-                srcs, offsets, nbrs = cache.get(int(int_bucket(
-                    np.array([vertex], np.int64), P)[0]))
-                pos = int(np.searchsorted(srcs, vertex))
-                return nbrs[offsets[pos]:offsets[pos + 1]]
-
-            for j in range(len(v)):  # per-walk bias (candidate-set scale)
-                cands = nbrs_of(int(v[j]))
-                pn = nbrs_of(int(prev[j]))
-                member = pn[np.minimum(np.searchsorted(pn, cands),
-                                       len(pn) - 1)] == cands
-                wgt = np.where(cands == prev[j], W_RET,
+            # group rows by (part(v), part(prev)) so both CSR lookups are
+            # against ONE part's flat arrays per group — everything inside
+            # a group is vectorized over the flattened candidate lists
+            gkey = int_bucket(v, P) * P + int_bucket(prev, P)
+            for g in np.unique(gkey):
+                m = gkey == g
+                srcs_v, off_v, nbrs_v = cache.get(int(g) // P)
+                srcs_p, off_p, nbrs_p = cache.get(int(g) % P)
+                lo, hi = _slice_bounds((srcs_v, off_v), v[m])
+                deg = hi - lo
+                n_flat = int(deg.sum())
+                starts_f = np.cumsum(deg) - deg  # per-row flat start
+                # flat candidate positions: row j contributes lo[j]..hi[j]
+                fp = (np.repeat(lo - starts_f, deg)
+                      + np.arange(n_flat, dtype=np.int64))
+                cand = nbrs_v[fp]
+                prev_f = np.repeat(prev[m], deg)
+                # membership of cand in prev's dst-sorted neighbor slice:
+                # batched lower-bound bisection (log(max prev degree)
+                # vectorized rounds — no per-row searchsorted)
+                pos_p = np.searchsorted(srcs_p, prev[m])
+                lb = np.repeat(off_p[pos_p], deg)
+                ub = np.repeat(off_p[pos_p + 1], deg)
+                phi = ub.copy()
+                while True:
+                    act = lb < ub
+                    if not act.any():
+                        break
+                    mid = (lb + ub) >> 1
+                    less = np.zeros(len(lb), bool)
+                    less[act] = nbrs_p[mid[act]] < cand[act]
+                    lb = np.where(act & less, mid + 1, lb)
+                    ub = np.where(act & ~less, mid, ub)
+                safe = np.minimum(lb, len(nbrs_p) - 1)
+                member = (lb < phi) & (nbrs_p[safe] == cand)
+                wgt = np.where(cand == prev_f, W_RET,
                                np.where(member, W_COMMON, W_FAR))
-                cum = np.cumsum(wgt)
-                r = int(h[j] % np.uint64(cum[-1]))
-                nxt[j] = cands[int(np.searchsorted(cum, r, side="right"))]
+                cs = np.cumsum(wgt)
+                base = np.where(starts_f > 0,
+                                cs[np.maximum(starts_f - 1, 0)], 0)
+                tot = (cs[starts_f + deg - 1] - base).astype(np.uint64)
+                r = (h[m] % tot).astype(np.int64)
+                # cs strictly increasing (weights >= 1): first candidate
+                # whose per-walk inclusive cum exceeds r
+                nxt[m] = cand[np.searchsorted(cs, base + r, side="right")]
             return pa.table({"walk_id": wid, "prev": v, "v": nxt})
 
         cur = bucketed_group_combine(cur, ["v"], step_fn,
                                      num_buckets=P).materialize()
-        df = cur.to_pandas()
-        out_frames.append(pd.DataFrame({
-            "walk_id": df["walk_id"].to_numpy(),
-            "step": np.full(len(df), t_step, np.int64),
-            "vertex_id": df["v"].to_numpy(),
-        }))
+        outs.append(_emit_step(cur, t_step))
 
-    out = pd.concat(out_frames, ignore_index=True)
-    return out.sort_values(["walk_id", "step"]).reset_index(drop=True)
+    return reduce(lambda a, b: a.union(b), outs)

@@ -366,6 +366,21 @@ def sssp_hops_query(sf_dir: str, min_weight: int = 2):
     return pd.DataFrame({"vertex_id": ids, "hops": dist})
 
 
+def betweenness_sigma_query(sf_dir: str, min_weight: int = 2):
+    """Forward half of one Brandes sweep (source = min vertex id) on the
+    weight>=2 co-purchase subgraph: exact hop distances + exact integer
+    shortest-path counts sigma. This certifies the forward machinery of
+    betweenness_sampled at the driver gate (the fractional backward delta
+    sums stay pytest-oracled — no order-free SQL twin exists for them)."""
+    from ..algos.betweenness import brandes_forward
+
+    edges = copurchase_edges(sf_dir).filter(expr=f"weight >= {min_weight}")
+    ids, dist, sigma, _ = brandes_forward(
+        symmetrize(edges.drop_columns(["weight"]))
+    )
+    return pd.DataFrame({"vertex_id": ids, "hops": dist, "sigma": sigma})
+
+
 def betweenness_query(sf_dir: str, n_sources: int = 2, min_weight: int = 2):
     """Sampled-source betweenness (Brandes dependencies from the
     ``n_sources`` smallest vertex ids) on the weight>=2 co-purchase
@@ -449,8 +464,11 @@ def random_walks_query(sf_dir: str, length: int = 4, min_weight: int = 2):
     from ..graph.walks import random_walks
 
     edges = copurchase_edges(sf_dir).filter(expr=f"weight >= {min_weight}")
-    return random_walks(symmetrize(edges.drop_columns(["weight"])),
-                        length=length)
+    walks = random_walks(symmetrize(edges.drop_columns(["weight"])),
+                         length=length)
+    # gate-scale only: the corpus itself is a streaming Dataset
+    return (walks.to_pandas().sort_values(["walk_id", "step"])
+            .reset_index(drop=True))
 
 
 def random_walks_weighted_query(sf_dir: str, length: int = 4,
@@ -462,7 +480,9 @@ def random_walks_weighted_query(sf_dir: str, length: int = 4,
     from ..graph.walks import random_walks
 
     edges = copurchase_edges(sf_dir).filter(expr=f"weight >= {min_weight}")
-    return random_walks(symmetrize(edges), length=length, weighted=True)
+    walks = random_walks(symmetrize(edges), length=length, weighted=True)
+    return (walks.to_pandas().sort_values(["walk_id", "step"])
+            .reset_index(drop=True))
 
 
 def node2vec_walks_query(sf_dir: str, length: int = 4,
@@ -474,8 +494,10 @@ def node2vec_walks_query(sf_dir: str, length: int = 4,
     from ..graph.walks import node2vec_walks
 
     edges = copurchase_edges(sf_dir).filter(expr=f"weight >= {min_weight}")
-    return node2vec_walks(symmetrize(edges.drop_columns(["weight"])),
-                          length=length)
+    walks = node2vec_walks(symmetrize(edges.drop_columns(["weight"])),
+                           length=length)
+    return (walks.to_pandas().sort_values(["walk_id", "step"])
+            .reset_index(drop=True))
 
 
 def diameter_lb_query(sf_dir: str, min_weight: int = 2):

@@ -827,15 +827,19 @@ def corpus_mix_report(sf_dir: str):
             "bpe": s.str.count_matches(BPE_ISH_RE)
             .to_numpy().astype(np.int64),
         })
-        g = df.groupby(["source", "lang"], sort=False).agg(
+        # dropna=False: a null source/lang must not silently drop rows from
+        # the volume sums (SQL GROUP BY keeps NULL groups; only
+        # COUNT(DISTINCT lang) excludes NULLs, mirrored by nunique below)
+        g = df.groupby(["source", "lang"], sort=False, dropna=False).agg(
             n_docs=("n_chars", "size"), sum_chars=("n_chars", "sum"),
             sum_ws_tokens=("ws", "sum"), sum_bpe_tokens=("bpe", "sum"),
         ).reset_index()
         return pa.Table.from_pandas(g, preserve_index=False)
 
     parts = ds.map_batches(partials, batch_format="pyarrow").to_pandas()
-    by_sl = parts.groupby(["source", "lang"], sort=True).sum().reset_index()
-    out = by_sl.groupby("source", sort=True).agg(
+    by_sl = parts.groupby(["source", "lang"], sort=True,
+                          dropna=False).sum().reset_index()
+    out = by_sl.groupby("source", sort=True, dropna=False).agg(
         n_docs=("n_docs", "sum"), sum_chars=("sum_chars", "sum"),
         sum_ws_tokens=("sum_ws_tokens", "sum"),
         sum_bpe_tokens=("sum_bpe_tokens", "sum"),

@@ -713,8 +713,13 @@ def test_random_walks_follow_edges_and_seed_rule():
     src = np.array([p[0] for p in pairs] + [p[1] for p in pairs], np.int64)
     dst = np.array([p[1] for p in pairs] + [p[0] for p in pairs], np.int64)
     sym = rd.from_arrow(pa.table({"src": src, "dst": dst}))
-    w1 = random_walks(sym, length=5, num_buckets=4)
-    w2 = random_walks(sym, length=5, num_buckets=4)
+
+    def collect(ds):
+        return (ds.to_pandas().sort_values(["walk_id", "step"])
+                .reset_index(drop=True))
+
+    w1 = collect(random_walks(sym, length=5, num_buckets=4))
+    w2 = collect(random_walks(sym, length=5, num_buckets=4))
     assert w1.equals(w2)  # bit-identical across runs
     adj = collections.defaultdict(list)
     for u, v in zip(src, dst):
@@ -755,7 +760,8 @@ def test_weighted_random_walks_follow_cdf_rule():
         "src": np.array(src, np.int64), "dst": np.array(dst, np.int64),
         "weight": np.array(wt, np.int64),
     }))
-    walks = random_walks(sym, length=4, num_buckets=4, weighted=True)
+    walks = (random_walks(sym, length=4, num_buckets=4, weighted=True)
+             .to_pandas())
     adj = {}
     for u, v, ww in zip(src, dst, wt):
         adj.setdefault(u, {})[v] = ww
@@ -789,7 +795,7 @@ def test_node2vec_walks_follow_bias_rule():
     src = np.array([p[0] for p in pairs] + [p[1] for p in pairs], np.int64)
     dst = np.array([p[1] for p in pairs] + [p[0] for p in pairs], np.int64)
     sym = rd.from_arrow(pa.table({"src": src, "dst": dst}))
-    walks = node2vec_walks(sym, length=4, num_buckets=4)
+    walks = node2vec_walks(sym, length=4, num_buckets=4).to_pandas()
     import collections
 
     adj = collections.defaultdict(set)
