@@ -81,8 +81,12 @@ def _levelwise_rooted(sf_dir: str):
 def _cyclic_pattern_features(sf_dir: str):
     """cpk feature map (Horváth et al. cyclic pattern kernel; reference
     cpk.c): per graph, canonical simple-cycle strings + bridge-forest tree
-    strings. Cycle enumeration is not SQL-expressible — rows-only; pytest
-    oracle in tests/test_patterns.py."""
+    strings over the simple min-label graph. SQL-oracled: per-order graphs
+    are connected and line-count-bounded, so the twin enumerates cycle
+    edge-subset masks (degree-2 + single-walk checks), canonicalizes by min
+    over rotations/reflections, and derives bridges as cycle-free edges with
+    unrolled center-rooted tree encodings (_cyclic_features_sql). Pytest
+    oracle in tests/test_patterns.py as well."""
     from graphminingtools_ray.pipelines.patterns import cyclic_pattern_features
 
     return cyclic_pattern_features(sf_dir)
@@ -146,9 +150,8 @@ def _cpk_gram(sf_dir: str):
     the CYCLIC pattern features (canonical simple-cycle strings +
     bridge-forest tree strings — reference cpk.c / treeKernels.c), for the
     16 lowest feature-bearing graph ids, long-form (graph_a, graph_b, k).
-    Rows-only (cycle enumeration is not SQL-expressible); the tree twin
-    tpk_gram IS SQL-oracled, and the cyclic feature map has pytest oracles
-    in tests/test_patterns.py."""
+    SQL-oracled (_cpk_gram_sql: the cyclic-feature CTE chain + a
+    (kind, feature) self-join); pytest oracles in tests/test_patterns.py."""
     import numpy as _np
 
     from graphminingtools_ray.pipelines.patterns import (
@@ -531,6 +534,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_lsh_md5": text_q.minhash_lsh_md5,
         "dedup_clusters_md5": text_q.dedup_clusters_md5,
         "media_features": text_q.media_features,
+        # REAL decode (PPM/BMP/WAV parsers) with an integer-exact SQL twin
+        "media_features_real": text_q.media_features_real,
         "media_frame_features": text_q.media_frame_features,
         # embeddings: similarity search + near-dup
         "ann_topk": embeddings_q.ann_topk,
@@ -1677,6 +1682,227 @@ def _order_graph_measures_sql() -> str:
     """
 
 
+def _cyclic_features_ctes(max_depth: int = 8) -> str:
+    """Shared CTE chain for the cpk cyclic-feature twin
+    (pipelines.patterns.cyclic_pattern_features over the simple min-label
+    per-order graphs). Produces a final CTE ``feat(o, kind, feature)``.
+
+    Cycle half: per-order graphs are CONNECTED by construction (consecutive-
+    line walks), so a cycle exists iff m >= n; with line counts bounded
+    (<= 16 per order at gate scales) the twin enumerates all edge-subset
+    masks, keeps subsets where every vertex has degree exactly 2 AND a
+    deterministic walk visits all k vertices (single cycle, not a union),
+    and canonicalizes as the engine does — min over 2k rotations/reflections
+    of the interleaved label string.
+
+    Tree half: bridges = edges on NO valid cycle mask; bridge-forest
+    components found by per-order recursive closure; canonical tree string =
+    min over the (<=2) eccentricity-minimizing centers of the rooted
+    encoding ``label ( el subtree ) ...`` with child blocks sorted — built
+    bottom-up by unrolled depth levels (center depth <= ceil((lines-1)/2);
+    ``max_depth`` carries ~2x margin at gate scales, same sf-dependence
+    caveat as the fixpoint unrolls above)."""
+    # next-hop of the deterministic cycle walk: the selected-edge neighbor
+    # of acc[-1] that is not the previous vertex
+    nxt = (
+        "list_filter(list_transform("
+        "list_filter(sidx, i -> vas[i] = acc[-1] OR vbs[i] = acc[-1]),"
+        " i -> CASE WHEN vas[i] = acc[-1] THEN vbs[i] ELSE vas[i] END),"
+        " x -> x <> (CASE WHEN len(acc) = 1 THEN -1 ELSE acc[-2] END))[1]"
+    )
+    # interleaved-label candidate strings for one direction's (vl, el) lists
+    def cands(vl, el):
+        return (
+            f"list_transform(range(0, k), r -> array_to_string("
+            f"list_transform(range(0, k), i -> {vl}[1 + ((r + i) % k)]"
+            f" || ' ' || {el}[1 + ((r + i) % k)]), ' '))"
+        )
+
+    # unrolled bottom-up rooted encodings: enc_d(v) = label + sorted child
+    # blocks built from enc_{d+1}
+    enc_ctes = [
+        f"""
+        enc{max_depth} AS (
+            SELECT o, center, v,
+                   lab || ' ' AS enc
+            FROM bfsl WHERE d = {max_depth})"""
+    ]
+    for d in range(max_depth - 1, -1, -1):
+        enc_ctes.append(f"""
+        enc{d} AS (
+            SELECT p.o, p.center, p.v,
+                   p.lab || ' ' || COALESCE(string_agg(
+                       '( ' || c.el || ' ' || c.enc || ') ', ''
+                       ORDER BY '( ' || c.el || ' ' || c.enc || ') '), '')
+                       AS enc
+            FROM bfsl p LEFT JOIN (
+                SELECT b.o, b.center, b.parent, b.el, e.enc
+                FROM bfsl b JOIN enc{d + 1} e
+                  ON e.o = b.o AND e.center = b.center AND e.v = b.v
+                WHERE b.d = {d + 1}) c
+              ON c.o = p.o AND c.center = p.center AND c.parent = p.v
+            WHERE p.d = {d}
+            GROUP BY p.o, p.center, p.v, p.lab)""")
+    encs = ",".join(enc_ctes)
+
+    return f"""
+        pl AS (SELECT l_orderkey AS o, l_linenumber AS ln,
+                      l_partkey AS pk, l_returnflag AS rf FROM lineitem),
+        sq AS (SELECT o, pk, rf,
+                      lag(pk) OVER (PARTITION BY o ORDER BY ln, pk, rf)
+                          AS prev
+               FROM pl),
+        sei AS MATERIALIZED (
+            SELECT o, va, vb, le,
+                   ROW_NUMBER() OVER (PARTITION BY o ORDER BY va, vb) AS ei
+            FROM (SELECT o, LEAST(prev, pk) AS va, GREATEST(prev, pk) AS vb,
+                         MIN(rf) AS le
+                  FROM sq WHERE prev IS NOT NULL AND prev <> pk
+                  GROUP BY 1, 2, 3)),
+        vbr AS MATERIALIZED (
+            SELECT vv.o, vv.v, p_brand AS lab
+            FROM (SELECT DISTINCT o, va AS v FROM sei
+                  UNION SELECT DISTINCT o, vb FROM sei) vv
+            JOIN part ON vv.v = p_partkey),
+        gl AS (SELECT o, list(va ORDER BY ei) AS vas,
+                      list(vb ORDER BY ei) AS vbs,
+                      list(le ORDER BY ei) AS les, COUNT(*) AS m
+               FROM sei GROUP BY o),
+        gv AS (SELECT o, list(v ORDER BY v) AS vvs,
+                      list(lab ORDER BY v) AS vls, COUNT(*) AS n
+               FROM vbr GROUP BY o),
+        -- cycle candidate masks (connected graphs: cycle iff m >= n)
+        cand AS (
+            SELECT * FROM (
+                SELECT *, len(sidx) AS k,
+                       list_sort(list_concat(
+                           list_transform(sidx, i -> vas[i]),
+                           list_transform(sidx, i -> vbs[i]))) AS eps
+                FROM (
+                    SELECT o, vas, vbs, les, vvs, vls,
+                           list_filter(range(1, m + 1),
+                                       i -> ((mask >> (i - 1)) & 1) = 1)
+                               AS sidx
+                    FROM (SELECT gl.*, gv.vvs, gv.vls,
+                                 unnest(range(0, 1 << gl.m)) AS mask
+                          FROM gl JOIN gv USING (o) WHERE gl.m >= gv.n)
+                    WHERE bit_count(mask) >= 3))
+            WHERE len(list_distinct(eps)) = k
+              AND len(list_filter(range(1, k + 1),
+                                  j -> eps[2 * j - 1] = eps[2 * j])) = k),
+        walked AS MATERIALIZED (
+            SELECT * FROM (
+                SELECT *, list_reduce(
+                    list_concat([[eps[1]]],
+                                list_transform(range(1, k),
+                                               i -> [CAST(0 AS BIGINT)])),
+                    (acc, x) -> list_append(acc, {nxt})) AS path
+                FROM cand)
+            WHERE len(list_distinct(path)) = k),
+        cyc AS (
+            SELECT DISTINCT o, 'cycle' AS kind,
+                   list_aggregate(list_concat(
+                       {cands('vlab', 'elab')},
+                       {cands('vrev', 'erev')}), 'min') AS feature
+            FROM (
+                SELECT *,
+                    list_transform(range(0, k),
+                        i -> vlab[1 + ((k - 1 - i) % k)]) AS vrev,
+                    list_transform(range(0, k),
+                        i -> elab[1 + (((k - 2 - i) % k + k) % k)]) AS erev
+                FROM (
+                    SELECT o, k,
+                        list_transform(range(1, k + 1),
+                            i -> vls[list_position(vvs, path[i])]) AS vlab,
+                        list_transform(range(1, k + 1), i -> les[
+                            list_filter(sidx, j ->
+                                vas[j] = LEAST(path[i], path[
+                                    CASE WHEN i = k THEN 1 ELSE i + 1 END])
+                                AND vbs[j] = GREATEST(path[i], path[
+                                    CASE WHEN i = k THEN 1 ELSE i + 1 END])
+                            )[1]]) AS elab
+                    FROM walked))),
+        -- bridges: edges on no valid cycle mask
+        br AS MATERIALIZED (
+            SELECT sei.o, sei.va, sei.vb, sei.le FROM sei
+            LEFT JOIN (SELECT DISTINCT o, unnest(sidx) AS ei FROM walked) ce
+              ON ce.o = sei.o AND ce.ei = sei.ei
+            WHERE ce.ei IS NULL),
+        bh AS MATERIALIZED (
+            SELECT o, va AS s, vb AS d, le FROM br
+            UNION ALL SELECT o, vb, va, le FROM br),
+        bver AS (SELECT DISTINCT o, s AS v FROM bh),
+        -- components of the bridge forest
+        reach AS (
+            SELECT o, v, v AS r FROM bver
+            UNION
+            SELECT h.o, h.d, reach.r
+            FROM reach JOIN bh h ON h.o = reach.o AND h.s = reach.v),
+        comp AS (SELECT o, v, MIN(r) AS root FROM reach GROUP BY 1, 2),
+        -- tree BFS from every vertex (no-backtrack walk; trees => unique
+        -- paths, terminates); d = distance, parent = previous vertex
+        dst AS (
+            SELECT o, v AS a, v AS b, CAST(-1 AS BIGINT) AS parent,
+                   0 AS d, CAST(NULL AS VARCHAR) AS el
+            FROM bver
+            UNION ALL
+            SELECT h.o, dst.a, h.d, dst.b, dst.d + 1, h.le
+            FROM dst JOIN bh h
+              ON h.o = dst.o AND h.s = dst.b AND h.d <> dst.parent),
+        ctr AS (
+            SELECT o, a AS center, root FROM (
+                SELECT e.o, e.a, c.root, e.ecc,
+                       MIN(e.ecc) OVER (PARTITION BY e.o, c.root) AS mecc
+                FROM (SELECT o, a, MAX(d) AS ecc FROM dst GROUP BY 1, 2) e
+                JOIN comp c ON c.o = e.o AND c.v = e.a)
+            WHERE ecc = mecc),
+        -- BFS layers from each center, with vertex labels
+        bfsl AS MATERIALIZED (
+            SELECT dst.o, ctr.center, ctr.root, dst.b AS v, dst.parent,
+                   dst.d, dst.el, vbr.lab
+            FROM dst JOIN ctr ON ctr.o = dst.o AND ctr.center = dst.a
+            JOIN vbr ON vbr.o = dst.o AND vbr.v = dst.b),
+        {encs},
+        feat AS (
+            SELECT o, kind, feature FROM cyc
+            UNION ALL
+            -- per bridge-forest component: min over its (<=2) centers of
+            -- the center-rooted encoding (enc0 holds enc at depth 0, i.e.
+            -- the full encoding rooted at each center)
+            SELECT o, 'tree' AS kind, MIN(enc) AS feature
+            FROM (SELECT b.o, b.root, e.enc
+                  FROM (SELECT DISTINCT o, center, root FROM bfsl) b
+                  JOIN enc0 e ON e.o = b.o AND e.center = b.center
+                             AND e.v = b.center)
+            GROUP BY o, root
+        )
+    """
+
+
+def _cyclic_features_sql() -> str:
+    return f"""
+        WITH RECURSIVE {_cyclic_features_ctes()}
+        SELECT DISTINCT o AS graph_id, kind, feature FROM feat
+    """
+
+
+def _cpk_gram_sql() -> str:
+    """Intersection kernel over the cyclic feature map for the 16 lowest
+    feature-bearing graph ids: a self-join on (kind, feature)."""
+    return f"""
+        WITH RECURSIVE {_cyclic_features_ctes()},
+        fd AS (SELECT DISTINCT o AS graph_id, kind, feature FROM feat),
+        sample AS (SELECT DISTINCT graph_id FROM fd
+                   ORDER BY graph_id LIMIT 16)
+        SELECT a.graph_id AS graph_a, b.graph_id AS graph_b,
+               COUNT(*)::BIGINT AS k
+        FROM fd a JOIN fd b ON a.kind = b.kind AND a.feature = b.feature
+        WHERE a.graph_id IN (SELECT graph_id FROM sample)
+          AND b.graph_id IN (SELECT graph_id FROM sample)
+        GROUP BY 1, 2
+    """
+
+
 def _tpk_gram_sql() -> str:
     """Intersection kernel over the <=2-edge frequent-tree feature map for
     the 16 lowest feature-bearing graph ids: a self-join on pattern."""
@@ -2379,6 +2605,8 @@ def oracle_sql() -> dict[str, str]:
         "tree_pattern_features": _tree_pattern_features_sql(),
         "tpk_gram": _tpk_gram_sql(),
         "order_graph_measures": _order_graph_measures_sql(),
+        "cyclic_pattern_features": _cyclic_features_sql(),
+        "cpk_gram": _cpk_gram_sql(),
         "poset_exact_embeddings": _poset_exact_embeddings_sql(),
         "levelwise_rooted": _levelwise_rooted_sql(),
         "simhash_md5": _simhash_md5_sql(),
@@ -2387,6 +2615,45 @@ def oracle_sql() -> dict[str, str]:
         "minhash_lsh_md5": _minhash_lsh_md5_sql(),
         "dedup_clusters_md5": _dedup_clusters_md5_sql(),
         "ann_lsh_md5": _ann_lsh_md5_sql(),
+        # REAL media decode (stages/media.py decode_ppm/decode_bmp/
+        # decode_wav): the engine parses actual PPM/BMP/WAV bytes built by
+        # synth_media_payload's closed form; the twin recomputes the
+        # integer-exact features symbolically from the same closed form, so
+        # a hash match certifies the binary parsers end to end.
+        "media_features_real": """
+            WITH p AS (
+                SELECT doc_id,
+                       doc_id % 3 AS k,
+                       2 + doc_id % 7 AS w,
+                       2 + doc_id % 5 AS h,
+                       (doc_id * 31) % 256 AS a0,
+                       1 + doc_id % 2 AS ch,
+                       16 + doc_id % 48 AS fr
+                FROM documents
+            )
+            SELECT doc_id AS media_id,
+                   CASE k WHEN 0 THEN 'ppm' WHEN 1 THEN 'bmp'
+                          ELSE 'wav' END AS kind,
+                   CAST(CASE WHEN k < 2 THEN w ELSE 0 END AS BIGINT) AS width,
+                   CAST(CASE WHEN k < 2 THEN h ELSE 0 END AS BIGINT) AS height,
+                   CAST(CASE WHEN k < 2 THEN 3 ELSE ch END AS BIGINT)
+                       AS channels,
+                   CAST(CASE WHEN k < 2 THEN 0 ELSE 8000 END AS BIGINT)
+                       AS sample_rate,
+                   CAST(CASE WHEN k < 2 THEN w * h * 3 ELSE fr * ch END
+                        AS BIGINT) AS n_values,
+                   CAST(CASE WHEN k < 2 THEN
+                            list_sum(list_transform(
+                                range(0, w * h * 3),
+                                i -> (a0 + i) % 256))
+                        ELSE
+                            list_sum(list_transform(
+                                range(0, fr * ch),
+                                i -> abs(((doc_id * 17 + i * 7) % 65536)
+                                         - 32768)))
+                        END AS BIGINT) AS sum_values
+            FROM p
+        """,
         # remaining rows-only queries: iterative fixpoints beyond the
         # fixed-k unrolled oracles (pagerank_fixpoint), seeded/sampled
         # estimators (tree_sampling_suite, hops, ann LSH/IVF recall-bound),

@@ -201,9 +201,30 @@ def _bridge_tree_features(vertices: dict, edges: list) -> set[str]:
     return out
 
 
+def _simple_labeled_edges(edges: list) -> list:
+    """Canonicalize a derived edge list to the SIMPLE labeled graph the cpk
+    semantics are defined over (cpk.c operates on simple labeled graphs):
+    one undirected edge per vertex pair, label = MIN over the labels of all
+    directed/duplicate rows for that pair, self-loops dropped. Makes the
+    feature map independent of row order (the raw derivation can emit both
+    directions of a pair, or the same pair under two labels) — and therefore
+    SQL-twinnable."""
+    best: dict[tuple, str] = {}
+    for a, b, el in edges:
+        if a == b:
+            continue
+        k = (min(a, b), max(a, b))
+        if k not in best or el < best[k]:
+            best[k] = el
+    return [(a, b, el) for (a, b), el in sorted(best.items())]
+
+
 def cyclic_pattern_features(sf_dir: str) -> rd.Dataset:
     """cpk feature map over the per-order graph DB: (graph_id, kind, feature)
-    rows, kind ∈ {cycle, tree}. Deterministic; sorted within graph."""
+    rows, kind ∈ {cycle, tree}, computed over the SIMPLE min-label graph
+    (``_simple_labeled_edges``). Deterministic; sorted within graph;
+    SQL-oracled (per-order graphs are line-count-bounded, so the twin
+    enumerates cycle edge-subsets and unrolls the bridge-forest encoding)."""
     edges = order_graph_edges_full(sf_dir)
 
     def per_graph(t: pa.Table) -> pa.Table:
@@ -211,6 +232,7 @@ def cyclic_pattern_features(sf_dir: str) -> rd.Dataset:
         gids, kinds, feats = [], [], []
         for gid, g in df.groupby("graph_id", sort=False):
             vertices, gedges = _graph_structs(g)
+            gedges = _simple_labeled_edges(gedges)
             for f in sorted(_cycle_features(vertices, gedges)):
                 gids.append(int(gid))
                 kinds.append("cycle")

@@ -480,6 +480,38 @@ def media_features(sf_dir: str):
     )
 
 
+def media_features_real(sf_dir: str):
+    """REAL media decode end to end: one deterministic closed-form payload
+    per document id (PPM / 24-bit BMP / PCM WAV round-robin —
+    ``stages.media.synth_media_payload``), parsed by the dependency-free
+    format decoders into integer-exact features (kind, dimensions, channels,
+    sample_rate, n_values, sum_values). Driver-gate checkable: the DuckDB
+    twin recomputes every feature symbolically from the same closed form, so
+    a hash match certifies the binary PARSERS against real bytes."""
+    from ..stages.media import MediaDecode, synth_media_payload
+
+    def to_payload(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy()
+        return pa.table(
+            {
+                "media_id": t["doc_id"],
+                "payload": pa.array(
+                    [synth_media_payload(i) for i in ids], pa.binary()
+                ),
+            }
+        )
+
+    ds = _docs(sf_dir, columns=("doc_id",)).map_batches(
+        to_payload, batch_format="pyarrow"
+    )
+    return ds.map_batches(
+        MediaDecode,
+        batch_format="pyarrow",
+        batch_size=1024,
+        concurrency=actor_pool(),
+    )
+
+
 def media_frame_features(sf_dir: str):
     """Chained multimodal plumbing: payload → resize (size-class change) →
     frame sampling (flat-map: rows multiply) → per-frame features — three

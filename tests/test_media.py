@@ -67,12 +67,81 @@ def test_frame_sample_flatmap_contract():
     (MediaResizeStub, {}),
     (FrameSampleStub, {}),
 ])
-def test_real_decoders_are_gated(cls, kw):
+def test_codec_decoders_are_gated(cls, kw):
+    # payloads that are not PPM/BMP/WAV need codec libraries -> gated
     stage = cls(decoder="real", **kw)
     with pytest.raises(NotImplementedError):
         stage(_batch([b"abc"]))
     with pytest.raises(ValueError):
         cls(decoder="nope")
+
+
+# --- real dependency-free decoders (PPM / BMP / WAV) ---
+
+def test_decode_ppm_known_bytes():
+    from graphminingtools_ray.stages.media import decode_ppm
+
+    # 2x1 image, pixels (1,2,3) and (250,251,252); comment + multi-space
+    # header exercises the tokenizer
+    payload = b"P6\n# a comment\n2  1\n255\n" + bytes([1, 2, 3, 250, 251, 252])
+    m = decode_ppm(payload)
+    assert (m["width"], m["height"], m["channels"]) == (2, 1, 3)
+    assert m["n_values"] == 6 and m["sum_values"] == 1 + 2 + 3 + 250 + 251 + 252
+    with pytest.raises(ValueError):
+        decode_ppm(b"P3\n1 1\n255\n1 2 3")  # ASCII PPM unsupported
+
+
+def test_decode_bmp_padding_excluded():
+    from graphminingtools_ray.stages.media import decode_bmp, synth_media_payload
+
+    # width 3 -> stride 12, 3 padding bytes/row; synth id 1 is a 3x3 BMP
+    m = decode_bmp(synth_media_payload(1))
+    assert (m["width"], m["height"]) == (3, 3)
+    px = (31 + np.arange(27)) % 256
+    assert m["sum_values"] == int(px.sum())
+
+
+def test_decode_wav_chunks_and_abs_sum():
+    from graphminingtools_ray.stages.media import decode_wav, synth_media_payload
+
+    m = decode_wav(synth_media_payload(5))  # ch=2, frames=21
+    assert (m["sample_rate"], m["bits"], m["channels"]) == (8000, 16, 2)
+    assert m["n_values"] == 42
+    s = ((5 * 17 + 7 * np.arange(42)) % 65536) - 32768
+    assert m["sum_values"] == int(np.abs(s).sum())
+    with pytest.raises(ValueError):
+        decode_wav(b"RIFF\x04\x00\x00\x00WAVE")  # missing fmt/data
+
+
+def test_synth_roundtrip_all_kinds():
+    from graphminingtools_ray.stages.media import decode_media, synth_media_payload
+
+    for mid in range(60):
+        m = decode_media(synth_media_payload(mid))
+        k = mid % 3
+        assert m["kind"] == ("ppm", "bmp", "wav")[k]
+        if k < 2:
+            w, h = 2 + mid % 7, 2 + mid % 5
+            px = (mid * 31 + np.arange(w * h * 3)) % 256
+            assert (m["width"], m["height"]) == (w, h)
+            assert m["sum_values"] == int(px.sum())
+        else:
+            n = (16 + mid % 48) * (1 + mid % 2)
+            s = ((mid * 17 + 7 * np.arange(n)) % 65536) - 32768
+            assert m["n_values"] == n
+            assert m["sum_values"] == int(np.abs(s).sum())
+
+
+def test_feature_stub_real_decoder_on_parseable_payloads():
+    from graphminingtools_ray.stages.media import synth_media_payload
+
+    stage = MediaFeatureStub(decoder="real")
+    out = stage(_batch([synth_media_payload(i) for i in range(3)]))
+    feats = np.array(out["feature"].to_pylist())
+    # ppm id 0: 2x2x3 px, mean 66/12; bmp id 1: 3x3; wav id 2: 8000 Hz 16-bit
+    assert feats[0].tolist() == [2.0, 2.0, 3.0, 5.5]
+    assert feats[1][:3].tolist() == [3.0, 3.0, 3.0]
+    assert feats[2][:3].tolist() == [8000.0, 16.0, 1.0]
 
 
 def test_media_frame_features_pipeline(ray_session):
