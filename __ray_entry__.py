@@ -175,6 +175,29 @@ def _cpk_gram(sf_dir: str):
     ).reset_index(drop=True)
 
 
+def _merge_sparse_features(sf_dir: str):
+    """Reference python/mergeSparseFeatureFiles.py (libSVM hstack) over the
+    engine's long-form sparse tables: tree features ++ cyclic features with
+    offset ids. SQL-oracled (_merge_sparse_features_sql)."""
+    from graphminingtools_ray.pipelines.features import (
+        merge_sparse_features_query,
+    )
+
+    return merge_sparse_features_query(sf_dir)
+
+
+def _select_top_features(sf_dir: str):
+    """Reference python/selectTopFeatures.py (chi2 feature selection) over
+    the tree feature table, labels = o_orderpriority; top 20 by
+    (chi2 DESC, pattern). SQL-oracled (_select_top_features_sql — identical
+    float evaluation order)."""
+    from graphminingtools_ray.pipelines.features import (
+        select_top_features_query,
+    )
+
+    return select_top_features_query(sf_dir)
+
+
 def _poset_minhash_sketches(sf_dir: str):
     """Min-hash sketches over the frequent-tree pattern poset (reference
     minhashing.c: buildTreePosetFromGraphDB + permutation shrink +
@@ -497,10 +520,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tree_pattern_features": _tree_pattern_features,
         "tpk_gram": _tpk_gram,
         "cpk_gram": _cpk_gram,
+        # reference python feature layer (mergeSparseFeatureFiles.py /
+        # selectTopFeatures.py): hstack + chi2 top-k over sparse tables
+        "merge_sparse_features": _merge_sparse_features,
+        "select_top_features": _select_top_features,
         "gdb_blockchain_measures": _gdb_blockchain_measures,
         # gf measure subset over PARQUET-derived per-order graphs — the
         # driver-gate-checkable complement of the generated-DB measure query
         "order_graph_measures": graph_queries.order_graph_measures,
+        # biconnectivity half of the gf surface over the same transactions
+        "order_graph_block_measures":
+            graph_queries.order_graph_block_measures,
         "vertex_cycle_degrees": _vertex_cycle_degrees,
         "tree_sampling_suite": _tree_sampling_suite,
         "cactus_subtree_iso": _cactus_subtree_iso,
@@ -1746,12 +1776,12 @@ def _cyclic_features_ctes(max_depth: int = 8) -> str:
     encs = ",".join(enc_ctes)
 
     return f"""
-        pl AS (SELECT l_orderkey AS o, l_linenumber AS ln,
+        cpl AS (SELECT l_orderkey AS o, l_linenumber AS ln,
                       l_partkey AS pk, l_returnflag AS rf FROM lineitem),
         sq AS (SELECT o, pk, rf,
                       lag(pk) OVER (PARTITION BY o ORDER BY ln, pk, rf)
                           AS prev
-               FROM pl),
+               FROM cpl),
         sei AS MATERIALIZED (
             SELECT o, va, vb, le,
                    ROW_NUMBER() OVER (PARTITION BY o ORDER BY va, vb) AS ei
@@ -1900,6 +1930,155 @@ def _cpk_gram_sql() -> str:
         WHERE a.graph_id IN (SELECT graph_id FROM sample)
           AND b.graph_id IN (SELECT graph_id FROM sample)
         GROUP BY 1, 2
+    """
+
+
+def _order_graph_block_measures_sql() -> str:
+    """Twin of pipelines.graph_queries.order_graph_block_measures: reuses
+    the cyclic-feature CTE machinery (sei / walked / br) — cycles = valid
+    degree-2 single-walk edge-subset masks, non-iso cycles = distinct mask
+    sizes (unlabeled canonical cycle == length), bridges = cycle-free edges,
+    blocks = transitive closure of the shares-a-mask relation on cycle
+    edges, criticality(v) = nontrivial blocks containing v + incident
+    bridges (articulation <=> > 1), n_bridge_trees = n - n_bridges."""
+    return f"""
+        WITH RECURSIVE {_cyclic_features_ctes()},
+        verts AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS v
+                  FROM lineitem),
+        nv AS (SELECT o, COUNT(*) AS n FROM verts GROUP BY 1),
+        nbr AS (SELECT o, COUNT(*) AS n_bridges FROM br GROUP BY 1),
+        cycc AS (SELECT o, COUNT(*) AS n_cyc,
+                        COUNT(DISTINCT k) AS n_noniso
+                 FROM walked GROUP BY 1),
+        -- shares-a-mask pairs stay within one mask row (struct-pair flatten)
+        cp AS MATERIALIZED (
+            SELECT DISTINCT o, pr['ei'] AS ei, pr['ej'] AS ej
+            FROM (SELECT o, unnest(flatten(list_transform(sidx,
+                       x -> list_transform(sidx,
+                            y -> {{'ei': x, 'ej': y}})))) AS pr
+                  FROM walked)),
+        ereach AS (
+            SELECT DISTINCT o, ei, ei AS r FROM cp
+            UNION
+            SELECT cp.o, cp.ej, ereach.r
+            FROM ereach JOIN cp ON cp.o = ereach.o AND cp.ei = ereach.ei),
+        bcc AS (SELECT o, ei, MIN(r) AS rep FROM ereach GROUP BY 1, 2),
+        nbl AS (SELECT o, COUNT(DISTINCT rep) AS n_blocks FROM bcc
+                GROUP BY 1),
+        -- block membership -> per-vertex block degree
+        bverts AS (SELECT DISTINCT b.o, b.rep, sei.va AS v
+                   FROM bcc b JOIN sei ON sei.o = b.o AND sei.ei = b.ei
+                   UNION
+                   SELECT DISTINCT b.o, b.rep, sei.vb
+                   FROM bcc b JOIN sei ON sei.o = b.o AND sei.ei = b.ei),
+        bd AS (SELECT o, v, COUNT(DISTINCT rep) AS bd FROM bverts
+               GROUP BY 1, 2),
+        brinc AS (SELECT o, v, COUNT(*) AS nb
+                  FROM (SELECT o, va AS v FROM br
+                        UNION ALL SELECT o, vb FROM br) GROUP BY 1, 2),
+        perv AS (SELECT verts.o, verts.v,
+                        COALESCE(bd.bd, 0) AS bd,
+                        COALESCE(bd.bd, 0) + COALESCE(brinc.nb, 0) AS crit
+                 FROM verts
+                 LEFT JOIN bd ON bd.o = verts.o AND bd.v = verts.v
+                 LEFT JOIN brinc ON brinc.o = verts.o
+                                AND brinc.v = verts.v),
+        agg AS (SELECT o, MAX(bd) AS max_bd, MIN(bd) AS min_bd,
+                       SUM(CASE WHEN crit > 1 THEN 1 ELSE 0 END) AS n_art
+                FROM perv GROUP BY 1)
+        SELECT nv.o AS graph_id,
+               COALESCE(cycc.n_cyc, 0)::BIGINT AS n_simple_cycles,
+               COALESCE(cycc.n_noniso, 0)::BIGINT AS n_noniso_cycles,
+               COALESCE(nbr.n_bridges, 0)::BIGINT AS n_bridges,
+               COALESCE(nbl.n_blocks, 0)::BIGINT AS n_blocks,
+               (nv.n - COALESCE(nbr.n_bridges, 0))::BIGINT AS n_bridge_trees,
+               COALESCE(agg.n_art, 0)::BIGINT AS n_articulation_points,
+               COALESCE(agg.max_bd, 0)::BIGINT AS max_block_degree,
+               COALESCE(agg.min_bd, 0)::BIGINT AS min_block_degree
+        FROM nv
+        LEFT JOIN cycc ON cycc.o = nv.o
+        LEFT JOIN nbr ON nbr.o = nv.o
+        LEFT JOIN nbl ON nbl.o = nv.o
+        LEFT JOIN agg ON agg.o = nv.o
+    """
+
+
+def _merge_sparse_features_sql() -> str:
+    """hstack twin (pipelines.features.merge_sparse_features_query): tree
+    feature table (ids = sorted-frequent rank) UNION cyclic feature table
+    with ids offset by the tree pattern-space width."""
+    return f"""
+        WITH RECURSIVE {_lt_base_ctes()}, {_cyclic_features_ctes()},
+        lv AS (SELECT o, pattern FROM p1 UNION ALL SELECT o, pattern FROM p2),
+        freq AS (SELECT pattern FROM lv GROUP BY pattern
+                 HAVING COUNT(DISTINCT o) >=
+                        (SELECT GREATEST(3, (ng + 5000) // 10000) FROM nb)),
+        pid AS (SELECT pattern,
+                       (row_number() OVER (ORDER BY pattern) - 1)::BIGINT
+                           AS pattern_id
+                FROM freq),
+        tfeat AS (SELECT DISTINCT lv.o AS graph_id, pid.pattern_id,
+                         lv.pattern
+                  FROM lv JOIN pid ON lv.pattern = pid.pattern),
+        fd AS (SELECT DISTINCT o, kind, feature FROM feat),
+        cid AS (SELECT kind, feature,
+                       (row_number() OVER (ORDER BY kind, feature) - 1)::BIGINT
+                           AS cidx
+                FROM (SELECT DISTINCT kind, feature FROM fd)),
+        cfeat AS (SELECT fd.o AS graph_id,
+                         cid.cidx + (SELECT COUNT(*) FROM freq) AS pattern_id,
+                         fd.kind || '|' || fd.feature AS pattern
+                  FROM fd JOIN cid
+                    ON fd.kind = cid.kind AND fd.feature = cid.feature)
+        SELECT graph_id, pattern_id, pattern FROM tfeat
+        UNION ALL
+        SELECT graph_id, pattern_id, pattern FROM cfeat
+    """
+
+
+def _select_top_features_sql(k: int = 20) -> str:
+    """chi2 top-k twin (pipelines.features.select_top_features_query). The
+    5-term class sum is written out literally in sorted class order so the
+    float evaluation order matches the engine's sorted-class accumulation
+    (identical IEEE doubles); absent classes contribute a literal 0.0,
+    which is an IEEE no-op in the same position the engine skips them."""
+    classes = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+    terms = []
+    for c in classes:
+        n = f"(SELECT n FROM nc WHERE cls = '{c}')"
+        e = f"(CAST({n} AS DOUBLE) * CAST(t AS DOUBLE) / (SELECT CAST(n AS DOUBLE) FROM nn))"
+        o = (f"COALESCE(SUM(CASE WHEN obs.cls = '{c}' THEN obs.cnt END), 0)")
+        d = f"(CAST({o} AS DOUBLE) - {e})"
+        terms.append(f"CASE WHEN {n} IS NULL THEN 0.0 ELSE {d} * {d} / {e} END")
+    chi = " + ".join(terms)
+    return f"""
+        WITH {_lt_base_ctes()},
+        lv AS (SELECT o, pattern FROM p1 UNION ALL SELECT o, pattern FROM p2),
+        freq AS (SELECT pattern FROM lv GROUP BY pattern
+                 HAVING COUNT(DISTINCT o) >=
+                        (SELECT GREATEST(3, (ng + 5000) // 10000) FROM nb)),
+        pid AS (SELECT pattern,
+                       (row_number() OVER (ORDER BY pattern) - 1)::BIGINT
+                           AS pattern_id
+                FROM freq),
+        tfeat AS (SELECT DISTINCT lv.o AS graph_id, pid.pattern_id,
+                         lv.pattern
+                  FROM lv JOIN pid ON lv.pattern = pid.pattern),
+        lab AS (SELECT o_orderkey AS graph_id, o_orderpriority AS cls
+                FROM orders
+                WHERE o_orderkey IN (SELECT DISTINCT l_orderkey
+                                     FROM lineitem)),
+        nc AS (SELECT cls, COUNT(*)::BIGINT AS n FROM lab GROUP BY 1),
+        nn AS (SELECT COUNT(*)::BIGINT AS n FROM lab),
+        tt AS (SELECT pattern_id, pattern, COUNT(*)::BIGINT AS t
+               FROM tfeat GROUP BY 1, 2),
+        obs AS (SELECT f.pattern_id, l.cls, COUNT(*)::BIGINT AS cnt
+                FROM tfeat f JOIN lab l ON l.graph_id = f.graph_id
+                GROUP BY 1, 2)
+        SELECT tt.pattern_id, tt.pattern, ROUND({chi}, 6) AS chi2
+        FROM tt LEFT JOIN obs ON obs.pattern_id = tt.pattern_id
+        GROUP BY tt.pattern_id, tt.pattern, tt.t
+        ORDER BY chi2 DESC, pattern LIMIT {k}
     """
 
 
@@ -2605,8 +2784,11 @@ def oracle_sql() -> dict[str, str]:
         "tree_pattern_features": _tree_pattern_features_sql(),
         "tpk_gram": _tpk_gram_sql(),
         "order_graph_measures": _order_graph_measures_sql(),
+        "order_graph_block_measures": _order_graph_block_measures_sql(),
         "cyclic_pattern_features": _cyclic_features_sql(),
         "cpk_gram": _cpk_gram_sql(),
+        "merge_sparse_features": _merge_sparse_features_sql(),
+        "select_top_features": _select_top_features_sql(),
         "poset_exact_embeddings": _poset_exact_embeddings_sql(),
         "levelwise_rooted": _levelwise_rooted_sql(),
         "simhash_md5": _simhash_md5_sql(),

@@ -542,14 +542,28 @@ def order_graph_measures(sf_dir: str):
     line pairs. Projects the driver-gate-checkable measures — the SQL twin
     computes component counts with a per-order recursive closure (order
     graphs are line-count-bounded, so the closure is tiny per graph); the
-    biconnectivity/cycle/outerplanarity measures stay pytest-oracled on the
-    generated DBs (gdb_blockchain_measures) where those structures actually
-    occur.
+    biconnectivity/cycle measures have their own twin in the companion
+    ``order_graph_block_measures``; outerplanarity/ST/traceability stay
+    pytest-oracled on the generated DBs (gdb_blockchain_measures) where
+    those structures actually occur.
 
     Returns (graph_id, n, m, max_degree, min_degree, n_components,
     connected, is_tree, is_path)."""
-    import ray.data as rd
+    meas = _order_graph_measure_table(sf_dir)
+    cols = ["graph_id", "n", "m", "max_degree", "min_degree",
+            "n_components", "connected", "is_tree", "is_path"]
+    out = meas[cols].sort_values("graph_id").reset_index(drop=True)
+    # flags as int64 0/1: the gate's value-hash has only ever seen
+    # numeric/string columns, so don't hand it a new logical type
+    for c in cols:
+        out[c] = out[c].astype(np.int64)
+    return out
 
+
+def _order_graph_measure_table(sf_dir: str) -> pd.DataFrame:
+    """Full per-order measure table: vertices = the order's distinct parts,
+    edges = distinct undirected consecutive line pairs, kernels =
+    graph/gdb.py measures_for_graph."""
     from ..functions.bucketing import bucketed_group_combine
     from ..graph.gdb import graph_measures
     from ..sources.tables import read_table
@@ -612,12 +626,32 @@ def order_graph_measures(sf_dir: str):
         ),
         batch_format="pyarrow",
     )
-    meas = graph_measures(verts, edges).to_pandas()
-    cols = ["graph_id", "n", "m", "max_degree", "min_degree",
-            "n_components", "connected", "is_tree", "is_path"]
+    return graph_measures(verts, edges).to_pandas()
+
+
+def order_graph_block_measures(sf_dir: str):
+    """The BICONNECTIVITY half of the `gf` measure table
+    (graph/gdb.py measures_for_graph — reference listComponents.c:16-191,
+    listCycles.c) over the same parquet-derived per-order transactions as
+    ``order_graph_measures``: simple-cycle and non-isomorphic-cycle counts,
+    bridges, blocks, bridge trees, articulation points, block-degree
+    extremes. Driver-gate checkable: the per-order graphs are connected and
+    line-count-bounded, so the DuckDB twin enumerates cycle edge-subset
+    masks (same machinery as the cyclic-feature twin), derives bridges as
+    cycle-free edges, biconnected blocks as the transitive closure of the
+    shares-a-cycle relation on cycle edges, criticality = blocks-per-vertex
+    + incident bridges (articulation ⇔ criticality > 1 —
+    listComponents.c computeCriticality), and n_bridge_trees = n − bridges
+    (the bridge forest is acyclic).
+
+    Returns (graph_id, n_simple_cycles, n_noniso_cycles, n_bridges,
+    n_blocks, n_bridge_trees, n_articulation_points, max_block_degree,
+    min_block_degree)."""
+    meas = _order_graph_measure_table(sf_dir)
+    cols = ["graph_id", "n_simple_cycles", "n_noniso_cycles", "n_bridges",
+            "n_blocks", "n_bridge_trees", "n_articulation_points",
+            "max_block_degree", "min_block_degree"]
     out = meas[cols].sort_values("graph_id").reset_index(drop=True)
-    # flags as int64 0/1: the gate's value-hash has only ever seen
-    # numeric/string columns, so don't hand it a new logical type
     for c in cols:
         out[c] = out[c].astype(np.int64)
     return out
