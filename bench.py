@@ -336,6 +336,37 @@ def run_ingest_scaling(num_cpus: int) -> dict:
                              tol=1e-6, max_iter=6)
     timings["pagerank"] = round(time.perf_counter() - t0, 3)
 
+    t0 = time.perf_counter()
+    # full MinHash+LSH near-dup over the corpus (signature → band buckets →
+    # candidate pairs → exact-Jaccard verify — pipelines/text_q.py plan):
+    # the LLM-pipeline dedup leg of the scaling measurement. doc ids are
+    # stable 64-bit content-address hashes of (repo, path, commit).
+    from graphminingtools_ray.functions.hashing import stable_id64
+    from graphminingtools_ray.pipelines.text_q import minhash_near_dup_docs
+
+    def to_docs(t: pa.Table) -> pa.Table:
+        keys = [
+            f"{r}|{p}|{c}"
+            for r, p, c in zip(
+                t["repo"].to_pylist(), t["path"].to_pylist(),
+                t["commit"].to_pylist(),
+            )
+        ]
+        return pa.table(
+            {
+                "doc_id": pa.array(stable_id64(keys)),
+                "text": t["content"],
+            }
+        )
+
+    docs = rd.read_parquet(
+        path, columns=["repo", "path", "commit", "content"],
+        override_num_blocks=nblocks,
+    ).map_batches(to_docs, batch_format="pyarrow")
+    pairs = minhash_near_dup_docs(docs, threshold=0.5, num_parts=64)
+    n_dup_pairs = len(pairs)
+    timings["dedup"] = round(time.perf_counter() - t0, 3)
+
     ray.shutdown()
     supersteps = pr_info.get("supersteps", [])
     eps = sorted(s["edges_per_sec"] for s in supersteps) if supersteps else [0.0]
@@ -349,6 +380,7 @@ def run_ingest_scaling(num_cpus: int) -> dict:
         "num_cpus": num_cpus,
         "n_docs": n_docs,
         "n_edges": n_edges,
+        "n_dup_pairs": n_dup_pairs,
         "pagerank": {
             "iterations": pr_info.get("iterations"),
             "converged": pr_info.get("converged"),

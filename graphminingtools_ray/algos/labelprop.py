@@ -161,7 +161,7 @@ def _vote_cell(block: pa.Table, layout: pa.Table, h: dict,
     cell when it carries self-loops, whose vote would merge with the update
     task's self-vote and break the cross-cell disjointness argument)."""
     cache: dict[int, np.ndarray] = {}
-    by_part = {p: ([], [], [], []) for p in out_parts}
+    by_part = {p: ([], [], [], [], [], []) for p in out_parts}
     for row in range(block.num_rows):
         part, srcs, src_index, dst_unique, dst_index, _ = unpack_part_block(
             block, row
@@ -181,81 +181,169 @@ def _vote_cell(block: pa.Table, layout: pa.Table, h: dict,
         d, l, c = _count_votes(dl_edge, lab_edge)
         if first and not np.any(lab_edge == dst_unique[dst_index]):
             d, l, c = _reduce_first_votes(d, l, c)
-        # panels are edge-scale in early supersteps (one entry per distinct
-        # (dst, label) seen in the cell): labels that fit int32 travel as
-        # int32 (vertex-id labels usually do), counts always do (bounded by
-        # cell edge count) — halves the dominant shuffle bytes. The update
-        # side flattens per panel and upcasts, so cells may disagree.
+        # Panels are edge-scale in early supersteps (one entry per distinct
+        # (dst, label) seen in the cell) and the exchange is plasma-write
+        # bound at that scale, so the panel format is byte-minimal:
+        # entries leave _count_votes sorted by (dst, label), so the dst
+        # column is run-length encoded (dst_u + run lengths — U unique dsts
+        # are V/P-bounded, far below N entries), and counts are stored
+        # SPARSELY (exception positions + values; in the genuine vote
+        # superstep almost every per-cell count is 1). 12 bytes/entry →
+        # 4 bytes/entry + O(U + exceptions). Labels that fit int32 travel
+        # as int32 (vertex-id labels usually do); the update side
+        # reconstructs per panel and upcasts, so cells may disagree.
         if len(l) and l.min() >= 0 and l.max() < 2**31:
             l = l.astype(np.int32)
         block_id = int(block["block_id"][row].as_py())
-        bids, dl, ll, cl = by_part[int(panel_parts[0])]
+        bids, dus, rns, lls, eps, ecs = by_part[int(panel_parts[0])]
         bids.append(block_id)
-        # loud guard on the int32 panel downcasts: dst_local is V/P-bounded
-        # and counts are bounded by the cell's edge count — both hold under
-        # the current substrate bounds, but fail HERE rather than wrap
-        # silently if those bounds ever change
         if len(d):
-            assert int(d.max()) < 2**31 and int(c.max()) < 2**31
-        dl.append(d.astype(np.int32))
-        ll.append(l)
-        cl.append(c.astype(np.int32))
+            flag = np.empty(len(d), bool)
+            flag[0] = True
+            np.not_equal(d[1:], d[:-1], out=flag[1:])
+            starts = np.flatnonzero(flag)
+            du = d[starts]
+            rn = np.diff(np.append(starts, len(d)))
+            exc = np.flatnonzero(c != 1)
+            ec = c[exc]
+            # loud guard on the int32 panel downcasts: dst_local is
+            # V/P-bounded, run lengths / positions are bounded by the
+            # cell's entry count, counts by its edge count — all hold
+            # under the current substrate bounds, but fail HERE rather
+            # than wrap silently if those bounds ever change
+            assert int(du.max()) < 2**31 and len(d) < 2**31
+            assert not len(ec) or int(ec.max()) < 2**31
+        else:
+            du = rn = exc = ec = np.empty(0, np.int64)
+        dus.append(du.astype(np.int32))
+        rns.append(rn.astype(np.int32))
+        lls.append(l)
+        eps.append(exc.astype(np.int32))
+        ecs.append(ec.astype(np.int32))
     out = []
     for p in out_parts:
-        bids, dl, ll, cl = by_part[p]
+        bids, dus, rns, lls, eps, ecs = by_part[p]
         ltype = pa.int32() if all(
-            a.dtype == np.int32 for a in ll
+            a.dtype == np.int32 for a in lls
         ) else pa.int64()
         out.append(pa.table(
             {
                 "block_id": pa.array(bids, pa.int64()),
-                "dst": pa.array(dl, pa.list_(pa.int32())),
+                "dst_u": pa.array(dus, pa.list_(pa.int32())),
+                "runs": pa.array(rns, pa.list_(pa.int32())),
                 "label": pa.array(
-                    [a.astype(np.int64) for a in ll] if ltype == pa.int64()
-                    else ll,
+                    [a.astype(np.int64) for a in lls] if ltype == pa.int64()
+                    else lls,
                     pa.list_(ltype),
                 ),
-                "count": pa.array(cl, pa.list_(pa.int32())),
+                "exc_pos": pa.array(eps, pa.list_(pa.int32())),
+                "exc_cnt": pa.array(ecs, pa.list_(pa.int32())),
             }
         ))
     return out[0] if len(out) == 1 else tuple(out)
 
 
-@ray.remote(num_returns=2)
-def _update_part(h: dict, part: int, iteration: int, include_self: bool,
-                 ckpt_tmp, digest, *panels: pa.Table):
-    """REDUCE side: merge this part's vote panels (order-free exact int64
-    sums), apply the winner rule, emit (state row, changed-count scalar)."""
+def _panel_range_arrays(t: pa.Table, lo: int, hi: int):
+    """Reconstruct the (dst, label, count) entries of one panel restricted
+    to the dst range [lo, hi) from the RLE/sparse wire format. Each panel
+    ROW's runs are dst-sorted (the _count_votes contract), so the range is
+    two searchsorteds per row; only the range's entries are materialized."""
     import pyarrow.compute as pc
 
-    sref, srow = h["static"][part]
-    (ids_p,) = _row_lists(ray.get(sref), srow, ["ids"])
+    lab_col = t["label"].combine_chunks()
+    lab = pc.list_flatten(lab_col).to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    if not len(lab):
+        return [], [], []
+    du_col = t["dst_u"].combine_chunks()
+    du = pc.list_flatten(du_col).to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    rn = pc.list_flatten(t["runs"].combine_chunks()).to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    u_lens = pc.list_value_length(du_col).to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    lab_lens = pc.list_value_length(lab_col).to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    u_base = np.concatenate([[0], np.cumsum(u_lens)])
+    e_base = np.concatenate([[0], np.cumsum(lab_lens)])
+    ep_col = t["exc_pos"].combine_chunks()
+    ep = pc.list_flatten(ep_col).to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    ep_lens = pc.list_value_length(ep_col).to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    ec = pc.list_flatten(t["exc_cnt"].combine_chunks()).to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    ep_base = np.concatenate([[0], np.cumsum(ep_lens)])
+    dsts, labs, cnts = [], [], []
+    for r in range(t.num_rows):
+        du_r = du[u_base[r]:u_base[r + 1]]
+        if not len(du_r):
+            continue
+        rn_r = rn[u_base[r]:u_base[r + 1]]
+        i0 = int(np.searchsorted(du_r, lo))
+        i1 = int(np.searchsorted(du_r, hi))
+        if i0 == i1:
+            continue
+        ent = np.cumsum(rn_r) - rn_r  # entry offsets within the row
+        e0 = int(ent[i0])
+        e1 = int(ent[i1 - 1] + rn_r[i1 - 1])
+        l_s = lab[e_base[r] + e0 : e_base[r] + e1]
+        c_s = np.ones(len(l_s), np.int64)
+        ep_r = ep[ep_base[r]:ep_base[r + 1]]
+        if len(ep_r):
+            m = (ep_r >= e0) & (ep_r < e1)
+            if m.any():
+                c_s[ep_r[m] - e0] = ec[ep_base[r]:ep_base[r + 1]][m]
+        dsts.append(np.repeat(du_r[i0:i1], rn_r[i0:i1]))
+        labs.append(l_s)
+        cnts.append(c_s)
+    return dsts, labs, cnts
+
+
+@ray.remote
+def _update_range(h: dict, part: int, include_self: bool, lo: int, hi: int,
+                  *panels: pa.Table) -> np.ndarray:
+    """RANGE-SPLIT reduce: merge this part's vote panels restricted to dst
+    range [lo, hi) and apply the winner rule. The winner per dst depends
+    only on that dst's votes, so splitting the update by dst range is exact
+    — and it is what keeps every core busy during the genuine vote
+    superstep: with P state partitions, a monolithic per-part update ran
+    only P concurrent sorts (measured as the dominant superstep-1 cost at
+    512M edges, 24 of 32 cores idle); S sub-ranges per part run P*S."""
     vref, vrow = h["state"][part]
     (labels_old,) = _row_lists(ray.get(vref), vrow, ["values"])
-    n = len(ids_p)
     dsts, labs, cnts = [], [], []
-    # flatten per panel (cells may disagree on int32-vs-int64 label width;
-    # vote sums are exact-int and order-free, so no canonical order needed)
     for t in panels:
         if not t.num_rows:
             continue
-        dsts.append(pc.list_flatten(t["dst"].combine_chunks()).to_numpy(
-            zero_copy_only=False).astype(np.int64))
-        labs.append(pc.list_flatten(t["label"].combine_chunks()).to_numpy(
-            zero_copy_only=False).astype(np.int64))
-        cnts.append(pc.list_flatten(t["count"].combine_chunks()).to_numpy(
-            zero_copy_only=False).astype(np.int64))
+        d_l, l_l, c_l = _panel_range_arrays(t, lo, hi)
+        dsts.extend(d_l)
+        labs.extend(l_l)
+        cnts.extend(c_l)
+    new_slice = labels_old[lo:hi].copy()
     if include_self:
-        dsts.append(np.arange(n, dtype=np.int64))
-        labs.append(labels_old.astype(np.int64, copy=False))
-        cnts.append(np.ones(n, np.int64))
-    new_labels = labels_old.copy()
+        dsts.append(np.arange(lo, hi, dtype=np.int64))
+        labs.append(new_slice.astype(np.int64, copy=True))
+        cnts.append(np.ones(hi - lo, np.int64))
     if dsts:
         d, l, c = _count_votes(
             np.concatenate(dsts), np.concatenate(labs), np.concatenate(cnts)
         )
         wd, wl_ = _winners(d, l, c)
-        new_labels[wd] = wl_
+        new_slice[wd - lo] = wl_
+    return new_slice
+
+
+@ray.remote(num_returns=2)
+def _assemble_part(h: dict, part: int, iteration: int, ckpt_tmp, digest,
+                   *slices: np.ndarray):
+    """Concatenate the range slices (disjoint, in range order), count
+    changes, write the checkpoint shard, emit the state row."""
+    sref, srow = h["static"][part]
+    (ids_p,) = _row_lists(ray.get(sref), srow, ["ids"])
+    vref, vrow = h["state"][part]
+    (labels_old,) = _row_lists(ray.get(vref), vrow, ["values"])
+    new_labels = np.concatenate(slices) if slices else labels_old.copy()
     changed = int(np.count_nonzero(new_labels != labels_old))
     if ckpt_tmp is not None:
         PartitionedCheckpoint.write_shard(
@@ -318,6 +406,12 @@ def label_propagation_partitioned(
     supersteps = []
     converged = False
     parts_sorted = list(g.parts)
+    # range-split factor for the per-part update: P monolithic updates left
+    # most cores idle during the genuine vote superstep (its single-threaded
+    # sort dominated superstep 1 at 512M edges); the split is exact because
+    # the winner rule is per-dst. Result is bit-identical for any n_sub.
+    cpus = int(ray.cluster_resources().get("CPU", len(parts_sorted)))
+    n_sub = max(1, min(8, cpus // max(1, len(parts_sorted))))
     row_refs: dict = {}
     for it in range(start_iter, max_iter):
         t0 = time.perf_counter()
@@ -334,9 +428,18 @@ def label_propagation_partitioned(
                 panel_refs[p].append(r)
         row_refs, chg_refs = {}, {}
         for p in parts_sorted:
-            row_refs[p], chg_refs[p] = _update_part.remote(
-                handles_ref, p, it, include_self, tmp, g.digest,
-                *panel_refs[p]
+            n_p = int(g.static_scalars[p]["n"])
+            bounds = [s * n_p // n_sub for s in range(n_sub)] + [n_p]
+            slice_refs = [
+                _update_range.remote(
+                    handles_ref, p, include_self, bounds[s], bounds[s + 1],
+                    *panel_refs[p]
+                )
+                for s in range(n_sub)
+                if bounds[s] < bounds[s + 1]
+            ]
+            row_refs[p], chg_refs[p] = _assemble_part.remote(
+                handles_ref, p, it, tmp, g.digest, *slice_refs
             )
         changed_per_part = ray.get([chg_refs[p] for p in parts_sorted])
         state_index = {p: (row_refs[p], 0) for p in parts_sorted}

@@ -166,6 +166,20 @@ def minhash_near_dup(sf_dir: str, threshold: float = 0.3, bucket_cap: int = 256,
 
     Returns (doc_a, doc_b, jaccard) for verified pairs, sorted — or
     (doc_a, doc_b, n_inter, n_union) for the md5 family."""
+    return minhash_near_dup_docs(
+        _docs(sf_dir), threshold=threshold, bucket_cap=bucket_cap,
+        num_parts=num_parts, family=family,
+    )
+
+
+def minhash_near_dup_docs(
+    docs, threshold: float = 0.3, bucket_cap: int = 256,
+    num_parts: int = 32, family: str = "v2",
+):
+    """Dataset-level core of ``minhash_near_dup`` (same plan, same
+    docstring): ``docs`` is any Dataset with (doc_id int64, text string) —
+    lets benchmarks/pipelines dedup arbitrary corpora, not just the sf
+    documents table."""
     from ..algos.partitioned import PartCache, index_state
     from ..functions.bucketing import (
         bucketed_group_combine,
@@ -187,7 +201,6 @@ def minhash_near_dup(sf_dir: str, threshold: float = 0.3, bucket_cap: int = 256,
     else:
         sets_fn, hasher = shingle_sets_batch, MinHasher()
 
-    docs = _docs(sf_dir)
     P = num_parts
     SH_T = pa.large_list(pa.uint64())
 
