@@ -198,6 +198,17 @@ def _select_top_features(sf_dir: str):
     return select_top_features_query(sf_dir)
 
 
+def _stratified_subset(sf_dir: str):
+    """Reference python/subset.py method 0 (stratified selection) over the
+    labeled order universe, with deterministic md5-hash selection and
+    largest-remainder quotas. SQL-oracled (_stratified_subset_sql)."""
+    from graphminingtools_ray.pipelines.features import (
+        stratified_subset_query,
+    )
+
+    return stratified_subset_query(sf_dir)
+
+
 def _poset_minhash_sketches(sf_dir: str):
     """Min-hash sketches over the frequent-tree pattern poset (reference
     minhashing.c: buildTreePosetFromGraphDB + permutation shrink +
@@ -524,6 +535,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # selectTopFeatures.py): hstack + chi2 top-k over sparse tables
         "merge_sparse_features": _merge_sparse_features,
         "select_top_features": _select_top_features,
+        "stratified_subset": _stratified_subset,
         "gdb_blockchain_measures": _gdb_blockchain_measures,
         # gf measure subset over PARQUET-derived per-order graphs — the
         # driver-gate-checkable complement of the generated-DB measure query
@@ -593,6 +605,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_graph_block_measures",
         "cyclic_pattern_features",
         "cpk_gram",
+        "stratified_subset",
     ]
     oracled = oracle_sql().keys()
     ordered = {k: base[k] for k in gate_front if k in base and k in oracled}
@@ -2096,6 +2109,40 @@ def _select_top_features_sql(k: int = 20) -> str:
     """
 
 
+def _stratified_subset_sql(n: int = 400) -> str:
+    """Twin of pipelines.features.stratified_subset_query: largest-remainder
+    per-class quotas (exact integers, ties by class name) + per-class
+    smallest-md5_number_lower selection — both sides bit-exact."""
+    return f"""
+        WITH lab AS (SELECT o_orderkey AS graph_id,
+                            o_orderpriority AS cls FROM orders),
+        cnt AS (SELECT cls, COUNT(*) AS c FROM lab GROUP BY 1),
+        nn AS (SELECT COUNT(*) AS n FROM lab),
+        fl AS (SELECT cls, c,
+                      ({n} * c) // (SELECT n FROM nn) AS fl,
+                      ({n} * c) % (SELECT n FROM nn) AS rem
+               FROM cnt),
+        ex AS (SELECT {n} - SUM(fl) AS extra FROM fl),
+        rk AS (SELECT cls, fl,
+                      ROW_NUMBER() OVER (ORDER BY rem DESC, cls) AS r
+               FROM fl),
+        quota AS (SELECT cls,
+                         fl + CASE WHEN r <= (SELECT extra FROM ex)
+                                   THEN 1 ELSE 0 END AS q
+                  FROM rk),
+        ranked AS (SELECT graph_id, cls,
+                          ROW_NUMBER() OVER (
+                              PARTITION BY cls
+                              ORDER BY md5_number_lower(
+                                  CAST(graph_id AS VARCHAR)), graph_id
+                          ) AS rn
+                   FROM lab)
+        SELECT ranked.graph_id, ranked.cls
+        FROM ranked JOIN quota ON quota.cls = ranked.cls
+        WHERE rn <= quota.q
+    """
+
+
 def _tpk_gram_sql() -> str:
     """Intersection kernel over the <=2-edge frequent-tree feature map for
     the 16 lowest feature-bearing graph ids: a self-join on pattern."""
@@ -2803,6 +2850,7 @@ def oracle_sql() -> dict[str, str]:
         "cpk_gram": _cpk_gram_sql(),
         "merge_sparse_features": _merge_sparse_features_sql(),
         "select_top_features": _select_top_features_sql(),
+        "stratified_subset": _stratified_subset_sql(),
         "poset_exact_embeddings": _poset_exact_embeddings_sql(),
         "levelwise_rooted": _levelwise_rooted_sql(),
         "simhash_md5": _simhash_md5_sql(),

@@ -273,3 +273,111 @@ def select_top_features_query(sf_dir: str, k: int = 20) -> pd.DataFrame:
 
     labels = bucketed_group_combine(both, ["graph_id"], semi)
     return select_top_features(tree_feats, labels, k=k)
+
+
+def stratified_subset(
+    labels: rd.Dataset, n: int, num_buckets: int = 32
+) -> pd.DataFrame:
+    """Stratified subset selection (the reference's
+    ``/root/reference/python/subset.py`` method 0 — per-class proportional
+    sampling for train/test splits), made DETERMINISTIC and SQL-twinnable:
+
+    - per-class quota by the largest-remainder method over exact integer
+      arithmetic: quota_c = floor(n * c_count / N) + 1 for the classes with
+      the ``n - sum(floors)`` largest remainders ((n * c_count) mod N, ties
+      broken by class name ascending);
+    - within a class, the quota_c rows with the smallest
+      md5_number_lower(graph_id) (ties by graph_id) are selected — a seeded
+      uniform draw that DuckDB reproduces bit-exactly, where the reference
+      uses ``random.randint``.
+
+    Distributed shape: ONE pass over ``labels`` (graph_id, cls) emitting
+    per-batch class-count partials AND per-class bottom-n candidate rows
+    (a per-class bottom-n over any batch partition is a superset of the
+    global bottom quota_c); the driver merges candidate rows bounded by
+    classes x blocks x n. Returns (graph_id, cls) sorted by graph_id.
+    """
+    from ..stages.dedup_md5 import md5_u64
+
+    n = int(n)
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "graph_id": t["graph_id"].to_numpy(),
+                "cls": t["cls"].to_pylist(),
+            }
+        )
+        df["h"] = md5_u64(
+            df["graph_id"].astype(np.int64).astype(str).to_numpy(object)
+        ).astype(np.uint64)
+        cand = (
+            df.sort_values(["cls", "h", "graph_id"])
+            .groupby("cls", sort=False)
+            .head(n)
+        )
+        counts = df.groupby("cls").size().reset_index(name="cnt")
+        counts["graph_id"] = np.int64(-1)
+        counts["h"] = np.uint64(0)
+        out = pd.concat(
+            [counts[["graph_id", "cls", "h", "cnt"]],
+             cand.assign(cnt=np.int64(-1))],
+            ignore_index=True,
+        )
+        return pa.Table.from_pandas(
+            out.astype({"graph_id": np.int64, "cnt": np.int64}),
+            preserve_index=False,
+        )
+
+    parts = labels.map_batches(partial, batch_format="pyarrow").to_pandas()
+    sizes = (
+        parts[parts["graph_id"] == -1].groupby("cls")["cnt"].sum().sort_index()
+    )
+    N = int(sizes.sum())
+    if N == 0 or n <= 0:
+        return pd.DataFrame({"graph_id": pd.Series([], dtype=np.int64),
+                             "cls": pd.Series([], dtype=object)})
+    floors = (n * sizes) // N
+    rems = (n * sizes) % N
+    extra = n - int(floors.sum())
+    # largest remainder, ties by class name ascending (sizes is name-sorted)
+    order = sorted(sizes.index, key=lambda c: (-int(rems[c]), c))
+    quota = {c: int(floors[c]) for c in sizes.index}
+    for c in order[:extra]:
+        quota[c] += 1
+    cand = parts[parts["graph_id"] != -1]
+    picked = []
+    for c, g in cand.groupby("cls", sort=True):
+        k = min(quota.get(c, 0), len(g))
+        if k:
+            picked.append(
+                g.sort_values(["h", "graph_id"]).head(k)[["graph_id", "cls"]]
+            )
+    if not picked:
+        return pd.DataFrame({"graph_id": pd.Series([], dtype=np.int64),
+                             "cls": pd.Series([], dtype=object)})
+    out = pd.concat(picked, ignore_index=True).sort_values("graph_id")
+    return out.reset_index(drop=True).astype({"graph_id": np.int64})
+
+
+def stratified_subset_query(sf_dir: str, n: int = 400) -> pd.DataFrame:
+    """Driver-gate query: stratified n-row subset of the labeled order
+    universe (graph_id = order, cls = o_orderpriority — the same labeled
+    dataset select_top_features uses)."""
+    from ..sources.tables import read_table
+
+    orders = read_table(
+        sf_dir, "orders", columns=["o_orderkey", "o_orderpriority"]
+    )
+
+    def lab(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "graph_id": t["o_orderkey"].combine_chunks(),
+                "cls": t["o_orderpriority"].combine_chunks(),
+            }
+        )
+
+    return stratified_subset(
+        orders.map_batches(lab, batch_format="pyarrow"), n=n
+    )
