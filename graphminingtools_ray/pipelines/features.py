@@ -330,6 +330,9 @@ def stratified_subset(
         )
 
     parts = labels.map_batches(partial, batch_format="pyarrow").to_pandas()
+    if parts.empty or "graph_id" not in parts.columns:
+        return pd.DataFrame({"graph_id": pd.Series([], dtype=np.int64),
+                             "cls": pd.Series([], dtype=object)})
     sizes = (
         parts[parts["graph_id"] == -1].groupby("cls")["cnt"].sum().sort_index()
     )
