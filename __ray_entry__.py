@@ -575,6 +575,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_sketches_md5": text_q.minhash_sketches_md5,
         "minhash_lsh_md5": text_q.minhash_lsh_md5,
         "dedup_clusters_md5": text_q.dedup_clusters_md5,
+        # Gopher-family repetition/quality filter signals (integer-exact)
+        "gopher_stats": text_q.gopher_stats,
         "media_features": text_q.media_features,
         # REAL decode (PPM/BMP/WAV parsers) with an integer-exact SQL twin
         "media_features_real": text_q.media_features_real,
@@ -606,6 +608,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cyclic_pattern_features",
         "cpk_gram",
         "stratified_subset",
+        "gopher_stats",
     ]
     oracled = oracle_sql().keys()
     ordered = {k: base[k] for k in gate_front if k in base and k in oracled}
@@ -2859,6 +2862,49 @@ def oracle_sql() -> dict[str, str]:
         "minhash_lsh_md5": _minhash_lsh_md5_sql(),
         "dedup_clusters_md5": _dedup_clusters_md5_sql(),
         "ann_lsh_md5": _ann_lsh_md5_sql(),
+        # Gopher repetition/quality signals: integer-exact line/word/symbol
+        # counts (stages/text.GopherStats); trim set = space/tab/CR on both
+        # sides, dup lines over RAW lines, words = \\S+ runs, symbols =
+        # '#' + non-overlapping '...'
+        "gopher_stats": r"""
+            WITH base AS (SELECT doc_id, COALESCE(text, '') AS t
+                          FROM documents),
+            ln AS (SELECT doc_id,
+                          unnest(string_split(t, chr(10))) AS l
+                   FROM base),
+            ls AS (SELECT doc_id, COUNT(*) AS n_lines,
+                          SUM(CASE WHEN
+                                trim(l, ' ' || chr(9) || chr(13)) LIKE '-%'
+                             OR trim(l, ' ' || chr(9) || chr(13)) LIKE '*%'
+                             OR trim(l, ' ' || chr(9) || chr(13)) LIKE '•%'
+                              THEN 1 ELSE 0 END) AS n_bullet_lines,
+                          SUM(CASE WHEN
+                                trim(l, ' ' || chr(9) || chr(13)) LIKE '%...'
+                              THEN 1 ELSE 0 END) AS n_ellipsis_lines,
+                          COUNT(*) - COUNT(DISTINCT l) AS n_dup_lines
+                   FROM ln GROUP BY 1),
+            wd AS (SELECT doc_id, unnest(regexp_extract_all(t, '\S+')) AS w
+                   FROM base),
+            ws AS (SELECT doc_id, COUNT(*) AS n_words,
+                          SUM(CASE WHEN regexp_matches(w, '[A-Za-z]')
+                              THEN 1 ELSE 0 END) AS n_alpha_words,
+                          SUM(length(w)) AS sum_word_len
+                   FROM wd GROUP BY 1)
+            SELECT b.doc_id,
+                   ls.n_lines::BIGINT AS n_lines,
+                   ls.n_bullet_lines::BIGINT AS n_bullet_lines,
+                   ls.n_ellipsis_lines::BIGINT AS n_ellipsis_lines,
+                   ls.n_dup_lines::BIGINT AS n_dup_lines,
+                   COALESCE(ws.n_words, 0)::BIGINT AS n_words,
+                   COALESCE(ws.n_alpha_words, 0)::BIGINT AS n_alpha_words,
+                   COALESCE(ws.sum_word_len, 0)::BIGINT AS sum_word_len,
+                   (length(regexp_extract_all(b.t, '#'))
+                    + length(regexp_extract_all(b.t, '\.\.\.')))::BIGINT
+                       AS n_symbols
+            FROM base b
+            JOIN ls ON ls.doc_id = b.doc_id
+            LEFT JOIN ws ON ws.doc_id = b.doc_id
+        """,
         # REAL media decode (stages/media.py decode_ppm/decode_bmp/
         # decode_wav): the engine parses actual PPM/BMP/WAV bytes built by
         # synth_media_payload's closed form; the twin recomputes the

@@ -493,6 +493,22 @@ def media_features(sf_dir: str):
     )
 
 
+def gopher_stats(sf_dir: str):
+    """Gopher-style repetition / quality signals per document (Rae et al.
+    2021 filter family) as integer-exact counts — line stats (bullet /
+    ellipsis / duplicate lines), word stats (alpha fraction numerators,
+    codepoint lengths), symbol counts. One vectorized polars pass
+    (stages.text.GopherStats); SQL-oracled hash-exact."""
+    from ..stages.text import GopherStats
+
+    return _docs(sf_dir).map_batches(
+        GopherStats,
+        batch_format="pyarrow",
+        batch_size=2048,
+        concurrency=actor_pool(),
+    )
+
+
 def media_features_real(sf_dir: str):
     """REAL media decode end to end: one deterministic closed-form payload
     per document id (PPM / 24-bit BMP / PCM WAV round-robin —

@@ -206,3 +206,68 @@ class QualityScore:
         return pd.DataFrame(
             {"doc_id": batch["doc_id"], "quality": self.score(batch["text"])}
         )
+
+
+class GopherStats:
+    """Gopher-style repetition / quality signals (Rae et al. 2021, "Scaling
+    Language Models: ... Gopher", table A1 repetition & quality filters) as
+    INTEGER-EXACT per-document counts, so downstream ratio thresholds are a
+    cheap projection and the DuckDB twin matches hash-exactly:
+
+    - n_lines: '\\n'-split line count (empty text = 1 empty line),
+    - n_bullet_lines / n_ellipsis_lines: lines whose ' \\t\\r'-trimmed form
+      starts with '-' / '*' / '•' resp. ends with '...',
+    - n_dup_lines: n_lines - count(DISTINCT raw lines),
+    - n_words (\\S+ runs), n_alpha_words (words containing [A-Za-z]),
+    - sum_word_len: Σ codepoint length of words,
+    - n_symbols: '#' occurrences + non-overlapping '...' occurrences.
+
+    One vectorized polars pass per Arrow batch (list eval over the split
+    lines / extracted words — no per-row Python)."""
+
+    def __call__(self, batch):
+        import polars as pl
+        import pyarrow as pa
+
+        s = _pl_utf8(batch["text"])
+
+        def i64(series):
+            return series.to_numpy().astype(np.int64)
+
+        lines = s.str.split("\n")
+        trimmed = lines.list.eval(pl.element().str.strip_chars(" \t\r"))
+        bullet = trimmed.list.eval(
+            (
+                pl.element().str.starts_with("-")
+                | pl.element().str.starts_with("*")
+                | pl.element().str.starts_with("•")
+            ).cast(pl.Int64)
+        ).list.sum()
+        ellipsis = trimmed.list.eval(
+            pl.element().str.ends_with("...").cast(pl.Int64)
+        ).list.sum()
+        words = s.str.extract_all(r"\S+")
+        alpha = words.list.eval(
+            pl.element().str.contains("[A-Za-z]").cast(pl.Int64)
+        ).list.sum()
+        wlen = words.list.eval(
+            pl.element().str.len_chars().cast(pl.Int64)
+        ).list.sum()
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_lines": i64(lines.list.len()),
+                "n_bullet_lines": i64(bullet),
+                "n_ellipsis_lines": i64(ellipsis),
+                "n_dup_lines": i64(
+                    lines.list.len() - lines.list.unique().list.len()
+                ),
+                "n_words": i64(words.list.len()),
+                "n_alpha_words": i64(alpha.fill_null(0)),
+                "sum_word_len": i64(wlen.fill_null(0)),
+                "n_symbols": i64(
+                    s.str.count_matches("#", literal=True)
+                    + s.str.count_matches(r"\.\.\.")
+                ),
+            }
+        )
