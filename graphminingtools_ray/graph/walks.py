@@ -316,3 +316,125 @@ def node2vec_walks(edges_symmetric, length: int = 4, num_buckets: int = 32):
         outs.append(_emit_step(cur, t_step))
 
     return reduce(lambda a, b: a.union(b), outs)
+
+
+# ---------------------------------------------------------------------------
+# Resumable walk corpus: per-step parquet shards + manifest-last commit.
+# ---------------------------------------------------------------------------
+
+
+def _index_digest(parts_ds) -> str:
+    """Deterministic digest of the partitioned CSR index (order-free sum of
+    per-part blake2 over the packed arrays) — keys the walk checkpoint to
+    the GRAPH, so a resume against different edges fails loudly instead of
+    splicing two walks together."""
+    import hashlib
+
+    def part_digest(t: pa.Table) -> pa.Table:
+        vals = []
+        for row in range(t.num_rows):
+            h = hashlib.blake2b(digest_size=8)
+            h.update(int(t["part"][row].as_py()).to_bytes(8, "little"))
+            for col in ("srcs", "offsets", "nbrs"):
+                arr = t[col][row].values.to_numpy(zero_copy_only=False)
+                h.update(np.ascontiguousarray(arr, np.int64).tobytes())
+            vals.append(int.from_bytes(h.digest(), "little"))
+        return pa.table({"d": pa.array(vals, pa.uint64())})
+
+    total = 0
+    for b in parts_ds.map_batches(
+        part_digest, batch_format="pyarrow"
+    ).iter_batches(batch_format="pyarrow"):
+        total = (total + int(np.sum(b["d"].to_numpy(), dtype=np.uint64))) \
+            % (1 << 64)
+    return f"{total:016x}"
+
+
+def random_walks_checkpointed(
+    edges_symmetric, checkpoint_dir: str, length: int = 4,
+    num_buckets: int = 32, weighted: bool = False,
+):
+    """``random_walks`` with per-STEP checkpointing: each step's walk state
+    (walk_id, v) lands as parquet under ``checkpoint_dir/step=t/`` with a
+    manifest-last commit, so a killed run re-run with the same arguments
+    resumes after the last committed step (the walk is deterministic given
+    the graph — the seeded next-hop depends only on (walk_id, step) — so a
+    resumed corpus is bit-identical to an uninterrupted one; pytest-pinned).
+    The manifest is keyed on the CSR index digest + parameters; a mismatch
+    raises instead of silently splicing different walks.
+
+    Returns the corpus Dataset (walk_id, step, vertex_id); completed steps
+    stream straight from their parquet shards."""
+    import json
+    import os
+
+    P = num_buckets
+    os.makedirs(checkpoint_dir, exist_ok=True)
+    man_path = os.path.join(checkpoint_dir, "manifest.json")
+    old = None
+    if os.path.exists(man_path):
+        with open(man_path) as f:
+            old = json.load(f)
+        # parameter guards fire BEFORE the (expensive) index build
+        for k, cur_v in (("weighted", bool(weighted)), ("P", P)):
+            if old.get(k) != cur_v:
+                raise ValueError(
+                    f"walk checkpoint {checkpoint_dir} was written for "
+                    f"{k}={old.get(k)!r}, current run has {cur_v!r}; "
+                    "use a fresh checkpoint_dir"
+                )
+
+    adj_index, parts_ds = _adjacency_index(edges_symmetric, P,
+                                           weighted=weighted)
+    adj_ref = ray.put(adj_index)
+    cols = (["srcs", "offsets", "nbrs", "wcum"] if weighted
+            else ["srcs", "offsets", "nbrs"])
+    digest = _index_digest(parts_ds)
+    manifest = {"digest": digest, "weighted": bool(weighted), "P": P,
+                "completed": []}
+    if old is not None:
+        if old.get("digest") != digest:
+            raise ValueError(
+                f"walk checkpoint {checkpoint_dir} was written for a "
+                f"different graph (digest {old.get('digest')!r} != "
+                f"{digest!r}); use a fresh checkpoint_dir"
+            )
+        manifest = old
+
+    def commit(step: int) -> None:
+        manifest["completed"] = sorted(set(manifest["completed"]) | {step})
+        tmp = man_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+        os.replace(tmp, man_path)  # manifest-last: shards are durable first
+
+    import ray.data as rd
+
+    starts = _starts_dataset(parts_ds)
+    outs = [_emit_step(starts, 0)]
+    cur = starts
+    done = set(manifest["completed"])
+
+    for t_step in range(1, length + 1):
+        step_dir = os.path.join(checkpoint_dir, f"step={t_step}")
+        if t_step in done:
+            cur = rd.read_parquet(step_dir)
+        else:
+            def step_fn(t: pa.Table, _t_step=t_step) -> pa.Table:
+                wid = t["walk_id"].to_numpy()
+                v = t["v"].to_numpy()
+                cache = PartCache(ray.get(adj_ref), cols)
+                h = _seed_hash(wid, _t_step)
+                nxt = (_weighted_next(cache, v, h, P) if weighted
+                       else _uniform_next(cache, v, h, P))
+                return pa.table({"walk_id": wid, "v": nxt})
+
+            cur = bucketed_group_combine(
+                cur, ["v"], step_fn, num_buckets=P
+            )
+            cur.write_parquet(step_dir)
+            cur = rd.read_parquet(step_dir)
+            commit(t_step)
+        outs.append(_emit_step(cur, t_step))
+
+    return reduce(lambda a, b: a.union(b), outs)

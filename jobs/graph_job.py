@@ -15,8 +15,12 @@ metrics, run via ray job submit").
         --edges /data/edges --checkpoint-dir /data/ck --out /data/kcore
     ray job submit -- python jobs/graph_job.py sssp --source 0 \
         --edges /data/edges --checkpoint-dir /data/ck --out /data/hops
+    ray job submit -- python jobs/graph_job.py walks --length 4 \
+        --symmetrize --edges /data/edges --checkpoint-dir /data/ck \
+        --out /data/walks
 
-cc / lpa / kcore / sssp run on the 2D-grid superstep substrate: a killed
+cc / lpa / kcore / sssp run on the 2D-grid superstep substrate
+(walks checkpoint per STEP — graph/walks.random_walks_checkpointed): a killed
 submission re-run with the same arguments resumes from the last completed
 superstep (state/checkpoint.py lineage manifests, keyed by the graph
 digest — sssp checkpoints of different sources need different dirs).
@@ -41,7 +45,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("algo", choices=["cc", "lpa", "triangles", "kcore",
-                                     "sssp"])
+                                     "sssp", "walks"])
+    ap.add_argument("--length", type=int, default=4,
+                    help="walks: steps per walk")
+    ap.add_argument("--weighted", action="store_true",
+                    help="walks: weight-proportional transitions")
     ap.add_argument("--k", type=int, default=3, help="kcore: the k")
     ap.add_argument("--source", type=int, default=None,
                     help="sssp: source vertex (default: min id)")
@@ -95,7 +103,23 @@ def main() -> int:
     os.makedirs(args.out, exist_ok=True)
     info: dict = {}
 
-    if args.algo == "triangles":
+    if args.algo == "walks":
+        # resumable walk corpus: per-step parquet + manifest-last commit
+        # under --checkpoint-dir (required); a killed submission re-run
+        # with the same args resumes after the last committed step
+        from graphminingtools_ray.graph.walks import random_walks_checkpointed
+
+        if not args.checkpoint_dir:
+            ap.error("walks requires --checkpoint-dir")
+        if args.symmetrize:
+            edges = symmetrize(edges)
+        corpus = random_walks_checkpointed(
+            edges, args.checkpoint_dir, length=args.length,
+            weighted=args.weighted,
+        )
+        corpus.write_parquet(os.path.join(args.out, "walks"))
+        summary = {"algo": "walks", "length": args.length}
+    elif args.algo == "triangles":
         from graphminingtools_ray.algos.triangles import triangle_counts_dataset
 
         counts = triangle_counts_dataset(edges)

@@ -129,3 +129,49 @@ def test_sssp_resume(tmp_path):
     assert info["resumed_from"] == 1
     assert np.array_equal(ids_a, ids_b)
     assert np.array_equal(d_a, d_b)
+
+
+def test_walks_checkpoint_resume(tmp_path, ray_session):
+    """Resumable walk corpus: a partial run's committed steps are reused by
+    a longer run with the same args, bit-identically; digest/parameter
+    mismatches fail loudly."""
+    import pandas as pd
+    import pyarrow as pa
+    import pytest
+    import ray.data as rd
+
+    from graphminingtools_ray.graph.build import symmetrize
+    from graphminingtools_ray.graph.walks import (
+        random_walks,
+        random_walks_checkpointed,
+    )
+
+    edges = rd.from_arrow(pa.table({
+        "src": pa.array([0, 1, 2, 3, 4, 0, 2], pa.int64()),
+        "dst": pa.array([1, 2, 3, 4, 0, 2, 4], pa.int64()),
+    }))
+    sym = symmetrize(edges)
+    ck = str(tmp_path / "walks")
+    key = ["walk_id", "step", "vertex_id"]
+
+    # partial run commits steps 1..2; the longer run reuses them
+    random_walks_checkpointed(sym, ck, length=2, num_buckets=4).to_pandas()
+    resumed = random_walks_checkpointed(
+        sym, ck, length=4, num_buckets=4
+    ).to_pandas().sort_values(key).reset_index(drop=True)
+    fresh = random_walks(sym, length=4, num_buckets=4).to_pandas() \
+        .sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(resumed, fresh)
+
+    # parameter mismatch (weighted flag) is rejected
+    with pytest.raises(ValueError, match="weighted"):
+        random_walks_checkpointed(sym, ck, length=2, num_buckets=4,
+                                  weighted=True)
+
+    # different graph against the same dir is rejected (digest guard)
+    other = symmetrize(rd.from_arrow(pa.table({
+        "src": pa.array([0, 1], pa.int64()),
+        "dst": pa.array([1, 2], pa.int64()),
+    })))
+    with pytest.raises(ValueError, match="digest"):
+        random_walks_checkpointed(other, ck, length=2, num_buckets=4)
