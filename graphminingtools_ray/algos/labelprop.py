@@ -410,8 +410,12 @@ def label_propagation_partitioned(
     # most cores idle during the genuine vote superstep (its single-threaded
     # sort dominated superstep 1 at 512M edges); the split is exact because
     # the winner rule is per-dst. Result is bit-identical for any n_sub.
+    import os
+
     cpus = int(ray.cluster_resources().get("CPU", len(parts_sorted)))
     n_sub = max(1, min(8, cpus // max(1, len(parts_sorted))))
+    if os.environ.get("GRAFT_LPA_NSUB"):  # test hook: pin the split factor
+        n_sub = max(1, int(os.environ["GRAFT_LPA_NSUB"]))
     row_refs: dict = {}
     for it in range(start_iter, max_iter):
         t0 = time.perf_counter()

@@ -817,3 +817,35 @@ def test_node2vec_walks_follow_bias_rule():
             r = md5_u64_one(f"{wid}:{t}") % int(cum[-1])
             want = cands[int(np.searchsorted(cum, r, side="right"))]
             assert path[t] == want, (wid, t)
+
+
+def test_lpa_range_split_invariance(ray_session, monkeypatch):
+    """The range-split update is exact for ANY split factor (the winner rule
+    is per-dst): labels bit-identical across n_sub = 1 / 3 / 8."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from graphminingtools_ray.algos.labelprop import label_propagation
+    from graphminingtools_ray.graph.build import symmetrize
+
+    rng = np.random.default_rng(7)
+    src = rng.integers(0, 60, 300)
+    dst = rng.integers(0, 60, 300)
+    m = src != dst
+    edges = symmetrize(rd.from_arrow(pa.table(
+        {"src": pa.array(src[m], pa.int64()),
+         "dst": pa.array(dst[m], pa.int64())}
+    ))).materialize()
+
+    outs = []
+    for nsub in ("1", "3", "8"):
+        monkeypatch.setenv("GRAFT_LPA_NSUB", nsub)
+        ids, labels, _ = label_propagation(
+            edges, max_iter=8, num_state_partitions=4
+        )
+        order = np.argsort(ids)
+        outs.append((ids[order], labels[order]))
+    for ids, labels in outs[1:]:
+        assert (ids == outs[0][0]).all()
+        assert (labels == outs[0][1]).all()
