@@ -577,6 +577,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_clusters_md5": text_q.dedup_clusters_md5,
         # Gopher-family repetition/quality filter signals (integer-exact)
         "gopher_stats": text_q.gopher_stats,
+        # PII / scrub-signal pattern counts (emails, URLs, IPv4)
+        "pii_counts": text_q.pii_counts,
         "media_features": text_q.media_features,
         # REAL decode (PPM/BMP/WAV parsers) with an integer-exact SQL twin
         "media_features_real": text_q.media_features_real,
@@ -609,6 +611,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cpk_gram",
         "stratified_subset",
         "gopher_stats",
+        "pii_counts",
     ]
     oracled = oracle_sql().keys()
     ordered = {k: base[k] for k in gate_front if k in base and k in oracled}
@@ -2862,6 +2865,20 @@ def oracle_sql() -> dict[str, str]:
         "minhash_lsh_md5": _minhash_lsh_md5_sql(),
         "dedup_clusters_md5": _dedup_clusters_md5_sql(),
         "ann_lsh_md5": _ann_lsh_md5_sql(),
+        # PII/scrub-signal counts: same RE2/Rust-regex-parity dialect as the
+        # engine's PiiCounts patterns
+        "pii_counts": r"""
+            SELECT doc_id,
+                   length(regexp_extract_all(COALESCE(text, ''),
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))::BIGINT
+                       AS n_emails,
+                   length(regexp_extract_all(COALESCE(text, ''),
+                       'https?://[^\s]+'))::BIGINT AS n_urls,
+                   length(regexp_extract_all(COALESCE(text, ''),
+                       '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))::BIGINT
+                       AS n_ipv4
+            FROM documents
+        """,
         # Gopher repetition/quality signals: integer-exact line/word/symbol
         # counts (stages/text.GopherStats); trim set = space/tab/CR on both
         # sides, dup lines over RAW lines, words = \\S+ runs, symbols =

@@ -509,6 +509,20 @@ def gopher_stats(sf_dir: str):
     )
 
 
+def pii_counts(sf_dir: str):
+    """PII / scrub-signal pattern counts per document (emails, URLs, IPv4) —
+    integer-exact, one vectorized polars pass (stages.text.PiiCounts);
+    SQL-oracled hash-exact (Rust-regex/RE2 dialect parity)."""
+    from ..stages.text import PiiCounts
+
+    return _docs(sf_dir).map_batches(
+        PiiCounts,
+        batch_format="pyarrow",
+        batch_size=2048,
+        concurrency=actor_pool(),
+    )
+
+
 def media_features_real(sf_dir: str):
     """REAL media decode end to end: one deterministic closed-form payload
     per document id (PPM / 24-bit BMP / PCM WAV round-robin —

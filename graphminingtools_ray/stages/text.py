@@ -271,3 +271,26 @@ class GopherStats:
                 ),
             }
         )
+
+
+class PiiCounts:
+    """PII / scrub-signal pattern counts per document (the detection half of
+    a scrubbing stage; redaction is a projection over these spans): emails,
+    URLs, IPv4 literals — integer-exact counts from one vectorized polars
+    pass. Pattern dialect chosen for Rust-regex/RE2 parity (oracle-verified,
+    same approach as token_counts)."""
+
+    PATTERNS = {
+        "n_emails": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+        "n_urls": r"https?://[^\s]+",
+        "n_ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+    }
+
+    def __call__(self, batch):
+        import pyarrow as pa
+
+        s = _pl_utf8(batch["text"])
+        cols = {"doc_id": batch["doc_id"]}
+        for name, pat in self.PATTERNS.items():
+            cols[name] = s.str.count_matches(pat).to_numpy().astype(np.int64)
+        return pa.table(cols)

@@ -211,3 +211,36 @@ def test_ngram_jaccard_dup_bruteforce():
         for r in got.itertuples()
     ]
     assert got_t == sorted(expect)
+
+
+def test_pii_counts_nonzero_parity():
+    """PiiCounts on crafted payloads: hand counts AND a DuckDB cross-check
+    of the same patterns (the sf docs carry no PII, so the gate row alone
+    would only certify zeros — this pins the non-zero path and the
+    Rust-regex/RE2 dialect parity)."""
+    import duckdb
+    import pyarrow as pa
+
+    from graphminingtools_ray.stages.text import PiiCounts
+
+    texts = [
+        "contact a.b+c@x-y.co.uk or d@e.org via https://a.b/c?x=1 ip 10.0.0.1",
+        "no hits here",
+        "bare a@b.c and http:// do not count; 1.2.3.4 5.6.7.8 do",
+        None,
+    ]
+    batch = pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    })
+    out = PiiCounts()(batch)
+    assert out["n_emails"].to_pylist() == [2, 0, 0, 0]
+    assert out["n_urls"].to_pylist() == [1, 0, 0, 0]
+    assert out["n_ipv4"].to_pylist() == [1, 0, 2, 0]
+    con = duckdb.connect()
+    for name, pat in PiiCounts.PATTERNS.items():
+        for i, t in enumerate(texts):
+            want = con.execute(
+                "SELECT length(regexp_extract_all(?, ?))", [t or "", pat]
+            ).fetchone()[0]
+            assert out[name][i].as_py() == want, (name, i)
