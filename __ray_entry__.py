@@ -2962,10 +2962,16 @@ def oracle_sql() -> dict[str, str]:
             FROM p
         """,
         # remaining rows-only queries: iterative fixpoints beyond the
-        # fixed-k unrolled oracles (pagerank_fixpoint), seeded/sampled
-        # estimators (tree_sampling_suite, hops, ann LSH/IVF recall-bound),
-        # generated graph-DB inputs DuckDB cannot see (gdb_blockchain,
-        # vertex_cycle_degrees, poset/opk/pattern feature maps), and the
-        # polars-hash default dedup family (its md5 twins below ARE
+        # fixed-k unrolled oracles (pagerank_fixpoint), fractional Brandes
+        # delta sums (betweenness_sampled — its integer forward half IS
+        # oracled as betweenness_sigma), seeded/sampled estimators
+        # (tree_sampling_suite, HOPS, ann LSH/IVF recall-bound), generated
+        # graph-DB inputs DuckDB cannot see (gdb_blockchain_measures,
+        # vertex_cycle_degrees, cactus_subtree_iso, poset/opk feature maps
+        # — their parquet-derived twins order_graph_block_measures /
+        # cyclic_pattern_features / cpk_gram ARE oracled), binary media
+        # payload outputs (media_features / media_frame_features — the REAL
+        # decode path IS oracled as media_features_real), and the
+        # polars-hash default dedup family (its md5 twins above ARE
         # SQL-oracled) — exactness is covered by the pytest oracles.
     }
