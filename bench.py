@@ -757,11 +757,18 @@ def run_walks_big(num_cpus: int) -> dict:
     from graphminingtools_ray.graph.build import symmetrize
     from graphminingtools_ray.graph.walks import random_walks
 
+    from graphminingtools_ray.graph.walks import build_walk_index
+
     path = ensure_bench_graph()
     length = int(os.environ.get("GRAFT_WALK_LEN", "4"))
     t0 = time.perf_counter()
-    walks = random_walks(symmetrize(rd.read_parquet(path)), length=length)
-    t_steps = round(time.perf_counter() - t0, 3)  # index build + L exchanges
+    # the one edge-scale stage (1.02B half-edges -> partitioned CSR),
+    # reusable across walk jobs over the same graph
+    index = build_walk_index(symmetrize(rd.read_parquet(path)))
+    t_build = round(time.perf_counter() - t0, 3)
+    t1 = time.perf_counter()
+    walks = random_walks(rd.range(0), length=length, index=index)
+    t_steps = round(time.perf_counter() - t1, 3)  # L walk-scale exchanges
     out_dir = "/tmp/graft_bench_walks"
     shutil.rmtree(out_dir, ignore_errors=True)
     t1 = time.perf_counter()
@@ -775,6 +782,7 @@ def run_walks_big(num_cpus: int) -> dict:
         "512M-edge bench graph",
         "value": total,
         "unit": "sec",
+        "build_sec": t_build,
         "steps_sec": t_steps,
         "sink_sec": t_sink,
         "corpus_rows": n_rows,

@@ -67,7 +67,16 @@ def _adjacency_index(edges_symmetric, P: int, weighted: bool = False):
         d = t["dst"].to_numpy()
         w = (t["weight"].to_numpy(zero_copy_only=False).astype(np.int64)
              if weighted else None)
-        order = np.lexsort((d, s))
+        # (s, d) order via ONE packed-key stable (radix) argsort when the
+        # ids fit — the 2-key lexsort was the dominant cost of the whole
+        # walk-index build at 10^9 half-edges (the steps themselves are
+        # walk-scale and nearly free)
+        if len(s) and int(s.min()) >= 0 and int(d.min()) >= 0 and \
+                int(d.max()) + 1 < (1 << 62) // (int(s.max()) + 1):
+            order = np.argsort(s * np.int64(int(d.max()) + 1) + d,
+                               kind="stable")
+        else:
+            order = np.lexsort((d, s))
         s, d = s[order], d[order]
         if weighted:
             w = w[order]
@@ -179,8 +188,18 @@ def _weighted_next(cache: PartCache, v: np.ndarray, h: np.ndarray,
     return nxt
 
 
+def build_walk_index(edges_symmetric, num_buckets: int = 32,
+                     weighted: bool = False):
+    """Public handle on the one edge-scale step: build the partitioned CSR
+    walk index ONCE and reuse it across walk jobs over the same graph
+    (``random_walks(..., index=...)`` / ``node2vec_walks(..., index=...)``
+    skip the rebuild). Returns an opaque (driver_index, parts_dataset)
+    pair; the adjacency lives in the object store."""
+    return _adjacency_index(edges_symmetric, num_buckets, weighted=weighted)
+
+
 def random_walks(edges_symmetric, length: int = 4, num_buckets: int = 32,
-                 weighted: bool = False):
+                 weighted: bool = False, index=None):
     """-> ray.data.Dataset (walk_id, step, vertex_id): one deterministic
     L-step walk per start vertex of the simple symmetric graph.
     ``edges_symmetric`` must contain both half-edges, so every visited
@@ -190,8 +209,9 @@ def random_walks(edges_symmetric, length: int = 4, num_buckets: int = 32,
     cum > r) — still deterministic and SQL-exact. The result streams —
     sink it or ``to_pandas()`` only at gate scale."""
     P = num_buckets
-    adj_index, parts_ds = _adjacency_index(edges_symmetric, P,
-                                           weighted=weighted)
+    adj_index, parts_ds = (index if index is not None
+                           else _adjacency_index(edges_symmetric, P,
+                                                 weighted=weighted))
     adj_ref = ray.put(adj_index)
     cols = (["srcs", "offsets", "nbrs", "wcum"] if weighted
             else ["srcs", "offsets", "nbrs"])
@@ -218,7 +238,8 @@ def random_walks(edges_symmetric, length: int = 4, num_buckets: int = 32,
     return reduce(lambda a, b: a.union(b), outs)
 
 
-def node2vec_walks(edges_symmetric, length: int = 4, num_buckets: int = 32):
+def node2vec_walks(edges_symmetric, length: int = 4, num_buckets: int = 32,
+                   index=None):
     """Second-order biased walks (Grover & Leskovec 2016 node2vec) with the
     fixed integer bias (p=2, q=0.5 scaled ×2): candidate weight 1 for
     returning to the previous vertex, 2 for a common neighbor of prev and
@@ -236,7 +257,8 @@ def node2vec_walks(edges_symmetric, length: int = 4, num_buckets: int = 32):
     prev slices + one global-cumsum searchsorted per group) — no per-walk
     Python loop."""
     P = num_buckets
-    adj_index, parts_ds = _adjacency_index(edges_symmetric, P)
+    adj_index, parts_ds = (index if index is not None
+                           else _adjacency_index(edges_symmetric, P))
     adj_ref = ray.put(adj_index)
 
     starts = _starts_dataset(parts_ds)
@@ -254,61 +276,13 @@ def node2vec_walks(edges_symmetric, length: int = 4, num_buckets: int = 32):
     ).materialize()
     outs.append(_emit_step(cur, 1))
 
-    W_RET, W_COMMON, W_FAR = 1, 2, 4  # p=2, q=0.5, scaled x2
-
     for t_step in range(2, length + 1):
         def step_fn(t: pa.Table, _t_step=t_step) -> pa.Table:
             wid = t["walk_id"].to_numpy()
             prev = t["prev"].to_numpy()
             v = t["v"].to_numpy()
             cache = PartCache(ray.get(adj_ref), ["srcs", "offsets", "nbrs"])
-            h = _seed_hash(wid, _t_step)
-            nxt = np.empty(len(v), np.int64)
-            # group rows by (part(v), part(prev)) so both CSR lookups are
-            # against ONE part's flat arrays per group — everything inside
-            # a group is vectorized over the flattened candidate lists
-            gkey = int_bucket(v, P) * P + int_bucket(prev, P)
-            for g in np.unique(gkey):
-                m = gkey == g
-                srcs_v, off_v, nbrs_v = cache.get(int(g) // P)
-                srcs_p, off_p, nbrs_p = cache.get(int(g) % P)
-                lo, hi = _slice_bounds((srcs_v, off_v), v[m])
-                deg = hi - lo
-                n_flat = int(deg.sum())
-                starts_f = np.cumsum(deg) - deg  # per-row flat start
-                # flat candidate positions: row j contributes lo[j]..hi[j]
-                fp = (np.repeat(lo - starts_f, deg)
-                      + np.arange(n_flat, dtype=np.int64))
-                cand = nbrs_v[fp]
-                prev_f = np.repeat(prev[m], deg)
-                # membership of cand in prev's dst-sorted neighbor slice:
-                # batched lower-bound bisection (log(max prev degree)
-                # vectorized rounds — no per-row searchsorted)
-                pos_p = np.searchsorted(srcs_p, prev[m])
-                lb = np.repeat(off_p[pos_p], deg)
-                ub = np.repeat(off_p[pos_p + 1], deg)
-                phi = ub.copy()
-                while True:
-                    act = lb < ub
-                    if not act.any():
-                        break
-                    mid = (lb + ub) >> 1
-                    less = np.zeros(len(lb), bool)
-                    less[act] = nbrs_p[mid[act]] < cand[act]
-                    lb = np.where(act & less, mid + 1, lb)
-                    ub = np.where(act & ~less, mid, ub)
-                safe = np.minimum(lb, len(nbrs_p) - 1)
-                member = (lb < phi) & (nbrs_p[safe] == cand)
-                wgt = np.where(cand == prev_f, W_RET,
-                               np.where(member, W_COMMON, W_FAR))
-                cs = np.cumsum(wgt)
-                base = np.where(starts_f > 0,
-                                cs[np.maximum(starts_f - 1, 0)], 0)
-                tot = (cs[starts_f + deg - 1] - base).astype(np.uint64)
-                r = (h[m] % tot).astype(np.int64)
-                # cs strictly increasing (weights >= 1): first candidate
-                # whose per-walk inclusive cum exceeds r
-                nxt[m] = cand[np.searchsorted(cs, base + r, side="right")]
+            nxt = _node2vec_next(cache, prev, v, _seed_hash(wid, _t_step), P)
             return pa.table({"walk_id": wid, "prev": v, "v": nxt})
 
         cur = bucketed_group_combine(cur, ["v"], step_fn,
@@ -316,6 +290,62 @@ def node2vec_walks(edges_symmetric, length: int = 4, num_buckets: int = 32):
         outs.append(_emit_step(cur, t_step))
 
     return reduce(lambda a, b: a.union(b), outs)
+
+
+_W_RET, _W_COMMON, _W_FAR = 1, 2, 4  # p=2, q=0.5, scaled x2
+
+
+def _node2vec_next(cache: PartCache, prev: np.ndarray, v: np.ndarray,
+                   h: np.ndarray, P: int) -> np.ndarray:
+    """Vectorized second-order biased pick (the node2vec step kernel shared
+    by the streaming and checkpointed paths)."""
+    nxt = np.empty(len(v), np.int64)
+    # group rows by (part(v), part(prev)) so both CSR lookups are against
+    # ONE part's flat arrays per group — everything inside a group is
+    # vectorized over the flattened candidate lists
+    gkey = int_bucket(v, P) * P + int_bucket(prev, P)
+    for g in np.unique(gkey):
+        m = gkey == g
+        srcs_v, off_v, nbrs_v = cache.get(int(g) // P)
+        srcs_p, off_p, nbrs_p = cache.get(int(g) % P)
+        lo, hi = _slice_bounds((srcs_v, off_v), v[m])
+        deg = hi - lo
+        n_flat = int(deg.sum())
+        starts_f = np.cumsum(deg) - deg  # per-row flat start
+        # flat candidate positions: row j contributes lo[j]..hi[j]
+        fp = (np.repeat(lo - starts_f, deg)
+              + np.arange(n_flat, dtype=np.int64))
+        cand = nbrs_v[fp]
+        prev_f = np.repeat(prev[m], deg)
+        # membership of cand in prev's dst-sorted neighbor slice:
+        # batched lower-bound bisection (log(max prev degree)
+        # vectorized rounds — no per-row searchsorted)
+        pos_p = np.searchsorted(srcs_p, prev[m])
+        lb = np.repeat(off_p[pos_p], deg)
+        ub = np.repeat(off_p[pos_p + 1], deg)
+        phi = ub.copy()
+        while True:
+            act = lb < ub
+            if not act.any():
+                break
+            mid = (lb + ub) >> 1
+            less = np.zeros(len(lb), bool)
+            less[act] = nbrs_p[mid[act]] < cand[act]
+            lb = np.where(act & less, mid + 1, lb)
+            ub = np.where(act & ~less, mid, ub)
+        safe = np.minimum(lb, len(nbrs_p) - 1)
+        member = (lb < phi) & (nbrs_p[safe] == cand)
+        wgt = np.where(cand == prev_f, _W_RET,
+                       np.where(member, _W_COMMON, _W_FAR))
+        cs = np.cumsum(wgt)
+        base = np.where(starts_f > 0,
+                        cs[np.maximum(starts_f - 1, 0)], 0)
+        tot = (cs[starts_f + deg - 1] - base).astype(np.uint64)
+        r = (h[m] % tot).astype(np.int64)
+        # cs strictly increasing (weights >= 1): first candidate
+        # whose per-walk inclusive cum exceeds r
+        nxt[m] = cand[np.searchsorted(cs, base + r, side="right")]
+    return nxt
 
 
 # ---------------------------------------------------------------------------
@@ -352,7 +382,7 @@ def _index_digest(parts_ds) -> str:
 
 def random_walks_checkpointed(
     edges_symmetric, checkpoint_dir: str, length: int = 4,
-    num_buckets: int = 32, weighted: bool = False,
+    num_buckets: int = 32, weighted: bool = False, node2vec: bool = False,
 ):
     """``random_walks`` with per-STEP checkpointing: each step's walk state
     (walk_id, v) lands as parquet under ``checkpoint_dir/step=t/`` with a
@@ -369,6 +399,10 @@ def random_walks_checkpointed(
     import os
 
     P = num_buckets
+    mode = ("node2vec" if node2vec
+            else "weighted" if weighted else "uniform")
+    if node2vec and weighted:
+        raise ValueError("node2vec and weighted are mutually exclusive")
     os.makedirs(checkpoint_dir, exist_ok=True)
     man_path = os.path.join(checkpoint_dir, "manifest.json")
     old = None
@@ -376,8 +410,8 @@ def random_walks_checkpointed(
         with open(man_path) as f:
             old = json.load(f)
         # parameter guards fire BEFORE the (expensive) index build
-        for k, cur_v in (("weighted", bool(weighted)), ("P", P)):
-            if old.get(k) != cur_v:
+        for k, cur_v in (("mode", mode), ("P", P)):
+            if old.get(k, "uniform" if k == "mode" else None) != cur_v:
                 raise ValueError(
                     f"walk checkpoint {checkpoint_dir} was written for "
                     f"{k}={old.get(k)!r}, current run has {cur_v!r}; "
@@ -390,7 +424,7 @@ def random_walks_checkpointed(
     cols = (["srcs", "offsets", "nbrs", "wcum"] if weighted
             else ["srcs", "offsets", "nbrs"])
     digest = _index_digest(parts_ds)
-    manifest = {"digest": digest, "weighted": bool(weighted), "P": P,
+    manifest = {"digest": digest, "mode": mode, "P": P,
                 "completed": []}
     if old is not None:
         if old.get("digest") != digest:
@@ -425,6 +459,18 @@ def random_walks_checkpointed(
                 v = t["v"].to_numpy()
                 cache = PartCache(ray.get(adj_ref), cols)
                 h = _seed_hash(wid, _t_step)
+                if node2vec:
+                    # first hop uniform (no prev), then the biased kernel;
+                    # the state rows carry prev for the membership test
+                    if _t_step == 1:
+                        nxt = _uniform_next(cache, v, h, P)
+                    else:
+                        nxt = _node2vec_next(
+                            cache, t["prev"].to_numpy(), v, h, P
+                        )
+                    return pa.table(
+                        {"walk_id": wid, "prev": v, "v": nxt}
+                    )
                 nxt = (_weighted_next(cache, v, h, P) if weighted
                        else _uniform_next(cache, v, h, P))
                 return pa.table({"walk_id": wid, "v": nxt})

@@ -50,6 +50,8 @@ def main() -> int:
                     help="walks: steps per walk")
     ap.add_argument("--weighted", action="store_true",
                     help="walks: weight-proportional transitions")
+    ap.add_argument("--node2vec", action="store_true",
+                    help="walks: second-order biased transitions")
     ap.add_argument("--k", type=int, default=3, help="kcore: the k")
     ap.add_argument("--source", type=int, default=None,
                     help="sssp: source vertex (default: min id)")
@@ -115,7 +117,7 @@ def main() -> int:
             edges = symmetrize(edges)
         corpus = random_walks_checkpointed(
             edges, args.checkpoint_dir, length=args.length,
-            weighted=args.weighted,
+            weighted=args.weighted, node2vec=args.node2vec,
         )
         corpus.write_parquet(os.path.join(args.out, "walks"))
         summary = {"algo": "walks", "length": args.length}

@@ -175,3 +175,31 @@ def test_walks_checkpoint_resume(tmp_path, ray_session):
     })))
     with pytest.raises(ValueError, match="digest"):
         random_walks_checkpointed(other, ck, length=2, num_buckets=4)
+
+
+def test_node2vec_checkpoint_resume(tmp_path, ray_session):
+    """node2vec checkpointed variant: resumed corpus == streaming corpus."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from graphminingtools_ray.graph.build import symmetrize
+    from graphminingtools_ray.graph.walks import (
+        node2vec_walks,
+        random_walks_checkpointed,
+    )
+
+    edges = symmetrize(rd.from_arrow(pa.table({
+        "src": pa.array([0, 1, 2, 3, 4, 0], pa.int64()),
+        "dst": pa.array([1, 2, 3, 4, 0, 2], pa.int64()),
+    }))).materialize()
+    ck = str(tmp_path / "n2v")
+    key = ["walk_id", "step", "vertex_id"]
+    random_walks_checkpointed(edges, ck, length=2, num_buckets=4,
+                              node2vec=True).to_pandas()
+    resumed = random_walks_checkpointed(
+        edges, ck, length=4, num_buckets=4, node2vec=True
+    ).to_pandas().sort_values(key).reset_index(drop=True)
+    fresh = node2vec_walks(edges, length=4, num_buckets=4).to_pandas() \
+        .sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(resumed, fresh)
