@@ -575,6 +575,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_sketches_md5": text_q.minhash_sketches_md5,
         "minhash_lsh_md5": text_q.minhash_lsh_md5,
         "dedup_clusters_md5": text_q.dedup_clusters_md5,
+        # end-to-end dedup policy: clusters + quality-based keeper
+        "dedup_keep_best": text_q.dedup_keep_best,
         # Gopher-family repetition/quality filter signals (integer-exact)
         "gopher_stats": text_q.gopher_stats,
         # PII / scrub-signal pattern counts (emails, URLs, IPv4)
@@ -612,6 +614,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_subset",
         "gopher_stats",
         "pii_counts",
+        "dedup_keep_best",
     ]
     oracled = oracle_sql().keys()
     ordered = {k: base[k] for k in gate_front if k in base and k in oracled}
@@ -2115,6 +2118,29 @@ def _select_top_features_sql(k: int = 20) -> str:
     """
 
 
+def _dedup_keep_best_sql() -> str:
+    """Twin of text_q.dedup_keep_best: composes the two certified twins —
+    the md5-LSH cluster query and the quality query — and picks the
+    highest-quality doc per cluster (tie -> min doc_id). The quality
+    doubles are identical on both sides (same IEEE expression tree), so
+    the DESC ranking agrees exactly."""
+    return f"""
+        WITH clusters AS MATERIALIZED (
+            SELECT * FROM ({_dedup_clusters_md5_sql()})
+        ),
+        q AS MATERIALIZED (
+            SELECT * FROM ({_quality_sql()})
+        ),
+        j AS (SELECT c.keeper AS cluster, c.doc_id, q.quality
+              FROM clusters c JOIN q ON q.doc_id = c.doc_id),
+        r AS (SELECT *, ROW_NUMBER() OVER (
+                  PARTITION BY cluster
+                  ORDER BY quality DESC, doc_id) AS rn
+              FROM j)
+        SELECT cluster, doc_id AS best_doc, quality FROM r WHERE rn = 1
+    """
+
+
 def _stratified_subset_sql(n: int = 400) -> str:
     """Twin of pipelines.features.stratified_subset_query: largest-remainder
     per-class quotas (exact integers, ties by class name) + per-class
@@ -2864,6 +2890,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_sketches_md5": _minhash_sketches_md5_sql(),
         "minhash_lsh_md5": _minhash_lsh_md5_sql(),
         "dedup_clusters_md5": _dedup_clusters_md5_sql(),
+        "dedup_keep_best": _dedup_keep_best_sql(),
         "ann_lsh_md5": _ann_lsh_md5_sql(),
         # PII/scrub-signal counts: same RE2/Rust-regex-parity dialect as the
         # engine's PiiCounts patterns

@@ -493,6 +493,56 @@ def media_features(sf_dir: str):
     )
 
 
+def dedup_keep_best(sf_dir: str, threshold: float = 0.3):
+    """END-TO-END dedup policy: fuzzy-dedup clusters (md5 LSH pairs →
+    superstep connected components) + QUALITY-BASED canonical selection —
+    per cluster keep the highest-quality document (tie → min doc_id),
+    the standard "which duplicate survives" rule of a training-data pass
+    (vs ``dedup_clusters_md5``'s min-id keeper). Quality is computed ONLY
+    for clustered docs (the near-dup set is a small fraction of the
+    corpus; its ids broadcast once and the corpus streams through a
+    membership filter). Returns (cluster, best_doc, quality)."""
+    import ray as _ray
+
+    from ..stages.text import QualityScore
+
+    clusters = dedup_clusters_md5(sf_dir, threshold=threshold)
+    if len(clusters) == 0:
+        return pd.DataFrame(
+            {"cluster": pd.Series([], dtype=np.int64),
+             "best_doc": pd.Series([], dtype=np.int64),
+             "quality": pd.Series([], dtype=np.float64)}
+        )
+    want_ref = _ray.put(set(int(d) for d in clusters["doc_id"]))
+
+    def member(t: pa.Table) -> pa.Table:
+        want = _ray.get(want_ref)
+        ids = t["doc_id"].to_numpy()
+        m = np.fromiter((int(i) in want for i in ids), bool, count=len(ids))
+        return t.filter(pa.array(m))
+
+    qual = (
+        _docs(sf_dir)
+        .map_batches(member, batch_format="pyarrow")
+        .map_batches(QualityScore, batch_format="pandas",
+                     concurrency=actor_pool())
+        .to_pandas()
+    )
+    qual["quality"] = round_half_away(qual["quality"], 6)
+    j = clusters.merge(qual, on="doc_id")
+    j = j.sort_values(
+        ["keeper", "quality", "doc_id"], ascending=[True, False, True]
+    )
+    best = j.groupby("keeper", sort=True).head(1)
+    return pd.DataFrame(
+        {
+            "cluster": best["keeper"].to_numpy(np.int64),
+            "best_doc": best["doc_id"].to_numpy(np.int64),
+            "quality": best["quality"].to_numpy(np.float64),
+        }
+    ).reset_index(drop=True)
+
+
 def gopher_stats(sf_dir: str):
     """Gopher-style repetition / quality signals per document (Rae et al.
     2021 filter family) as integer-exact counts — line stats (bullet /
