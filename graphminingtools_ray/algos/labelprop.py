@@ -251,8 +251,11 @@ def _panel_range_arrays(t: pa.Table, lo: int, hi: int):
     import pyarrow.compute as pc
 
     lab_col = t["label"].combine_chunks()
-    lab = pc.list_flatten(lab_col).to_numpy(
-        zero_copy_only=False).astype(np.int64)
+    # NO astype here: with n_sub range tasks each decoding the same panel,
+    # an up-front int64 copy of the N-scale label column would multiply the
+    # dominant superstep's decode bytes by n_sub — keep the zero-copy raw
+    # view and upcast only the [e0, e1) slices below
+    lab = pc.list_flatten(lab_col).to_numpy(zero_copy_only=False)
     if not len(lab):
         return [], [], []
     du_col = t["dst_u"].combine_chunks()
@@ -287,7 +290,7 @@ def _panel_range_arrays(t: pa.Table, lo: int, hi: int):
         ent = np.cumsum(rn_r) - rn_r  # entry offsets within the row
         e0 = int(ent[i0])
         e1 = int(ent[i1 - 1] + rn_r[i1 - 1])
-        l_s = lab[e_base[r] + e0 : e_base[r] + e1]
+        l_s = lab[e_base[r] + e0 : e_base[r] + e1].astype(np.int64)
         c_s = np.ones(len(l_s), np.int64)
         ep_r = ep[ep_base[r]:ep_base[r + 1]]
         if len(ep_r):

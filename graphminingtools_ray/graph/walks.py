@@ -188,6 +188,22 @@ def _weighted_next(cache: PartCache, v: np.ndarray, h: np.ndarray,
     return nxt
 
 
+def _check_index(parts_ds, weighted: bool) -> None:
+    """Fail at CALL time (not deep inside a remote step task) when a
+    prebuilt index's weighted-ness doesn't match the walk's."""
+    has_w = "wcum" in parts_ds.schema().names
+    if weighted and not has_w:
+        raise ValueError(
+            "weighted walk needs an index built with "
+            "build_walk_index(..., weighted=True)"
+        )
+    if not weighted and has_w:
+        raise ValueError(
+            "unweighted walk passed a WEIGHTED index; rebuild with "
+            "build_walk_index(..., weighted=False)"
+        )
+
+
 def build_walk_index(edges_symmetric, num_buckets: int = 32,
                      weighted: bool = False):
     """Public handle on the one edge-scale step: build the partitioned CSR
@@ -209,9 +225,12 @@ def random_walks(edges_symmetric, length: int = 4, num_buckets: int = 32,
     cum > r) — still deterministic and SQL-exact. The result streams —
     sink it or ``to_pandas()`` only at gate scale."""
     P = num_buckets
-    adj_index, parts_ds = (index if index is not None
-                           else _adjacency_index(edges_symmetric, P,
-                                                 weighted=weighted))
+    if index is not None:
+        adj_index, parts_ds = index
+        _check_index(parts_ds, weighted)
+    else:
+        adj_index, parts_ds = _adjacency_index(edges_symmetric, P,
+                                               weighted=weighted)
     adj_ref = ray.put(adj_index)
     cols = (["srcs", "offsets", "nbrs", "wcum"] if weighted
             else ["srcs", "offsets", "nbrs"])
@@ -257,8 +276,11 @@ def node2vec_walks(edges_symmetric, length: int = 4, num_buckets: int = 32,
     prev slices + one global-cumsum searchsorted per group) — no per-walk
     Python loop."""
     P = num_buckets
-    adj_index, parts_ds = (index if index is not None
-                           else _adjacency_index(edges_symmetric, P))
+    if index is not None:
+        adj_index, parts_ds = index
+        _check_index(parts_ds, weighted=False)
+    else:
+        adj_index, parts_ds = _adjacency_index(edges_symmetric, P)
     adj_ref = ray.put(adj_index)
 
     starts = _starts_dataset(parts_ds)
@@ -362,10 +384,15 @@ def _index_digest(parts_ds) -> str:
 
     def part_digest(t: pa.Table) -> pa.Table:
         vals = []
+        # every list column present is hashed — including wcum on weighted
+        # indexes, so same-topology-different-weights graphs get different
+        # digests
+        cols = [c for c in ("srcs", "offsets", "nbrs", "wcum")
+                if c in t.column_names]
         for row in range(t.num_rows):
             h = hashlib.blake2b(digest_size=8)
             h.update(int(t["part"][row].as_py()).to_bytes(8, "little"))
-            for col in ("srcs", "offsets", "nbrs"):
+            for col in cols:
                 arr = t[col][row].values.to_numpy(zero_copy_only=False)
                 h.update(np.ascontiguousarray(arr, np.int64).tobytes())
             vals.append(int.from_bytes(h.digest(), "little"))
@@ -449,11 +476,20 @@ def random_walks_checkpointed(
     cur = starts
     done = set(manifest["completed"])
 
+    import shutil
+
     for t_step in range(1, length + 1):
         step_dir = os.path.join(checkpoint_dir, f"step={t_step}")
         if t_step in done:
             cur = rd.read_parquet(step_dir)
         else:
+            # a killed attempt may have left partial shards (parquet writes
+            # never overwrite — a rewrite into a dirty dir would read back
+            # stale + new shards as duplicated walk state): write to a tmp
+            # dir and rename into place, clearing any leftovers first
+            tmp_dir = step_dir + ".tmp"
+            shutil.rmtree(tmp_dir, ignore_errors=True)
+            shutil.rmtree(step_dir, ignore_errors=True)
             def step_fn(t: pa.Table, _t_step=t_step) -> pa.Table:
                 wid = t["walk_id"].to_numpy()
                 v = t["v"].to_numpy()
@@ -478,7 +514,8 @@ def random_walks_checkpointed(
             cur = bucketed_group_combine(
                 cur, ["v"], step_fn, num_buckets=P
             )
-            cur.write_parquet(step_dir)
+            cur.write_parquet(tmp_dir)
+            os.rename(tmp_dir, step_dir)
             cur = rd.read_parquet(step_dir)
             commit(t_step)
         outs.append(_emit_step(cur, t_step))

@@ -29,7 +29,8 @@ def merge_sparse_features(
     union. Streaming: one small aggregate over A (only when ``offset`` is
     None), one zero-copy projection over B."""
     if offset is None:
-        offset = int(a.max("pattern_id")) + 1
+        mx = a.max("pattern_id")  # None on an empty left side -> width 0
+        offset = int(mx) + 1 if mx is not None else 0
 
     def shift(t: pa.Table, _off=int(offset)) -> pa.Table:
         return pa.table(

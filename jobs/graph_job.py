@@ -105,6 +105,19 @@ def main() -> int:
     os.makedirs(args.out, exist_ok=True)
     info: dict = {}
 
+    def sink(ds, name: str) -> None:
+        # parquet writes never overwrite: a re-run (the advertised
+        # resume workflow) into a dirty output dir would duplicate rows.
+        # Write to a tmp dir and rename into place.
+        import shutil
+
+        final = os.path.join(args.out, name)
+        tmp = final + ".tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        shutil.rmtree(final, ignore_errors=True)
+        ds.write_parquet(tmp)
+        os.rename(tmp, final)
+
     if args.algo == "walks":
         # resumable walk corpus: per-step parquet + manifest-last commit
         # under --checkpoint-dir (required); a killed submission re-run
@@ -119,13 +132,13 @@ def main() -> int:
             edges, args.checkpoint_dir, length=args.length,
             weighted=args.weighted, node2vec=args.node2vec,
         )
-        corpus.write_parquet(os.path.join(args.out, "walks"))
+        sink(corpus, "walks")
         summary = {"algo": "walks", "length": args.length}
     elif args.algo == "triangles":
         from graphminingtools_ray.algos.triangles import triangle_counts_dataset
 
         counts = triangle_counts_dataset(edges)
-        counts.write_parquet(os.path.join(args.out, "triangles"))
+        sink(counts, "triangles")
         summary = {"algo": "triangles"}
     else:
         if args.symmetrize:
@@ -141,7 +154,7 @@ def main() -> int:
                 checkpoint_dir=args.checkpoint_dir,
                 num_state_partitions=args.num_state_partitions,
             )
-            out_ds.write_parquet(os.path.join(args.out, "components"))
+            sink(out_ds, "components")
         elif args.algo == "kcore":
             from graphminingtools_ray.algos.kcore import k_core_dataset
 
@@ -152,7 +165,7 @@ def main() -> int:
                 num_state_partitions=args.num_state_partitions,
                 checkpoint_dir=args.checkpoint_dir,
             )
-            out_ds.write_parquet(os.path.join(args.out, "kcore"))
+            sink(out_ds, "kcore")
         elif args.algo == "sssp":
             from graphminingtools_ray.algos.sssp import sssp_hops_dataset
 
@@ -163,7 +176,7 @@ def main() -> int:
                 num_state_partitions=args.num_state_partitions,
                 checkpoint_dir=args.checkpoint_dir,
             )
-            out_ds.write_parquet(os.path.join(args.out, "hops"))
+            sink(out_ds, "hops")
         else:
             from graphminingtools_ray.algos.labelprop import (
                 label_propagation_dataset,
@@ -175,7 +188,7 @@ def main() -> int:
                 checkpoint_dir=args.checkpoint_dir,
                 num_state_partitions=args.num_state_partitions,
             )
-            out_ds.write_parquet(os.path.join(args.out, "labels"))
+            sink(out_ds, "labels")
         summary = {
             "algo": args.algo,
             "iterations": info.get("iterations"),

@@ -203,3 +203,42 @@ def test_node2vec_checkpoint_resume(tmp_path, ray_session):
     fresh = node2vec_walks(edges, length=4, num_buckets=4).to_pandas() \
         .sort_values(key).reset_index(drop=True)
     pd.testing.assert_frame_equal(resumed, fresh)
+
+
+def test_walks_checkpoint_dirty_step_dir(tmp_path, ray_session):
+    """Leftover shards from a killed mid-write attempt must not leak into
+    the recomputed step (parquet writes never overwrite; the step lands
+    via tmp-dir + rename)."""
+    import os
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from graphminingtools_ray.graph.build import symmetrize
+    from graphminingtools_ray.graph.walks import (
+        random_walks,
+        random_walks_checkpointed,
+    )
+
+    edges = symmetrize(rd.from_arrow(pa.table({
+        "src": pa.array([0, 1, 2, 3], pa.int64()),
+        "dst": pa.array([1, 2, 3, 0], pa.int64()),
+    }))).materialize()
+    ck = tmp_path / "dirty"
+    # simulate a killed attempt: step=1 dir exists with a stale partial
+    # shard, but the manifest never committed it
+    (ck / "step=1").mkdir(parents=True)
+    pq.write_table(
+        pa.table({"walk_id": pa.array([99], pa.int64()),
+                  "v": pa.array([99], pa.int64())}),
+        str(ck / "step=1" / "stale.parquet"),
+    )
+    key = ["walk_id", "step", "vertex_id"]
+    got = random_walks_checkpointed(edges, str(ck), length=2, num_buckets=4) \
+        .to_pandas().sort_values(key).reset_index(drop=True)
+    fresh = random_walks(edges, length=2, num_buckets=4).to_pandas() \
+        .sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, fresh)
+    assert not os.path.exists(ck / "step=1.tmp")
