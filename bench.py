@@ -767,7 +767,7 @@ def run_walks_big(num_cpus: int) -> dict:
     index = build_walk_index(symmetrize(rd.read_parquet(path)))
     t_build = round(time.perf_counter() - t0, 3)
     t1 = time.perf_counter()
-    walks = random_walks(rd.range(0), length=length, index=index)
+    walks = random_walks(length=length, index=index)
     t_steps = round(time.perf_counter() - t1, 3)  # L walk-scale exchanges
     out_dir = "/tmp/graft_bench_walks"
     shutil.rmtree(out_dir, ignore_errors=True)

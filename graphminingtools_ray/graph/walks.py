@@ -90,6 +90,10 @@ def _adjacency_index(edges_symmetric, P: int, weighted: bool = False):
         offsets = np.concatenate([[0], np.cumsum(counts)])
         cols = {
             "part": pa.array([part], pa.int64()),
+            # nb carries the partition count the index was built with, so a
+            # walk call with a different num_buckets can't silently route
+            # vertices to the wrong CSR part (_check_index derives P from it)
+            "nb": pa.array([P], pa.int64()),
             "srcs": pa.array([srcs], pa.list_(pa.int64())),
             "offsets": pa.array([offsets], pa.list_(pa.int64())),
             "nbrs": pa.array([d], pa.list_(pa.int64())),
@@ -188,10 +192,15 @@ def _weighted_next(cache: PartCache, v: np.ndarray, h: np.ndarray,
     return nxt
 
 
-def _check_index(parts_ds, weighted: bool) -> None:
+def _check_index(parts_ds, weighted: bool, num_buckets: int) -> int:
     """Fail at CALL time (not deep inside a remote step task) when a
-    prebuilt index's weighted-ness doesn't match the walk's."""
-    has_w = "wcum" in parts_ds.schema().names
+    prebuilt index's weighted-ness doesn't match the walk's, and return the
+    partition count the index was BUILT with (its ``nb`` column) — an index
+    built with num_buckets=64 used by a walk routing with P=32 would
+    silently read the wrong CSR part's neighbor slices. The caller's
+    ``num_buckets`` is overridden by the index's own value."""
+    names = parts_ds.schema().names
+    has_w = "wcum" in names
     if weighted and not has_w:
         raise ValueError(
             "weighted walk needs an index built with "
@@ -202,6 +211,11 @@ def _check_index(parts_ds, weighted: bool) -> None:
             "unweighted walk passed a WEIGHTED index; rebuild with "
             "build_walk_index(..., weighted=False)"
         )
+    if "nb" in names:
+        rows = parts_ds.select_columns(["nb"]).take(1)
+        if rows:
+            return int(rows[0]["nb"])
+    return num_buckets
 
 
 def build_walk_index(edges_symmetric, num_buckets: int = 32,
@@ -214,7 +228,7 @@ def build_walk_index(edges_symmetric, num_buckets: int = 32,
     return _adjacency_index(edges_symmetric, num_buckets, weighted=weighted)
 
 
-def random_walks(edges_symmetric, length: int = 4, num_buckets: int = 32,
+def random_walks(edges_symmetric=None, length: int = 4, num_buckets: int = 32,
                  weighted: bool = False, index=None):
     """-> ray.data.Dataset (walk_id, step, vertex_id): one deterministic
     L-step walk per start vertex of the simple symmetric graph.
@@ -223,11 +237,16 @@ def random_walks(edges_symmetric, length: int = 4, num_buckets: int = 32,
     proportional to the integer edge weight: the seeded draw indexes the
     per-src inclusive weight cumsum (r = md5 mod W(v), first neighbor with
     cum > r) — still deterministic and SQL-exact. The result streams —
-    sink it or ``to_pandas()`` only at gate scale."""
+    sink it or ``to_pandas()`` only at gate scale.
+
+    With a prebuilt ``index`` (build_walk_index), ``edges_symmetric`` may be
+    omitted and ``num_buckets`` is taken from the index itself."""
     P = num_buckets
     if index is not None:
         adj_index, parts_ds = index
-        _check_index(parts_ds, weighted)
+        P = _check_index(parts_ds, weighted, P)
+    elif edges_symmetric is None:
+        raise ValueError("random_walks needs edges_symmetric or index")
     else:
         adj_index, parts_ds = _adjacency_index(edges_symmetric, P,
                                                weighted=weighted)
@@ -257,7 +276,7 @@ def random_walks(edges_symmetric, length: int = 4, num_buckets: int = 32,
     return reduce(lambda a, b: a.union(b), outs)
 
 
-def node2vec_walks(edges_symmetric, length: int = 4, num_buckets: int = 32,
+def node2vec_walks(edges_symmetric=None, length: int = 4, num_buckets: int = 32,
                    index=None):
     """Second-order biased walks (Grover & Leskovec 2016 node2vec) with the
     fixed integer bias (p=2, q=0.5 scaled ×2): candidate weight 1 for
@@ -278,7 +297,9 @@ def node2vec_walks(edges_symmetric, length: int = 4, num_buckets: int = 32,
     P = num_buckets
     if index is not None:
         adj_index, parts_ds = index
-        _check_index(parts_ds, weighted=False)
+        P = _check_index(parts_ds, weighted=False, num_buckets=P)
+    elif edges_symmetric is None:
+        raise ValueError("node2vec_walks needs edges_symmetric or index")
     else:
         adj_index, parts_ds = _adjacency_index(edges_symmetric, P)
     adj_ref = ray.put(adj_index)

@@ -27,7 +27,7 @@ def dedup_exact(sf_dir: str):
     (SURVEY §2.7)."""
     from ..functions.bucketing import bucketed_group_combine
 
-    keyed = _docs(sf_dir).map_batches(ExactDedupKey(), batch_format="pandas")
+    keyed = _docs(sf_dir).map_batches(ExactDedupKey(), batch_format="pyarrow")
 
     def combine(t: pa.Table) -> pa.Table:
         df = pd.DataFrame(
@@ -60,13 +60,13 @@ def lang_distribution(sf_dir: str):
 def langid_predict(sf_dir: str):
     """Heuristic language ID — actor pool (stopword tables built per actor)."""
     return _docs(sf_dir).map_batches(
-        LangIdHeuristic, batch_format="pandas", concurrency=actor_pool()
+        LangIdHeuristic, batch_format="pyarrow", concurrency=actor_pool()
     )
 
 
 def quality_scores(sf_dir: str):
     out = _docs(sf_dir).map_batches(
-        QualityScore, batch_format="pandas", concurrency=actor_pool()
+        QualityScore, batch_format="pyarrow", concurrency=actor_pool()
     ).to_pandas()
     out["quality"] = round_half_away(out["quality"], 6)
     return out
@@ -76,11 +76,9 @@ def word_freq_topk(sf_dir: str, k: int = 20):
     """Token frequency top-k: batch-local partial counts (combiner) →
     groupby(token).sum → deterministic (n desc, token asc) top-k."""
 
-    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+    def partial(batch: pa.Table) -> pa.Table:
         # vectorized batch-local combiner: one polars split/explode/
-        # value_counts pass (no per-token Python loop)
-        import polars as pl
-
+        # value_counts pass (no per-token Python loop); Arrow in, Arrow out
         from ..stages.text import _pl_utf8
 
         toks = (
@@ -90,14 +88,14 @@ def word_freq_topk(sf_dir: str, k: int = 20):
             .drop_nulls()
         )
         if len(toks) == 0:
-            return pd.DataFrame(
-                {"token": pd.Series([], dtype=str),
-                 "partial": pd.Series([], dtype=np.int64)}
+            return pa.table(
+                {"token": pa.array([], pa.string()),
+                 "partial": pa.array([], pa.int64())}
             )
         vc = toks.value_counts()
-        return pd.DataFrame(
+        return pa.table(
             {
-                "token": vc["t"].to_list(),
+                "token": vc["t"].to_arrow().cast(pa.string()),
                 "partial": vc["count"].to_numpy().astype(np.int64),
             }
         )
@@ -119,7 +117,7 @@ def word_freq_topk(sf_dir: str, k: int = 20):
     return (
         bucketed_group_combine(
             _docs(sf_dir, columns=("doc_id", "text")).map_batches(
-                partial, batch_format="pandas"
+                partial, batch_format="pyarrow"
             ),
             ["token"],
             combine,
@@ -373,13 +371,13 @@ def minhash_near_dup_docs(
 
 def simhash_fingerprints(sf_dir: str):
     return _docs(sf_dir).map_batches(
-        SimHasher, batch_format="pandas", concurrency=actor_pool()
+        SimHasher, batch_format="pyarrow", concurrency=actor_pool()
     )
 
 
 def winnow_fingerprints(sf_dir: str):
     return _docs(sf_dir).map_batches(
-        WinnowFingerprint, batch_format="pandas", concurrency=actor_pool()
+        WinnowFingerprint, batch_format="pyarrow", concurrency=actor_pool()
     )
 
 
@@ -389,7 +387,7 @@ def simhash_md5(sf_dir: str):
     from ..stages.dedup_md5 import SimHashMD5Stage
 
     return _docs(sf_dir).map_batches(
-        SimHashMD5Stage, batch_format="pandas", concurrency=actor_pool()
+        SimHashMD5Stage, batch_format="pyarrow", concurrency=actor_pool()
     )
 
 
@@ -399,7 +397,7 @@ def winnow_md5(sf_dir: str):
     from ..stages.dedup_md5 import WinnowMD5Stage
 
     return _docs(sf_dir).map_batches(
-        WinnowMD5Stage, batch_format="pandas", concurrency=actor_pool()
+        WinnowMD5Stage, batch_format="pyarrow", concurrency=actor_pool()
     )
 
 
@@ -524,7 +522,7 @@ def dedup_keep_best(sf_dir: str, threshold: float = 0.3):
     qual = (
         _docs(sf_dir)
         .map_batches(member, batch_format="pyarrow")
-        .map_batches(QualityScore, batch_format="pandas",
+        .map_batches(QualityScore, batch_format="pyarrow",
                      concurrency=actor_pool())
         .to_pandas()
     )

@@ -25,6 +25,30 @@ _C = np.uint64(0x100000001B3)  # FNV-1a prime: shingle polynomial multiplier
 _TOKEN_SEED = 2024  # hash-family version seed (v2)
 
 
+def batch_text(batch):
+    """The 'text' column of a ``pa.Table`` OR ``pd.DataFrame`` batch, in the
+    form the vectorized text kernels consume: the Arrow column as-is
+    (zero-copy into polars downstream) or a null-filled pandas Series. Lets
+    every stage ``__call__`` here run ``batch_format="pyarrow"`` (no
+    pandas boundary conversion per batch) while staying callable on plain
+    DataFrames in tests."""
+    texts = batch["text"]
+    if isinstance(texts, pd.Series):
+        return texts.fillna("")
+    return texts
+
+
+def batch_i64(col) -> np.ndarray:
+    """int64 ndarray from an Arrow (chunked) array or pandas Series column."""
+    import pyarrow as pa
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if isinstance(col, pa.Array):
+        return col.to_numpy(zero_copy_only=False).astype(np.int64)
+    return np.asarray(col, dtype=np.int64)
+
+
 def _finalize_mix(x: np.ndarray) -> np.ndarray:
     """xorshift-multiply finalizer (splitmix64 tail) — decorrelates the
     polynomial-combined shingle hashes before they feed minhash/banding."""
@@ -186,15 +210,22 @@ def _token_hashes(text: str, n: int = 3, chars: bool = False) -> np.ndarray:
 
 
 class ExactDedupKey:
-    """md5(text) canonical key per doc (SQL-verifiable: DuckDB ``md5``)."""
+    """md5(text) canonical key per doc (SQL-verifiable: DuckDB ``md5``).
+    Arrow-native: md5 runs over zero-copy slices of the Arrow data buffer
+    (functions.hashing.md5_hex) — no per-row Python str round-trip."""
 
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        import hashlib
+    def __call__(self, batch):
+        import pyarrow as pa
+        import pyarrow.compute as pc
 
-        keys = [
-            hashlib.md5(t.encode()).hexdigest() for t in batch["text"].fillna("")
-        ]
-        return pd.DataFrame({"doc_id": batch["doc_id"], "text_md5": keys})
+        from ..functions.hashing import md5_hex
+
+        texts = batch_text(batch)
+        if not isinstance(texts, pd.Series):
+            texts = pc.fill_null(texts, "")
+        return pa.table(
+            {"doc_id": batch["doc_id"], "text_md5": md5_hex(texts)}
+        )
 
 
 class MinHasher:
@@ -278,15 +309,19 @@ class MinHasher:
             np.int64
         )
 
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        """Explode each doc into `bands` rows: (doc_id, band_id, band_hash)."""
-        texts = batch["text"].fillna("").tolist()
-        doc_ids = batch["doc_id"].to_numpy(np.int64)
-        bh = self.band_hashes(self.signatures_batch(texts))
-        return pd.DataFrame(
+    def __call__(self, batch):
+        """Explode each doc into `bands` rows: (doc_id, band_id, band_hash).
+        Arrow-native (the text column enters polars zero-copy)."""
+        import pyarrow as pa
+
+        doc_ids = batch_i64(batch["doc_id"])
+        bh = self.band_hashes(self.signatures_batch(batch_text(batch)))
+        return pa.table(
             {
                 "doc_id": np.repeat(doc_ids, self.bands),
-                "band_id": np.tile(np.arange(self.bands, dtype=np.int64), len(texts)),
+                "band_id": np.tile(
+                    np.arange(self.bands, dtype=np.int64), len(doc_ids)
+                ),
                 "band_hash": bh.ravel(),
             }
         )
@@ -445,9 +480,11 @@ class SimHasher:
     def fingerprint(self, text: str) -> int:
         return int(self.fingerprints_batch([text])[0])
 
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        fps = self.fingerprints_batch(batch["text"].fillna("").tolist())
-        return pd.DataFrame({"doc_id": batch["doc_id"], "simhash": fps})
+    def __call__(self, batch):
+        import pyarrow as pa
+
+        fps = self.fingerprints_batch(batch_text(batch))
+        return pa.table({"doc_id": batch["doc_id"], "simhash": fps})
 
 
 class WinnowFingerprint:
@@ -563,8 +600,10 @@ class WinnowFingerprint:
         ).astype(np.int64)
         return n_fp, fp_min
 
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        n_fp, fp_min = self.stats_batch(batch["text"].fillna("").tolist())
-        return pd.DataFrame(
+    def __call__(self, batch):
+        import pyarrow as pa
+
+        n_fp, fp_min = self.stats_batch(batch_text(batch))
+        return pa.table(
             {"doc_id": batch["doc_id"], "n_fingerprints": n_fp, "fp_min": fp_min}
         )

@@ -222,9 +222,13 @@ def winnow_md5_stats(texts, k: int = 5, window: int = 4):
 
 
 class SimHashMD5Stage:
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        fps = simhash_md5_batch(batch["text"].tolist())
-        return pd.DataFrame({"doc_id": batch["doc_id"], "simhash": fps})
+    def __call__(self, batch):
+        import pyarrow as pa
+
+        from .dedup import batch_text
+
+        fps = simhash_md5_batch(batch_text(batch))
+        return pa.table({"doc_id": batch["doc_id"], "simhash": fps})
 
 
 class WinnowMD5Stage:
@@ -232,10 +236,14 @@ class WinnowMD5Stage:
         self.k = k
         self.window = window
 
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+    def __call__(self, batch):
+        import pyarrow as pa
+
+        from .dedup import batch_text
+
         n_fp, fp_min = winnow_md5_stats(
-            batch["text"].tolist(), k=self.k, window=self.window
+            batch_text(batch), k=self.k, window=self.window
         )
-        return pd.DataFrame(
+        return pa.table(
             {"doc_id": batch["doc_id"], "n_fingerprints": n_fp, "fp_min": fp_min}
         )

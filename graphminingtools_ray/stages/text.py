@@ -125,9 +125,18 @@ class LangIdHeuristic:
         langs = np.asarray(self.langs, dtype=object)
         return np.where(best > 0, langs[arg], "unk")
 
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        preds = self.predict(batch["text"])
-        return pd.DataFrame({"doc_id": batch["doc_id"], "lang_pred": preds})
+    def __call__(self, batch):
+        import pyarrow as pa
+
+        from .dedup import batch_text
+
+        preds = self.predict(batch_text(batch))
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "lang_pred": pa.array(preds.tolist(), pa.string()),
+            }
+        )
 
 
 class QualityScore:
@@ -202,9 +211,13 @@ class QualityScore:
         score[~nz] = 0.0
         return score
 
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {"doc_id": batch["doc_id"], "quality": self.score(batch["text"])}
+    def __call__(self, batch):
+        import pyarrow as pa
+
+        from .dedup import batch_text
+
+        return pa.table(
+            {"doc_id": batch["doc_id"], "quality": self.score(batch_text(batch))}
         )
 
 

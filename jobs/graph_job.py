@@ -108,14 +108,16 @@ def main() -> int:
     def sink(ds, name: str) -> None:
         # parquet writes never overwrite: a re-run (the advertised
         # resume workflow) into a dirty output dir would duplicate rows.
-        # Write to a tmp dir and rename into place.
+        # Write to a tmp dir, and only after the write fully lands remove
+        # the previous committed output and rename into place — a crash
+        # mid-write leaves the old committed output intact.
         import shutil
 
         final = os.path.join(args.out, name)
         tmp = final + ".tmp"
         shutil.rmtree(tmp, ignore_errors=True)
-        shutil.rmtree(final, ignore_errors=True)
         ds.write_parquet(tmp)
+        shutil.rmtree(final, ignore_errors=True)
         os.rename(tmp, final)
 
     if args.algo == "walks":
