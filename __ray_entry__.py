@@ -198,6 +198,14 @@ def _select_top_features(sf_dir: str):
     return select_top_features_query(sf_dir)
 
 
+def _tci_mean(sf_dir: str):
+    """tciMean score-file aggregation (reference python/tciMean.py):
+    per-method geometric mean + geometric-SD band over '+'/'-' scores."""
+    from graphminingtools_ray.pipelines.features import tci_mean_query
+
+    return tci_mean_query(sf_dir)
+
+
 def _stratified_subset(sf_dir: str):
     """Reference python/subset.py method 0 (stratified selection) over the
     labeled order universe, with deterministic md5-hash selection and
@@ -520,6 +528,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "diameter_lb": graph_queries.diameter_lb_query,
         "random_walks_weighted": graph_queries.random_walks_weighted_query,
         "node2vec_walks": graph_queries.node2vec_walks_query,
+        # skip-gram (center, context) pairs + md5 negatives from the walk
+        # corpus — the walk-family -> embedding-trainer link
+        "skipgram_pairs": graph_queries.skipgram_pairs_query,
         # levelwise mining level 1 (lwm_initAndCollect semantics)
         "frequent_vertex_labels": mining.frequent_vertex_labels,
         "frequent_edge_triples": mining.frequent_edge_triples,
@@ -536,6 +547,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "merge_sparse_features": _merge_sparse_features,
         "select_top_features": _select_top_features,
         "stratified_subset": _stratified_subset,
+        # tciMean score aggregation (reference python/tciMean.py): geometric
+        # mean + geometric-SD band per method/class, libm-fold hash-exact
+        "tci_mean": _tci_mean,
         "gdb_blockchain_measures": _gdb_blockchain_measures,
         # gf measure subset over PARQUET-derived per-order graphs — the
         # driver-gate-checkable complement of the generated-DB measure query
@@ -581,6 +595,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gopher_stats": text_q.gopher_stats,
         # PII / scrub-signal pattern counts (emails, URLs, IPv4)
         "pii_counts": text_q.pii_counts,
+        # PII redaction: scrubbed text + per-type replacement counts
+        "pii_scrub": text_q.pii_scrub,
         "media_features": text_q.media_features,
         # REAL decode (PPM/BMP/WAV parsers) with an integer-exact SQL twin
         "media_features_real": text_q.media_features_real,
@@ -605,6 +621,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # (the displaced queries carry green rows from earlier rounds and stay
     # oracled + pytest-mirrored).
     gate_front = [
+        # round-5 additions first
+        "pii_scrub",
+        "tci_mean",
+        "skipgram_pairs",
+        # round-4 additions
         "media_features_real",
         "merge_sparse_features",
         "select_top_features",
@@ -1037,6 +1058,39 @@ def _walks_sql(length: int = 4, min_weight: int = 2) -> str:
         head + "," + ",".join(levels)
         + " " + " UNION ALL ".join(finals)
     )
+
+
+def _skipgram_sql(length: int = 4, window: int = 2, neg: int = 2,
+                  min_weight: int = 2) -> str:
+    """SQL twin of graph/walks.skipgram_pairs over the _walks_sql corpus:
+    positives = corpus self-join on walk_id within ``window`` steps (both
+    directions); negatives = per (walk, position) and j in 1..neg the
+    vertex ranked md5_number_lower('{walk_id}:{step}:n{j}') mod |V| in the
+    ascending distinct-vertex order (context_step = -j, label = 0)."""
+    corpus = _walks_sql(length, min_weight)
+    return f"""
+        WITH corpus AS MATERIALIZED ({corpus}),
+        verts AS MATERIALIZED (
+            SELECT v, ROW_NUMBER() OVER (ORDER BY v) - 1 AS rk
+            FROM (SELECT DISTINCT walk_id AS v FROM corpus)),
+        nv AS (SELECT COUNT(*)::BIGINT AS n FROM verts)
+        SELECT a.walk_id, a.step AS center_step, a.vertex_id AS center,
+               b.step AS context_step, b.vertex_id AS context,
+               1::BIGINT AS label
+        FROM corpus a JOIN corpus b ON a.walk_id = b.walk_id
+         AND b.step <> a.step AND abs(b.step - a.step) <= {window}
+        UNION ALL
+        SELECT c.walk_id, c.step AS center_step, c.vertex_id AS center,
+               (-r.j)::BIGINT AS context_step, vt.v AS context,
+               0::BIGINT AS label
+        FROM corpus c
+        CROSS JOIN (SELECT unnest(range(1, {neg + 1})) AS j) r
+        CROSS JOIN nv
+        JOIN verts vt ON vt.rk = CAST(md5_number_lower(
+                CAST(c.walk_id AS VARCHAR) || ':' ||
+                CAST(c.step AS VARCHAR) || ':n' || CAST(r.j AS VARCHAR))
+                % CAST(nv.n AS UBIGINT) AS BIGINT)
+    """
 
 
 def _node2vec_sql(length: int = 4, min_weight: int = 2) -> str:
@@ -2562,6 +2616,8 @@ def oracle_sql() -> dict[str, str]:
         "random_walks_weighted": _walks_weighted_sql(length=4,
                                                      min_weight=2),
         "node2vec_walks": _node2vec_sql(length=4, min_weight=2),
+        "skipgram_pairs": _skipgram_sql(length=4, window=2, neg=2,
+                                        min_weight=2),
         "sssp_hops": _sssp_sql(rounds=20, min_weight=2),
         "betweenness_sigma": _betweenness_sigma_sql(rounds=20,
                                                     min_weight=2),
@@ -2905,6 +2961,73 @@ def oracle_sql() -> dict[str, str]:
                        '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))::BIGINT
                        AS n_ipv4
             FROM documents
+        """,
+        # tciMean (reference python/tciMean.py): geometric mean + geometric
+        # SD band, both fold sums LEFT TO RIGHT over the ascending-sorted
+        # scores (list_reduce over list_sort) — the engine mirrors the fold
+        # order and routes ln/exp through libm, so doubles are bit-exact
+        "tci_mean": r"""
+            WITH s AS (
+                SELECT o_orderpriority AS method,
+                       CASE WHEN o_orderstatus = 'F' THEN '+' ELSE '-' END
+                           AS label,
+                       CAST(o_totalprice AS DOUBLE) AS score
+                FROM orders),
+            cls AS (
+                SELECT method, 'pos' AS cls, score FROM s WHERE label = '+'
+                UNION ALL
+                SELECT method, 'neg' AS cls, score FROM s WHERE label = '-'
+                UNION ALL
+                SELECT method, 'all' AS cls, score FROM s),
+            agg AS (
+                SELECT method, cls, COUNT(*)::BIGINT AS n,
+                       list_sort(list(score)) AS vals
+                FROM cls GROUP BY method, cls),
+            g1 AS (
+                SELECT method, cls, n, vals,
+                       exp(list_reduce(list_transform(vals, x -> ln(x)),
+                                       (a, b) -> a + b) / n) AS gmean
+                FROM agg),
+            g2 AS (
+                SELECT method, cls, n, gmean,
+                       exp(sqrt(list_reduce(
+                           list_transform(vals,
+                               x -> ln(x / gmean) * ln(x / gmean)),
+                           (a, b) -> a + b) / n)) AS gsd
+                FROM g1)
+            SELECT method, cls, n, gmean, gsd,
+                   gmean / sqrt(gsd) AS lo, gmean * sqrt(gsd) AS hi
+            FROM g2
+        """,
+        # PII scrub: the same pattern set applied as a SEQUENTIAL
+        # regexp_replace chain (emails -> URLs -> IPv4), counting matches on
+        # the text as it stands at each stage — identical order engine-side
+        "pii_scrub": r"""
+            WITH s0 AS (SELECT doc_id, COALESCE(text, '') AS t
+                        FROM documents),
+            s1 AS (SELECT doc_id,
+                          length(regexp_extract_all(t,
+                              '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))::BIGINT
+                              AS n_emails,
+                          regexp_replace(t,
+                              '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                              '<EMAIL>', 'g') AS t
+                   FROM s0),
+            s2 AS (SELECT doc_id, n_emails,
+                          length(regexp_extract_all(t,
+                              'https?://[^\s]+'))::BIGINT AS n_urls,
+                          regexp_replace(t, 'https?://[^\s]+', '<URL>', 'g')
+                              AS t
+                   FROM s1)
+            SELECT doc_id,
+                   regexp_replace(t,
+                       '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b',
+                       '<IP>', 'g') AS text_scrubbed,
+                   n_emails, n_urls,
+                   length(regexp_extract_all(t,
+                       '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))::BIGINT
+                       AS n_ipv4
+            FROM s2
         """,
         # Gopher repetition/quality signals: integer-exact line/word/symbol
         # counts (stages/text.GopherStats); trim set = space/tab/CR on both

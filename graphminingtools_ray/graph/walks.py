@@ -542,3 +542,89 @@ def random_walks_checkpointed(
         outs.append(_emit_step(cur, t_step))
 
     return reduce(lambda a, b: a.union(b), outs)
+
+
+def skipgram_pairs(corpus, window: int = 2, neg: int = 2,
+                   neg_vertices=None, num_buckets: int = 32):
+    """Skip-gram training pairs from a walk corpus — the link between the
+    walk family and an embedding trainer (word2vec-style, Mikolov et al.
+    2013): for every walk position, each other position within ``window``
+    steps becomes a positive (center, context) pair, plus ``neg``
+    md5-deterministic negative samples per position.
+
+    ``corpus`` is a (walk_id, step, vertex_id) Dataset (random_walks /
+    node2vec_walks output). ONE walk-scale exchange keyed on walk_id
+    co-locates each walk's rows; pair emission is vectorized per bucket
+    (position arithmetic over the (walk_id, step)-sorted arrays — no
+    per-walk Python). Negatives draw from the sorted distinct walk-id
+    universe (== the start-vertex set): index =
+    md5_number_lower('{walk_id}:{step}:n{j}') mod |universe| — the draw is
+    SQL-replicable and independent of partitioning. The universe array is
+    broadcast once via ``ray.put`` (vertex-scale: at 10^9-vertex scale
+    precompute it once per graph and share across jobs, or set neg=0 and
+    sample negatives downstream).
+
+    Returns a Dataset (walk_id, center_step, center, context_step,
+    context, label) with label 1 for window pairs, 0 for negatives
+    (negatives carry context_step = -j)."""
+    if neg_vertices is None and neg > 0:
+        # distinct walk ids == step-0 rows (one per walk, already distinct)
+        parts = []
+        for b in (
+            corpus.filter(expr="step == 0")
+            .select_columns(["vertex_id"])
+            .iter_batches(batch_format="pyarrow")
+        ):
+            parts.append(b["vertex_id"].to_numpy())
+        neg_vertices = np.unique(
+            np.concatenate(parts) if parts else np.empty(0, np.int64)
+        )
+    uni_ref = ray.put(np.asarray(neg_vertices, np.int64)
+                      if neg > 0 else np.empty(0, np.int64))
+
+    def pairs_fn(t: pa.Table) -> pa.Table:
+        wid = t["walk_id"].to_numpy()
+        step = t["step"].to_numpy()
+        v = t["vertex_id"].to_numpy()
+        order = np.lexsort((step, wid))
+        wid, step, v = wid[order], step[order], v[order]
+        cols = {k: [] for k in ("walk_id", "center_step", "center",
+                                "context_step", "context", "label")}
+        for d in range(1, window + 1):
+            if len(wid) <= d:
+                break
+            m = (wid[d:] == wid[:-d]) & (step[d:] - step[:-d] == d)
+            i = np.flatnonzero(m)
+            # both directions: (earlier, later) and (later, earlier)
+            cols["walk_id"] += [wid[i], wid[i]]
+            cols["center_step"] += [step[i], step[i + d]]
+            cols["center"] += [v[i], v[i + d]]
+            cols["context_step"] += [step[i + d], step[i]]
+            cols["context"] += [v[i + d], v[i]]
+            cols["label"] += [np.ones(len(i), np.int64)] * 2
+        uni = ray.get(uni_ref)
+        if neg > 0 and len(uni) and len(wid):
+            n = np.uint64(len(uni))
+            base = np.char.add(
+                np.char.add(wid.astype("U"), ":"), step.astype("U")
+            )
+            for j in range(1, neg + 1):
+                seeds = np.char.add(base, f":n{j}").astype(object)
+                idx = (md5_u64(seeds) % n).astype(np.int64)
+                cols["walk_id"].append(wid)
+                cols["center_step"].append(step)
+                cols["center"].append(v)
+                cols["context_step"].append(np.full(len(wid), -j, np.int64))
+                cols["context"].append(uni[idx])
+                cols["label"].append(np.zeros(len(wid), np.int64))
+        if not cols["walk_id"]:
+            return pa.table(
+                {k: pa.array([], pa.int64()) for k in cols}
+            )
+        return pa.table(
+            {k: np.concatenate(arrs) for k, arrs in cols.items()}
+        )
+
+    return bucketed_group_combine(
+        corpus, ["walk_id"], pairs_fn, num_buckets=num_buckets
+    )

@@ -385,3 +385,107 @@ def stratified_subset_query(sf_dir: str, n: int = 400) -> pd.DataFrame:
     return stratified_subset(
         orders.map_batches(lab, batch_format="pyarrow"), n=n
     )
+
+
+def tci_mean(scores: rd.Dataset) -> pd.DataFrame:
+    """tciMean score aggregation (reference ``python/tciMean.py:24-41``):
+    per score file ("method") and sign class, the geometric mean of the
+    scores plus the multiplicative geometric-SD band the reference plots —
+    gsd = exp(sqrt(mean(ln(x/gm)^2))), band = [gm/sqrt(gsd), gm*sqrt(gsd)].
+    Classes: 'pos' ('+'-labeled rows), 'neg' ('-'), 'all' (both), emitted
+    only when non-empty (the reference crashes on an empty class).
+
+    ``scores`` columns: (method string, label string in {'+','-'},
+    score float64 > 0).
+
+    Determinism contract (what makes the SQL twin hash-exact): per class
+    the scores are sorted ascending and both fold sums (Σ ln x and
+    Σ ln(x/gm)²) accumulate LEFT TO RIGHT over that order; ln/exp go
+    through libm (DuckDB's ln/exp are libm — numpy's SIMD transcendentals
+    differ by ulps, measured). The value-scale exchange is inherent: an
+    order-sensitive fold cannot pre-combine, and score files are tiny by
+    nature (one row per cross-validation run).
+
+    Returns (method, cls, n, gmean, gsd, lo, hi) sorted."""
+    import math
+
+    def combine(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        rows = []
+        for method, g in df.groupby("method", sort=True):
+            pos = np.sort(g.loc[g["label"] == "+", "score"].to_numpy(np.float64))
+            neg = np.sort(g.loc[g["label"] == "-", "score"].to_numpy(np.float64))
+            for cls, vals in (
+                ("pos", pos), ("neg", neg),
+                ("all", np.sort(np.concatenate([pos, neg]))),
+            ):
+                n = len(vals)
+                if n == 0:
+                    continue
+                lns = [math.log(v) for v in vals]
+                s1 = lns[0]
+                for x in lns[1:]:
+                    s1 = s1 + x
+                gm = math.exp(s1 / n)
+                # u*u, not u**2: CPython's float ** goes through libm pow
+                # and is not guaranteed bit-equal to the twin's ln(x)*ln(x)
+                terms = [
+                    u * u for u in (math.log(v / gm) for v in vals)
+                ]
+                s2 = terms[0]
+                for x in terms[1:]:
+                    s2 = s2 + x
+                gsd = math.exp(math.sqrt(s2 / n))
+                rows.append(
+                    (method, cls, n, gm, gsd,
+                     gm / math.sqrt(gsd), gm * math.sqrt(gsd))
+                )
+        if not rows:
+            return pa.table(
+                {"method": pa.array([], pa.string()),
+                 "cls": pa.array([], pa.string()),
+                 "n": pa.array([], pa.int64()),
+                 "gmean": pa.array([], pa.float64()),
+                 "gsd": pa.array([], pa.float64()),
+                 "lo": pa.array([], pa.float64()),
+                 "hi": pa.array([], pa.float64())}
+            )
+        m, c, n_, gm_, gsd_, lo_, hi_ = zip(*rows)
+        return pa.table(
+            {"method": pa.array(m, pa.string()),
+             "cls": pa.array(c, pa.string()),
+             "n": pa.array(n_, pa.int64()),
+             "gmean": pa.array(gm_, pa.float64()),
+             "gsd": pa.array(gsd_, pa.float64()),
+             "lo": pa.array(lo_, pa.float64()),
+             "hi": pa.array(hi_, pa.float64())}
+        )
+
+    out = bucketed_group_combine(scores, ["method"], combine).to_pandas()
+    return out.sort_values(["method", "cls"]).reset_index(drop=True)
+
+
+def tci_mean_query(sf_dir: str) -> pd.DataFrame:
+    """Driver-gate query: tciMean over a score table derived from orders —
+    method = o_orderpriority (the per-file axis), '+' = fulfilled orders
+    (o_orderstatus = 'F'), score = o_totalprice (> 0 by construction)."""
+    from ..sources.tables import read_table
+
+    orders = read_table(
+        sf_dir, "orders",
+        columns=["o_orderpriority", "o_orderstatus", "o_totalprice"],
+    )
+
+    def to_scores(t: pa.Table) -> pa.Table:
+        status = t["o_orderstatus"].to_pylist()
+        return pa.table(
+            {
+                "method": t["o_orderpriority"].combine_chunks(),
+                "label": pa.array(
+                    ["+" if s == "F" else "-" for s in status], pa.string()
+                ),
+                "score": t["o_totalprice"].combine_chunks().cast(pa.float64()),
+            }
+        )
+
+    return tci_mean(orders.map_batches(to_scores, batch_format="pyarrow"))

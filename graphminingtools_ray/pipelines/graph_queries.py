@@ -500,6 +500,22 @@ def node2vec_walks_query(sf_dir: str, length: int = 4,
             .reset_index(drop=True))
 
 
+def skipgram_pairs_query(sf_dir: str, length: int = 4, window: int = 2,
+                         neg: int = 2, min_weight: int = 2):
+    """Skip-gram (center, context) training pairs + md5-deterministic
+    negative samples from the deterministic walk corpus (graph/walks.
+    skipgram_pairs) — the missing link between the walk family and an
+    embedding trainer. Hash-exact vs a corpus-self-join SQL twin."""
+    from ..graph.walks import random_walks, skipgram_pairs
+
+    edges = copurchase_edges(sf_dir).filter(expr=f"weight >= {min_weight}")
+    corpus = random_walks(symmetrize(edges.drop_columns(["weight"])),
+                          length=length)
+    pairs = skipgram_pairs(corpus, window=window, neg=neg)
+    out = pairs.to_pandas()
+    return (out.sort_values(list(out.columns)).reset_index(drop=True))
+
+
 def diameter_lb_query(sf_dir: str, min_weight: int = 2):
     """Double-BFS diameter lower bound (the classic 2-sweep heuristic,
     exact as a bound): BFS from the min vertex id, then BFS from the

@@ -571,6 +571,21 @@ def pii_counts(sf_dir: str):
     )
 
 
+def pii_scrub(sf_dir: str):
+    """PII redaction per document: emails / URLs / IPv4 literals replaced by
+    typed placeholders (sequentially, in that order), plus per-type
+    replacement counts — the deploy half of the scrubbing stage
+    (stages.text.PiiScrub). Hash-exact vs a nested regexp_replace SQL twin."""
+    from ..stages.text import PiiScrub
+
+    return _docs(sf_dir).map_batches(
+        PiiScrub,
+        batch_format="pyarrow",
+        batch_size=2048,
+        concurrency=actor_pool(),
+    )
+
+
 def media_features_real(sf_dir: str):
     """REAL media decode end to end: one deterministic closed-form payload
     per document id (PPM / 24-bit BMP / PCM WAV round-robin —

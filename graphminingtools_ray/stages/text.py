@@ -286,6 +286,41 @@ class GopherStats:
         )
 
 
+class PiiScrub:
+    """PII REDACTION — the deploy half of the scrubbing stage (PiiCounts is
+    the detection half): replace every email / URL / IPv4 span with a typed
+    placeholder and emit the scrubbed text plus per-type replacement counts.
+
+    Replacements apply SEQUENTIALLY (emails, then URLs, then IPv4), each
+    counting matches on the text as it stands at that stage — the order is
+    part of the operator semantics and the SQL twin applies the identical
+    nested ``regexp_replace(..., 'g')`` chain, so the scrubbed text column
+    is hash-exact. Patterns are the PiiCounts set (Rust-regex/RE2 dialect
+    parity). One vectorized polars pass per Arrow batch."""
+
+    REPLACEMENTS = (
+        ("n_emails",
+         r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+        ("n_urls", r"https?://[^\s]+", "<URL>"),
+        ("n_ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    )
+
+    def __call__(self, batch):
+        import pyarrow as pa
+
+        from .dedup import batch_text
+
+        s = _pl_utf8(batch_text(batch))
+        cols = {"doc_id": batch["doc_id"]}
+        counts = {}
+        for name, pat, rep in self.REPLACEMENTS:
+            counts[name] = s.str.count_matches(pat).to_numpy().astype(np.int64)
+            s = s.str.replace_all(pat, rep)
+        cols["text_scrubbed"] = s.to_arrow().cast(pa.string())
+        cols.update(counts)
+        return pa.table(cols)
+
+
 class PiiCounts:
     """PII / scrub-signal pattern counts per document (the detection half of
     a scrubbing stage; redaction is a projection over these spans): emails,

@@ -849,3 +849,44 @@ def test_lpa_range_split_invariance(ray_session, monkeypatch):
     for ids, labels in outs[1:]:
         assert (ids == outs[0][0]).all()
         assert (labels == outs[0][1]).all()
+
+
+def test_skipgram_pairs_micro(ray_session):
+    """Skip-gram pairs from a tiny hand-built corpus: positives = both
+    directions of every within-window step pair; negatives follow the md5
+    draw over the sorted distinct walk-id universe."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from graphminingtools_ray.graph.walks import skipgram_pairs
+    from graphminingtools_ray.stages.dedup_md5 import md5_u64_one
+
+    # two walks of length 2 (3 positions each)
+    rows = []
+    seq = {10: [10, 20, 30], 20: [20, 10, 20]}
+    for wid, vs in seq.items():
+        for s, v in enumerate(vs):
+            rows.append((wid, s, v))
+    corpus = rd.from_arrow(pa.table({
+        "walk_id": [r[0] for r in rows],
+        "step": [r[1] for r in rows],
+        "vertex_id": [r[2] for r in rows],
+    }))
+    out = skipgram_pairs(corpus, window=1, neg=1).to_pandas()
+    pos = out[out["label"] == 1]
+    # window=1: per walk, pairs (0,1),(1,0),(1,2),(2,1) -> 4 each
+    assert len(pos) == 8
+    got = set(map(tuple, pos[["walk_id", "center_step",
+                              "context_step"]].to_numpy()))
+    for wid in (10, 20):
+        for a, b in ((0, 1), (1, 0), (1, 2), (2, 1)):
+            assert (wid, a, b) in got
+    # per (walk, position) exactly one negative with the md5-ranked vertex
+    neg = out[out["label"] == 0]
+    assert len(neg) == 6
+    uni = np.array([10, 20])  # sorted distinct walk ids
+    for r in neg.itertuples():
+        assert r.context_step == -1
+        idx = md5_u64_one(f"{r.walk_id}:{r.center_step}:n1") % len(uni)
+        assert r.context == uni[idx]

@@ -84,3 +84,43 @@ def test_stratified_subset_n_exceeding_universe(ray_session):
 def test_stratified_subset_empty(ray_session):
     out = stratified_subset(_labels([]), n=5)
     assert len(out) == 0
+
+
+def test_tci_mean_micro(ray_session):
+    """tciMean semantics on a hand-checked score table: geometric mean and
+    geometric SD per (method, class) vs direct math over the same fold."""
+    import math
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from graphminingtools_ray.pipelines.features import tci_mean
+
+    scores = rd.from_arrow(pa.table({
+        "method": ["m1"] * 4 + ["m2"] * 2,
+        "label": ["+", "+", "-", "-", "+", "+"],
+        "score": [1.0, 4.0, 2.0, 8.0, 3.0, 3.0],
+    }))
+    out = tci_mean(scores)
+    # m2/pos: identical scores -> gsd == 1 exactly (u == 0 for every term),
+    # gmean == exp(ln 3) (one ulp off 3.0 — the fold is what's pinned)
+    m2 = out[(out["method"] == "m2") & (out["cls"] == "pos")].iloc[0]
+    g3 = math.exp((math.log(3.0) + math.log(3.0)) / 2)
+    assert m2["gmean"] == g3 and m2["gsd"] == math.exp(
+        math.sqrt((lambda u: (u * u + u * u) / 2)(math.log(3.0 / g3)))
+    )
+    assert m2["lo"] == g3 / math.sqrt(m2["gsd"])
+    assert m2["hi"] == g3 * math.sqrt(m2["gsd"])
+    # m2 has no '-' rows: no neg class emitted
+    assert not ((out["method"] == "m2") & (out["cls"] == "neg")).any()
+    # m1/pos: gm = sqrt(1*4) = 2; gsd = exp(sqrt(mean(ln(x/2)^2)))
+    m1 = out[(out["method"] == "m1") & (out["cls"] == "pos")].iloc[0]
+    assert m1["gmean"] == math.exp((math.log(1.0) + math.log(4.0)) / 2)
+    u = [math.log(1.0 / m1["gmean"]), math.log(4.0 / m1["gmean"])]
+    exp_gsd = math.exp(math.sqrt((u[0] * u[0] + u[1] * u[1]) / 2))
+    assert m1["gsd"] == exp_gsd
+    assert m1["lo"] == m1["gmean"] / math.sqrt(exp_gsd)
+    # m1/all: n = 4
+    assert int(out[(out["method"] == "m1")
+                   & (out["cls"] == "all")].iloc[0]["n"]) == 4

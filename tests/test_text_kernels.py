@@ -244,3 +244,48 @@ def test_pii_counts_nonzero_parity():
                 "SELECT length(regexp_extract_all(?, ?))", [t or "", pat]
             ).fetchone()[0]
             assert out[name][i].as_py() == want, (name, i)
+
+
+def test_pii_scrub_nonzero_parity():
+    """PiiScrub on crafted payloads: the scrubbed text and per-type counts
+    match a DuckDB replay of the identical sequential regexp_replace chain
+    (sf docs carry no PII, so the gate row alone would certify only the
+    no-op path)."""
+    import duckdb
+    import pyarrow as pa
+
+    from graphminingtools_ray.stages.text import PiiScrub
+
+    texts = [
+        "mail a.b+c@x-y.co.uk then https://a.b/c?x=1 then 10.0.0.1 done",
+        "no hits here",
+        # URL containing an email-shaped span: the email replace runs FIRST,
+        # splitting the URL — order sensitivity is pinned here
+        "see https://x.y/z?u=a@b.com and 1.2.3.4",
+        "<EMAIL> already present; e@f.org",
+        None,
+    ]
+    batch = pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    })
+    out = PiiScrub()(batch)
+    assert out["n_emails"].to_pylist() == [1, 0, 1, 1, 0]
+    scrubbed = out["text_scrubbed"].to_pylist()
+    assert scrubbed[0] == "mail <EMAIL> then <URL> then <IP> done"
+    # the email inside the URL is replaced first (n_emails counts it), then
+    # the URL replace swallows the whole whitespace-free span incl. the
+    # placeholder — pinned because the SQL chain behaves identically
+    assert scrubbed[2] == "see <URL> and <IP>"
+    con = duckdb.connect()
+    for i, t in enumerate(texts):
+        cur = t or ""
+        for name, pat, rep in PiiScrub.REPLACEMENTS:
+            n = con.execute(
+                "SELECT length(regexp_extract_all(?, ?))", [cur, pat]
+            ).fetchone()[0]
+            assert out[name][i].as_py() == n, (name, i)
+            cur = con.execute(
+                "SELECT regexp_replace(?, ?, ?, 'g')", [cur, pat, rep]
+            ).fetchone()[0]
+        assert scrubbed[i] == cur, i
