@@ -117,43 +117,108 @@ def filter_project_revenue(sf_dir: str):
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
-def nation_revenue(sf_dir: str):
-    """orders ⋈ customer ⋈ nation → per-nation revenue. Small sides
-    (customer, nation) are broadcast via ``ray.put`` and looked up per batch —
-    no shuffle join (SURVEY §7.3 broadcast rule)."""
-    cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_nationkey"]).to_pandas()
-    nat = read_table(sf_dir, "nation", columns=["n_nationkey", "n_name"]).to_pandas()
-    order = np.argsort(cust["c_custkey"].to_numpy())
-    ck_sorted = cust["c_custkey"].to_numpy()[order]
-    nk_of_ck = cust["c_nationkey"].to_numpy()[order]
-    ref = ray.put((ck_sorted, nk_of_ck))
+def _nation_partial(nk: np.ndarray, cents: np.ndarray) -> pa.Table:
+    """(n_nationkey, revenue_c, n_orders) partial over already-attached
+    nation keys — shared by the broadcast and bucketed nation_revenue
+    plans so both produce bit-identical partials."""
+    uk, inv = np.unique(nk, return_inverse=True)
+    rev = np.zeros(len(uk), np.int64)
+    np.add.at(rev, inv, cents)
+    return pa.table(
+        {
+            "n_nationkey": uk.astype(np.int64),
+            "revenue_c": rev,
+            "n_orders": np.bincount(inv, minlength=len(uk)).astype(np.int64),
+        }
+    )
 
-    def attach_partial(t: pa.Table) -> pa.Table:
-        # broadcast binary-search lookup (no per-row Python) + per-batch
-        # partial aggregate keyed on the INT nationkey (25 groups — the
-        # final combine is tiny, no shuffle operator needed); totalprice is
-        # an exact 2-decimal value → sum in integer cents
-        ck_s, nk_ = ray.get(ref)
-        nk = nk_[np.searchsorted(ck_s, t["o_custkey"].to_numpy())]
-        cents = np.rint(
+
+# Above this many rows a "dimension" side stops being broadcastable (TPC-H
+# customer/supplier grow 150k/10k × SF: at SF 100+ the sorted key arrays are
+# multi-GB) and keyed-exchange plans take over. Gate/bench scales stay on
+# the broadcast path; the bucketed path is pinned equal by pytest.
+BROADCAST_ROW_LIMIT = 2_000_000
+
+
+def nation_revenue(sf_dir: str, broadcast_limit: int = BROADCAST_ROW_LIMIT):
+    """orders ⋈ customer ⋈ nation → per-nation revenue. nation is
+    fixed-size → always broadcast. customer scales with SF: below
+    ``broadcast_limit`` rows it broadcasts as a sorted key array via
+    ``ray.put`` (binary-search lookup per batch, no shuffle); above, ONE
+    bucketed exchange keyed on custkey co-locates each customer row with
+    its orders (the q5 fact-fact pattern) — same partials bit-for-bit."""
+    nat = read_table(sf_dir, "nation", columns=["n_nationkey", "n_name"]).to_pandas()
+    cust_ds = read_table(sf_dir, "customer",
+                         columns=["c_custkey", "c_nationkey"])
+    orders_ds = read_table(sf_dir, "orders",
+                           columns=["o_custkey", "o_totalprice"])
+
+    def order_cents(t: pa.Table):
+        # totalprice is an exact 2-decimal value → sum in integer cents
+        return np.rint(
             t["o_totalprice"].to_numpy(zero_copy_only=False) * 100
         ).astype(np.int64)
-        uk, inv = np.unique(nk, return_inverse=True)
-        rev = np.zeros(len(uk), np.int64)
-        np.add.at(rev, inv, cents)
-        return pa.table(
-            {
-                "n_nationkey": uk.astype(np.int64),
-                "revenue_c": rev,
-                "n_orders": np.bincount(inv, minlength=len(uk)).astype(np.int64),
-            }
-        )
 
-    parts = (
-        read_table(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
-        .map_batches(attach_partial, batch_format="pyarrow")
-        .to_pandas()
-    )
+    if cust_ds.count() <= broadcast_limit:
+        cust = cust_ds.to_pandas()
+        order = np.argsort(cust["c_custkey"].to_numpy())
+        ck_sorted = cust["c_custkey"].to_numpy()[order]
+        nk_of_ck = cust["c_nationkey"].to_numpy()[order]
+        ref = ray.put((ck_sorted, nk_of_ck))
+
+        def attach_partial(t: pa.Table) -> pa.Table:
+            # broadcast binary-search lookup (no per-row Python) + per-batch
+            # partial aggregate keyed on the INT nationkey (25 groups — the
+            # final combine is tiny, no shuffle operator needed)
+            ck_s, nk_ = ray.get(ref)
+            nk = nk_[np.searchsorted(ck_s, t["o_custkey"].to_numpy())]
+            return _nation_partial(nk, order_cents(t))
+
+        parts = orders_ds.map_batches(
+            attach_partial, batch_format="pyarrow"
+        ).to_pandas()
+    else:
+        from ..functions.bucketing import bucketed_group_combine
+
+        def cust_rows(t: pa.Table) -> pa.Table:
+            n = t.num_rows
+            return pa.table(
+                {
+                    "k": t["c_custkey"].combine_chunks(),
+                    "nat": t["c_nationkey"].combine_chunks().cast(pa.int64()),
+                    "cents": np.zeros(n, np.int64),
+                    "side": np.zeros(n, np.int8),
+                }
+            )
+
+        def order_rows(t: pa.Table) -> pa.Table:
+            n = t.num_rows
+            return pa.table(
+                {
+                    "k": t["o_custkey"].combine_chunks(),
+                    "nat": np.full(n, -1, np.int64),
+                    "cents": order_cents(t),
+                    "side": np.ones(n, np.int8),
+                }
+            )
+
+        def attach_bucket(t: pa.Table) -> pa.Table:
+            k = t["k"].to_numpy()
+            nat = t["nat"].to_numpy()
+            cents = t["cents"].to_numpy()
+            is_dim = t["side"].to_numpy() == 0
+            dk, dn = k[is_dim], nat[is_dim]
+            o = np.argsort(dk, kind="stable")
+            dk, dn = dk[o], dn[o]
+            fk, fc = k[~is_dim], cents[~is_dim]
+            nk = dn[np.searchsorted(dk, fk)]
+            return _nation_partial(nk, fc)
+
+        both = cust_ds.map_batches(cust_rows, batch_format="pyarrow").union(
+            orders_ds.map_batches(order_rows, batch_format="pyarrow")
+        )
+        parts = bucketed_group_combine(both, ["k"], attach_bucket).to_pandas()
+
     out = parts.groupby("n_nationkey", sort=True).sum().reset_index()
     out = out.merge(nat, on="n_nationkey", how="left")
     out["revenue"] = round_half_away(out.pop("revenue_c") / 100.0, 2)
@@ -557,80 +622,175 @@ def click_view_range(sf_dir: str, window_min: int = 30):
     return out.sort_values("event_id").reset_index(drop=True)
 
 
-def q5_local_supplier_volume(sf_dir: str):
+def _q5_line_partial(ok: np.ndarray, s_nat: np.ndarray,
+                     rev: np.ndarray) -> pa.Table:
+    """Batch-local combiner keyed (orderkey, supplier nation) — shared by
+    the broadcast and bucketed q5 plans (bit-identical partials)."""
+    from ..functions.bucketing import group_boundaries
+
+    sc, starts, order = group_boundaries([ok, s_nat.astype(np.int64)])
+    acc = (
+        np.add.reduceat(rev[order], starts) if len(starts)
+        else np.empty(0, np.int64)
+    )
+    return pa.table(
+        {
+            "k": sc[0][starts] if len(starts) else np.empty(0, np.int64),
+            "nat": sc[1][starts] if len(starts) else np.empty(0, np.int64),
+            "rev_e4": acc,
+            "is_order": np.zeros(len(starts), np.int8),
+        }
+    )
+
+
+def _q5_line_rev(t: pa.Table) -> np.ndarray:
+    """Exact int64 1e-4-unit revenue extendedprice*(1-discount) per row."""
+    e_c = np.rint(
+        t["l_extendedprice"].to_numpy(zero_copy_only=False) * 100
+    ).astype(np.int64)
+    d_c = np.rint(
+        t["l_discount"].to_numpy(zero_copy_only=False) * 100
+    ).astype(np.int64)
+    return e_c * (100 - d_c)
+
+
+def q5_local_supplier_volume(sf_dir: str,
+                             broadcast_limit: int = BROADCAST_ROW_LIMIT):
     """TPC-H Q5 shape (local supplier volume): revenue from lineitems whose
     SUPPLIER and ordering CUSTOMER sit in the same nation, per (region,
-    nation). Join plan: customer/supplier/nation/region are dimension-scale
-    → broadcast as sorted key arrays (binary search per batch); lineitem and
-    orders are both fact-scale → ONE bucketed exchange keyed on orderkey.
-    Lineitem rows pre-aggregate (orderkey, supplier-nation) partials inside
-    each map task; the bucket combine attaches the order's customer nation,
-    keeps equal-nation rows, and emits nation-keyed partials — the driver
-    final is nation-cardinality-scale. Revenue is exact int64 1e-4 units."""
+    nation). Join plan: nation/region are fixed-size → always broadcast;
+    customer/supplier broadcast as sorted key arrays (binary search per
+    batch) only while under ``broadcast_limit`` rows — they grow with SF,
+    so above the limit each lookup becomes its own bucketed exchange
+    (orders⋈customer on custkey, lineitem⋈supplier on suppkey) feeding the
+    same fact-fact exchange. Lineitem rows pre-aggregate (orderkey,
+    supplier-nation) partials inside each map/bucket task; the orderkey
+    bucket combine attaches the order's customer nation, keeps equal-nation
+    rows, and emits nation-keyed partials — the driver final is
+    nation-cardinality-scale. Revenue is exact int64 1e-4 units."""
     from ..functions.bucketing import bucketed_group_combine
 
-    cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_nationkey"]).to_pandas()
-    supp = read_table(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"]).to_pandas()
     nat = read_table(sf_dir, "nation").to_pandas()
     reg = read_table(sf_dir, "region").to_pandas()
-
-    def sorted_map(df, k, v):
-        o = np.argsort(df[k].to_numpy())
-        return df[k].to_numpy()[o], df[v].to_numpy()[o]
-
-    ck, cn = sorted_map(cust, "c_custkey", "c_nationkey")
-    sk, sn = sorted_map(supp, "s_suppkey", "s_nationkey")
-    ref = ray.put((ck, cn, sk, sn))
-
-    def order_rows(t: pa.Table) -> pa.Table:
-        ck_, cn_, _, _ = ray.get(ref)
-        c_nat = cn_[np.searchsorted(ck_, t["o_custkey"].to_numpy())]
-        n = t.num_rows
-        return pa.table(
-            {
-                "k": t["o_orderkey"].to_numpy(),
-                "nat": c_nat.astype(np.int64),
-                "rev_e4": np.zeros(n, np.int64),
-                "is_order": np.ones(n, np.int8),
-            }
-        )
-
-    def line_rows(t: pa.Table) -> pa.Table:
-        _, _, sk_, sn_ = ray.get(ref)
-        s_nat = sn_[np.searchsorted(sk_, t["l_suppkey"].to_numpy())]
-        e_c = np.rint(
-            t["l_extendedprice"].to_numpy(zero_copy_only=False) * 100
-        ).astype(np.int64)
-        d_c = np.rint(
-            t["l_discount"].to_numpy(zero_copy_only=False) * 100
-        ).astype(np.int64)
-        rev = e_c * (100 - d_c)
-        ok = t["l_orderkey"].to_numpy()
-        # batch-local combiner keyed (orderkey, supplier nation)
-        from ..functions.bucketing import group_boundaries
-
-        sc, starts, order = group_boundaries([ok, s_nat.astype(np.int64)])
-        n = len(ok)
-        acc = (
-            np.add.reduceat(rev[order], starts) if len(starts)
-            else np.empty(0, np.int64)
-        )
-        return pa.table(
-            {
-                "k": sc[0][starts] if len(starts) else np.empty(0, np.int64),
-                "nat": sc[1][starts] if len(starts) else np.empty(0, np.int64),
-                "rev_e4": acc,
-                "is_order": np.zeros(len(starts), np.int8),
-            }
-        )
-
-    orders = read_table(
-        sf_dir, "orders", columns=["o_orderkey", "o_custkey"]
-    ).map_batches(order_rows, batch_format="pyarrow")
-    lines = read_table(
+    cust_ds = read_table(sf_dir, "customer",
+                         columns=["c_custkey", "c_nationkey"])
+    supp_ds = read_table(sf_dir, "supplier",
+                         columns=["s_suppkey", "s_nationkey"])
+    orders_src = read_table(sf_dir, "orders",
+                            columns=["o_orderkey", "o_custkey"])
+    lines_src = read_table(
         sf_dir, "lineitem", columns=["l_orderkey", "l_suppkey",
                                      "l_extendedprice", "l_discount"]
-    ).map_batches(line_rows, batch_format="pyarrow")
+    )
+
+    if cust_ds.count() + supp_ds.count() <= broadcast_limit:
+        cust = cust_ds.to_pandas()
+        supp = supp_ds.to_pandas()
+
+        def sorted_map(df, k, v):
+            o = np.argsort(df[k].to_numpy())
+            return df[k].to_numpy()[o], df[v].to_numpy()[o]
+
+        ck, cn = sorted_map(cust, "c_custkey", "c_nationkey")
+        sk, sn = sorted_map(supp, "s_suppkey", "s_nationkey")
+        ref = ray.put((ck, cn, sk, sn))
+
+        def order_rows(t: pa.Table) -> pa.Table:
+            ck_, cn_, _, _ = ray.get(ref)
+            c_nat = cn_[np.searchsorted(ck_, t["o_custkey"].to_numpy())]
+            n = t.num_rows
+            return pa.table(
+                {
+                    "k": t["o_orderkey"].to_numpy(),
+                    "nat": c_nat.astype(np.int64),
+                    "rev_e4": np.zeros(n, np.int64),
+                    "is_order": np.ones(n, np.int8),
+                }
+            )
+
+        def line_rows(t: pa.Table) -> pa.Table:
+            _, _, sk_, sn_ = ray.get(ref)
+            s_nat = sn_[np.searchsorted(sk_, t["l_suppkey"].to_numpy())]
+            return _q5_line_partial(
+                t["l_orderkey"].to_numpy(), s_nat, _q5_line_rev(t)
+            )
+
+        orders = orders_src.map_batches(order_rows, batch_format="pyarrow")
+        lines = lines_src.map_batches(line_rows, batch_format="pyarrow")
+    else:
+        # dimension sides too big to ship to every task: one keyed
+        # exchange per lookup (dim rows side=0, fact rows side=1; the
+        # bucket's searchsorted is the same lookup the broadcast path runs)
+        def dim_rows(key_col, val_col):
+            def fn(t: pa.Table) -> pa.Table:
+                n = t.num_rows
+                return pa.table(
+                    {
+                        "k": t[key_col].combine_chunks(),
+                        "a": t[val_col].combine_chunks().cast(pa.int64()),
+                        "b": np.zeros(n, np.int64),
+                        "side": np.zeros(n, np.int8),
+                    }
+                )
+            return fn
+
+        def fact_rows(key_col, a_col, rev_fn=None):
+            def fn(t: pa.Table) -> pa.Table:
+                n = t.num_rows
+                return pa.table(
+                    {
+                        "k": t[key_col].combine_chunks(),
+                        "a": t[a_col].combine_chunks().cast(pa.int64()),
+                        "b": (rev_fn(t) if rev_fn
+                              else np.zeros(n, np.int64)),
+                        "side": np.ones(n, np.int8),
+                    }
+                )
+            return fn
+
+        def attach(t: pa.Table):
+            k = t["k"].to_numpy()
+            a = t["a"].to_numpy()
+            b = t["b"].to_numpy()
+            is_dim = t["side"].to_numpy() == 0
+            dk, dv = k[is_dim], a[is_dim]
+            o = np.argsort(dk, kind="stable")
+            dk, dv = dk[o], dv[o]
+            m = ~is_dim
+            return k[m], a[m], b[m], dv[np.searchsorted(dk, k[m])]
+
+        def order_bucket(t: pa.Table) -> pa.Table:
+            _, okeys, _, c_nat = attach(t)
+            return pa.table(
+                {
+                    "k": okeys,  # o_orderkey rode in the 'a' slot
+                    "nat": c_nat,
+                    "rev_e4": np.zeros(len(okeys), np.int64),
+                    "is_order": np.ones(len(okeys), np.int8),
+                }
+            )
+
+        def line_bucket(t: pa.Table) -> pa.Table:
+            _, okeys, rev, s_nat = attach(t)
+            return _q5_line_partial(okeys, s_nat, rev)
+
+        orders = bucketed_group_combine(
+            cust_ds.map_batches(dim_rows("c_custkey", "c_nationkey"),
+                                batch_format="pyarrow").union(
+                orders_src.map_batches(
+                    fact_rows("o_custkey", "o_orderkey"),
+                    batch_format="pyarrow")),
+            ["k"], order_bucket,
+        )
+        lines = bucketed_group_combine(
+            supp_ds.map_batches(dim_rows("s_suppkey", "s_nationkey"),
+                                batch_format="pyarrow").union(
+                lines_src.map_batches(
+                    fact_rows("l_suppkey", "l_orderkey",
+                              rev_fn=_q5_line_rev),
+                    batch_format="pyarrow")),
+            ["k"], line_bucket,
+        )
 
     def join_bucket(t: pa.Table) -> pa.Table:
         k = t["k"].to_numpy()

@@ -18,6 +18,10 @@ metrics, run via ray job submit").
     ray job submit -- python jobs/graph_job.py walks --length 4 \
         --symmetrize --edges /data/edges --checkpoint-dir /data/ck \
         --out /data/walks
+    ray job submit -- python jobs/graph_job.py ktruss --truss-k 10 \
+        --edges /data/edges --out /data/ktruss
+    ray job submit -- python jobs/graph_job.py edge_jaccard \
+        --edges /data/edges --out /data/edge_jaccard
 
 cc / lpa / kcore / sssp run on the 2D-grid superstep substrate
 (walks checkpoint per STEP — graph/walks.random_walks_checkpointed): a killed
@@ -45,7 +49,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("algo", choices=["cc", "lpa", "triangles", "kcore",
-                                     "sssp", "walks"])
+                                     "sssp", "walks", "ktruss",
+                                     "edge_jaccard"])
+    ap.add_argument("--truss-k", type=int, default=10,
+                    help="ktruss: minimum per-edge support + 2")
     ap.add_argument("--length", type=int, default=4,
                     help="walks: steps per walk")
     ap.add_argument("--weighted", action="store_true",
@@ -117,6 +124,9 @@ def main() -> int:
         tmp = final + ".tmp"
         shutil.rmtree(tmp, ignore_errors=True)
         ds.write_parquet(tmp)
+        # an empty Dataset writes no files (and possibly no dir): an empty
+        # committed output dir is still a valid, resumable result
+        os.makedirs(tmp, exist_ok=True)
         shutil.rmtree(final, ignore_errors=True)
         os.rename(tmp, final)
 
@@ -142,6 +152,25 @@ def main() -> int:
         counts = triangle_counts_dataset(edges)
         sink(counts, "triangles")
         summary = {"algo": "triangles"}
+    elif args.algo == "ktruss":
+        # edge-scale output parquet-sinked directly from the Dataset the
+        # core returns — the gate wrapper's to_pandas() is gate-scale only
+        # (both cores build the simple undirected graph themselves, so the
+        # input may carry one or both half-edges)
+        from graphminingtools_ray.pipelines.linkpred import k_truss
+
+        out_ds, info = k_truss(edges, k=args.truss_k)
+        sink(out_ds, "ktruss")
+        summary = {"algo": "ktruss", "k": args.truss_k,
+                   "n_edges": info.get("n_edges")}
+    elif args.algo == "edge_jaccard":
+        from graphminingtools_ray.pipelines.linkpred import (
+            edge_common_neighbors,
+        )
+
+        cn_ds, _deg_ds = edge_common_neighbors(edges)
+        sink(cn_ds, "edge_jaccard")
+        summary = {"algo": "edge_jaccard"}
     else:
         if args.symmetrize:
             edges = symmetrize(edges)

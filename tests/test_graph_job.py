@@ -123,3 +123,57 @@ def test_triangles_job(tmp_path):
     got = _read_sorted(os.path.join(out, "triangles"))
     assert got["vertex_id"].tolist() == [0, 1, 2, 3]
     assert got["n_triangles"].tolist() == [3, 3, 3, 3]
+
+
+def test_ktruss_and_edge_jaccard_jobs(tmp_path):
+    """Fresh-process job smoke for the edge-scale sinks: the ktruss /
+    edge_jaccard subcommands write the core Datasets as parquet (no driver
+    materialization) and match the in-process cores."""
+    edges_path = _edges(tmp_path, seed=5, n=30, m=200)
+
+    out_t = str(tmp_path / "out_truss")
+    env = dict(os.environ, RAY_GRAFT_CPUS="4")
+    env.pop("RAY_ADDRESS", None)
+    r = subprocess.run(
+        [sys.executable, JOB, "ktruss", "--edges", edges_path,
+         "--out", out_t, "--truss-k", "3"],
+        env=env, capture_output=True, text=True, cwd=REPO,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert json.loads(r.stdout.strip().splitlines()[-1])["algo"] == "ktruss"
+    truss = _read_sorted(os.path.join(out_t, "ktruss"))
+    assert len(truss) > 0
+    truss = truss[sorted(truss.columns)].sort_values(
+        sorted(truss.columns)).reset_index(drop=True)
+
+    out_j = str(tmp_path / "out_jac")
+    r = _run_job("edge_jaccard", edges_path, out_j)
+    assert r.returncode == 0, r.stderr[-2000:]
+    jac = _read_sorted(os.path.join(out_j, "edge_jaccard"))
+    assert set(jac.columns) == {"u", "v", "cn"}
+    jac = jac[sorted(jac.columns)].sort_values(
+        sorted(jac.columns)).reset_index(drop=True)
+
+    # parity with the in-process cores on the same edges
+    import ray
+    import ray.data as rd
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=4, include_dashboard=False,
+                 logging_level="ERROR", ignore_reinit_error=True)
+    from graphminingtools_ray.pipelines.linkpred import (
+        edge_common_neighbors,
+        k_truss,
+    )
+
+    edges = rd.read_parquet(edges_path)
+    want_truss, _ = k_truss(edges, k=3)
+    want_truss = want_truss.to_pandas()
+    want_truss = want_truss[sorted(want_truss.columns)].sort_values(
+        list(sorted(want_truss.columns))).reset_index(drop=True)
+    assert truss.equals(want_truss)
+    cn_ds, _ = edge_common_neighbors(edges)
+    want_jac = cn_ds.to_pandas()
+    want_jac = want_jac[sorted(want_jac.columns)].sort_values(
+        sorted(want_jac.columns)).reset_index(drop=True)
+    assert jac.equals(want_jac)

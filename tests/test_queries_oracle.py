@@ -76,3 +76,20 @@ def test_entry_smoke():
     df = normalize(res)
     assert len(df) > 0
     assert {"rank", "vertex_id"} == set(df.columns)
+
+
+def test_join_fallback_paths_identical(ray_session):
+    """Size-thresholded join fallback: forcing the bucketed-exchange path
+    (broadcast_limit=0) must reproduce the broadcast path bit-for-bit for
+    both SF-scaling dimension joins (nation_revenue's customer lookup, q5's
+    customer+supplier lookups)."""
+    from graphminingtools_ray.pipelines.relational import (
+        nation_revenue,
+        q5_local_supplier_volume,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    assert nation_revenue(sf).equals(nation_revenue(sf, broadcast_limit=0))
+    assert q5_local_supplier_volume(sf).equals(
+        q5_local_supplier_volume(sf, broadcast_limit=0)
+    )
