@@ -600,6 +600,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_features": text_q.media_features,
         # REAL decode (PPM/BMP/WAV parsers) with an integer-exact SQL twin
         "media_features_real": text_q.media_features_real,
+        # REAL baseline-JPEG decode (stages/jpeg.py, T.81 Huffman + IDCT)
+        "media_features_jpeg": text_q.media_features_jpeg,
         "media_frame_features": text_q.media_frame_features,
         # embeddings: similarity search + near-dup
         "ann_topk": embeddings_q.ann_topk,
@@ -625,6 +627,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pii_scrub",
         "tci_mean",
         "skipgram_pairs",
+        "media_features_jpeg",
         # round-4 additions
         "media_features_real",
         "merge_sparse_features",
@@ -3109,6 +3112,29 @@ def oracle_sql() -> dict[str, str]:
                                 i -> abs(((doc_id * 17 + i * 7) % 65536)
                                          - 32768)))
                         END AS BIGINT) AS sum_values
+            FROM p
+        """,
+        # baseline-JPEG decode: the DC-only fixtures decode to uniform
+        # blocks at level (id*7 + 13*b) % 256 (quant 8 makes the DC
+        # coefficient exactly level-128), so every feature is closed-form
+        "media_features_jpeg": """
+            WITH p AS (
+                SELECT doc_id,
+                       8 * (1 + doc_id % 3) AS w,
+                       8 * (1 + doc_id % 2) AS h
+                FROM documents
+            )
+            SELECT doc_id AS media_id,
+                   'jpeg' AS kind,
+                   CAST(w AS BIGINT) AS width,
+                   CAST(h AS BIGINT) AS height,
+                   1::BIGINT AS channels,
+                   0::BIGINT AS sample_rate,
+                   CAST(w * h AS BIGINT) AS n_values,
+                   CAST(64 * list_sum(list_transform(
+                            range(0, (w // 8) * (h // 8)),
+                            b -> (doc_id * 7 + 13 * b) % 256))
+                        AS BIGINT) AS sum_values
             FROM p
         """,
         # remaining rows-only queries: iterative fixpoints beyond the

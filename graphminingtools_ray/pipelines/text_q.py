@@ -618,6 +618,38 @@ def media_features_real(sf_dir: str):
     )
 
 
+def media_features_jpeg(sf_dir: str):
+    """REAL baseline-JPEG decode end to end: one deterministic DC-only
+    grayscale JPEG per document id (``stages.jpeg.synth_jpeg_payload`` —
+    real Huffman-coded compressed bytes), parsed by the dependency-free
+    T.81 decoder into integer-exact features. The DuckDB twin recomputes
+    width/height/sums from the fixtures' closed form, so a hash match
+    certifies the Huffman + dequant + IDCT pipeline against real bytes."""
+    from ..stages.jpeg import synth_jpeg_payload
+    from ..stages.media import MediaDecode
+
+    def to_payload(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy()
+        return pa.table(
+            {
+                "media_id": t["doc_id"],
+                "payload": pa.array(
+                    [synth_jpeg_payload(i) for i in ids], pa.binary()
+                ),
+            }
+        )
+
+    ds = _docs(sf_dir, columns=("doc_id",)).map_batches(
+        to_payload, batch_format="pyarrow"
+    )
+    return ds.map_batches(
+        MediaDecode,
+        batch_format="pyarrow",
+        batch_size=1024,
+        concurrency=actor_pool(),
+    )
+
+
 def media_frame_features(sf_dir: str):
     """Chained multimodal plumbing: payload → resize (size-class change) →
     frame sampling (flat-map: rows multiply) → per-frame features — three

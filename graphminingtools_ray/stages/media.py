@@ -6,12 +6,14 @@ decode / feature-extract step is an actor-pool ``map_batches`` stage.
 REAL decode is implemented dependency-free for three self-describing
 container formats whose specs are public and byte-exact — binary PPM (P6),
 uncompressed 24-bit BMP, and PCM WAV — with pure-numpy parsers
-(``decode_ppm`` / ``decode_bmp`` / ``decode_wav`` / ``decode_media``).
-Features are INTEGER-EXACT (dimensions, channel counts, value sums), so the
-decode path is driver-gate checkable end to end: ``synth_media_payload``
-builds a deterministic closed-form payload per id, the decoder parses the
-real bytes, and a DuckDB twin recomputes the same sums symbolically.
-Formats that genuinely need codec libraries (JPEG/MP3/H.264) remain gated
+(``decode_ppm`` / ``decode_bmp`` / ``decode_wav`` / ``decode_media``),
+plus baseline sequential JPEG (Huffman + IDCT per ITU-T T.81) in
+``stages/jpeg.py``. Features are INTEGER-EXACT (dimensions, channel
+counts, value sums), so the decode path is driver-gate checkable end to
+end: ``synth_media_payload`` / ``synth_jpeg_payload`` build deterministic
+closed-form payloads per id, the decoder parses the real bytes, and a
+DuckDB twin recomputes the same sums symbolically. Formats that genuinely
+need codec libraries (MP3/H.264; progressive/subsampled JPEG) remain gated
 ``NotImplementedError`` — the plumbing for those (schema, batch sizing,
 actor signature, flat-map layout) is identical and exercised by the stubs.
 
@@ -304,9 +306,16 @@ def decode_media(payload: bytes) -> dict:
         return decode_bmp(payload)
     if payload[:4] == b"RIFF":
         return decode_wav(payload)
+    if payload[:2] == b"\xff\xd8":
+        # baseline sequential JPEG: dependency-free Huffman + IDCT decoder
+        # (stages/jpeg.py, ITU-T T.81); progressive/subsampled raise there
+        from .jpeg import decode_jpeg
+
+        return decode_jpeg(payload)
     raise NotImplementedError(
-        "real decode supports PPM/BMP/WAV; codec formats (JPEG/MP3/...) "
-        "require libraries not present in this environment"
+        "real decode supports PPM/BMP/WAV and baseline JPEG; remaining "
+        "codec formats (MP3/H.264/...) require libraries not present in "
+        "this environment"
     )
 
 

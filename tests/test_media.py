@@ -156,3 +156,134 @@ def test_media_frame_features_pipeline(ray_session):
     assert sorted(out["frame_index"].unique()) == [0, 2, 4, 6]
     # frames are the resized-then-sampled 32-byte stubs
     assert (out["n_bytes"] == 32).all()
+
+
+def test_jpeg_dc_fixtures_closed_form():
+    """DC-only baseline-JPEG fixtures decode to the closed form the SQL
+    twin computes: uniform blocks at (id*7 + 13*b) % 256."""
+    import numpy as np
+
+    from graphminingtools_ray.stages.jpeg import decode_jpeg, synth_jpeg_payload
+    from graphminingtools_ray.stages.media import decode_media
+
+    for mid in range(30):
+        p = synth_jpeg_payload(mid)
+        m = decode_media(p)  # dispatches on the FFD8 magic
+        w, h = 8 * (1 + mid % 3), 8 * (1 + mid % 2)
+        nb = (w // 8) * (h // 8)
+        assert (m["kind"], m["width"], m["height"], m["channels"]) == (
+            "jpeg", w, h, 1)
+        assert m["n_values"] == w * h
+        assert m["sum_values"] == 64 * sum(
+            (mid * 7 + 13 * b) % 256 for b in range(nb))
+
+
+def test_jpeg_coefficient_roundtrip():
+    """Bitstream exactness: random planes (1 and 3 components, restart
+    intervals on and off) encode then decode back to the exact quantized
+    coefficient blocks — pins Huffman coding, zigzag, byte stuffing, DC
+    prediction and RST handling."""
+    import numpy as np
+
+    from graphminingtools_ray.stages.jpeg import (
+        decode_jpeg,
+        encode_jpeg_baseline,
+        fdct_block,
+    )
+
+    rng = np.random.default_rng(7)
+    for trial in range(12):
+        h, w = 8 * int(rng.integers(1, 4)), 8 * int(rng.integers(1, 4))
+        nc = int(rng.choice([1, 3]))
+        planes = [rng.integers(0, 256, size=(h, w)).astype(np.uint8)
+                  for _ in range(nc)]
+        quant = rng.integers(1, 32, size=64).astype(np.int64)
+        quant[0] = max(quant[0], 4)
+        ri = int(rng.choice([0, 0, 1, 2]))
+        payload = encode_jpeg_baseline(planes, quant, restart_interval=ri)
+        got = decode_jpeg(payload, return_coefficients=True)
+        for ci, plane in enumerate(planes):
+            bi = 0
+            for r0 in range(0, h, 8):
+                for c0 in range(0, w, 8):
+                    coeffs = fdct_block(
+                        plane[r0:r0 + 8, c0:c0 + 8].astype(np.float64) - 128)
+                    qc = np.floor(
+                        coeffs / quant.reshape(8, 8) + 0.5).astype(np.int64)
+                    assert np.array_equal(
+                        got[ci][bi], qc * quant.reshape(8, 8)), (trial, ci, bi)
+                    bi += 1
+
+
+def test_jpeg_idct_matches_independent_reference():
+    """IDCT vs a structurally-independent 4-loop cosine implementation."""
+    import math
+
+    import numpy as np
+
+    from graphminingtools_ray.stages.jpeg import idct_block
+
+    def ref_idct(block):
+        out = np.zeros((8, 8))
+        for y in range(8):
+            for x in range(8):
+                s = 0.0
+                for u in range(8):
+                    for v in range(8):
+                        cu = 1 / math.sqrt(2) if u == 0 else 1.0
+                        cv = 1 / math.sqrt(2) if v == 0 else 1.0
+                        s += (cu * cv * block[u, v]
+                              * math.cos((2 * x + 1) * u * math.pi / 16)
+                              * math.cos((2 * y + 1) * v * math.pi / 16))
+                out[x, y] = s / 4
+        return out
+
+    rng = np.random.default_rng(11)
+    for _ in range(4):
+        blk = rng.integers(-300, 300, size=(8, 8)).astype(np.int64)
+        assert np.allclose(idct_block(blk), ref_idct(blk), atol=1e-9)
+
+
+def test_jpeg_lossy_decode_is_faithful():
+    """End-to-end lossy sanity: with quant=1 the decode error per pixel is
+    bounded by DCT rounding (<= a few levels); with a coarse table the
+    image still decodes to the right shape."""
+    import numpy as np
+
+    from graphminingtools_ray.stages.jpeg import decode_jpeg, encode_jpeg_baseline
+
+    rng = np.random.default_rng(3)
+    # smooth gradient image: quant=1 keeps it near-exact
+    x = np.arange(16)[None, :] + np.arange(24)[:, None]
+    plane = (x * 5 % 256).astype(np.uint8)
+    payload = encode_jpeg_baseline([plane], np.ones(64, np.int64))
+    m = decode_jpeg(payload)
+    assert (m["width"], m["height"]) == (16, 24)
+    # reconstruct via the coefficient API to bound the pixel error
+    coeffs = decode_jpeg(payload, return_coefficients=True)[0]
+    from graphminingtools_ray.stages.jpeg import idct_block
+    recon = np.zeros((24, 16))
+    bi = 0
+    for r0 in range(0, 24, 8):
+        for c0 in range(0, 16, 8):
+            recon[r0:r0 + 8, c0:c0 + 8] = idct_block(coeffs[bi]) + 128
+            bi += 1
+    assert np.abs(recon - plane.astype(np.float64)).max() < 4.0
+    assert m["sum_values"] == int(
+        np.clip(np.floor(recon + 0.5), 0, 255).astype(np.int64).sum())
+
+
+def test_jpeg_unsupported_variants_raise():
+    import numpy as np
+    import pytest
+
+    from graphminingtools_ray.stages.jpeg import decode_jpeg, synth_jpeg_payload
+
+    p = bytearray(synth_jpeg_payload(1))
+    # flip SOF0 -> SOF2 (progressive): find FF C0 and patch
+    i = bytes(p).find(b"\xff\xc0")
+    p[i + 1] = 0xC2
+    with pytest.raises(NotImplementedError):
+        decode_jpeg(bytes(p))
+    with pytest.raises(ValueError):
+        decode_jpeg(b"\x00\x11not a jpeg")
