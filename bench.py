@@ -792,6 +792,183 @@ def run_walks_big(num_cpus: int) -> dict:
     }
 
 
+BENCH_EMB = "/tmp/graft_bench_embeddings_v1"
+
+
+def ensure_bench_embeddings() -> str:
+    """Deterministic scaled embedding table for the ANN/near-dup scaling
+    leg: 1.2M rows × dim 64, 200 blocking labels (one 24k-row hot label
+    that forces the two-level tile fan-out), ~1% planted near-duplicates
+    per label. Every value derives from a splitmix64 of (vec_id, j), so
+    the table is bit-identical regardless of generation order or
+    parallelism. Generated once, cached; all levels read the SAME parquet."""
+    if not os.path.isdir(BENCH_EMB):
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        def mix(x: np.ndarray) -> np.ndarray:
+            x = (x + np.uint64(0x9E3779B97F4A7C15)).astype(np.uint64)
+            x ^= x >> np.uint64(30)
+            x *= np.uint64(0xBF58476D1CE4E5B9)
+            x ^= x >> np.uint64(27)
+            x *= np.uint64(0x94D049BB133111EB)
+            x ^= x >> np.uint64(31)
+            return x
+
+        def unit(h: np.ndarray) -> np.ndarray:
+            return h.astype(np.float64) / float(1 << 64) * 2.0 - 1.0
+
+        dim = 64
+        n_rows = int(os.environ.get("GRAFT_EMB_ROWS", "1200000"))
+        per = 25_000
+        tmp = BENCH_EMB + ".tmp"
+        os.makedirs(tmp, exist_ok=True)
+        j = np.arange(dim, dtype=np.uint64)
+        for fi in range(-(-n_rows // per)):
+            ids = np.arange(fi * per, min((fi + 1) * per, n_rows),
+                            dtype=np.int64)
+            labels = np.where(ids < 24_000, 0, ids % 199 + 1)
+            h = mix(ids.astype(np.uint64)[:, None] * np.uint64(dim) + j[None, :])
+            emb = unit(h)
+            base = unit(mix((labels.astype(np.uint64) + np.uint64(1 << 40))
+                            [:, None] * np.uint64(dim) + j[None, :]))
+            dup = ids % 100 == 0
+            emb[dup] = 0.95 * base[dup] + 0.1 * emb[dup]
+            pq.write_table(
+                pa.table({
+                    "vec_id": ids,
+                    "embedding": pa.FixedSizeListArray.from_arrays(
+                        pa.array(emb.ravel()), dim),
+                    "label": labels.astype(np.int64),
+                }),
+                f"{tmp}/part-{fi:05d}.parquet",
+            )
+        os.rename(tmp, BENCH_EMB)
+    return BENCH_EMB
+
+
+def run_embeddings_big(num_cpus: int) -> dict:
+    """The embedding-family scaling leg (ANN IVF top-k + blocked cosine
+    near-dup) over the pinned 1.2M x 64 table. Emits md5 digests of both
+    results so the scaling driver can assert bit-identical outputs across
+    parallelism levels."""
+    import hashlib
+
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=num_cpus,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from graphminingtools_ray.context import configure
+
+    configure()
+    import ray.data as rd
+
+    from graphminingtools_ray.pipelines.embeddings_q import (
+        ann_topk_ivf,
+        embedding_near_dup,
+    )
+
+    path = ensure_bench_embeddings()
+    rd.read_parquet(path, columns=["vec_id"]).map_batches(
+        lambda t: t, batch_format="pyarrow"
+    ).count()  # warm workers + page cache (untimed)
+
+    timings: dict[str, float] = {}
+    t0 = time.perf_counter()
+    ann = ann_topk_ivf(
+        "", n_queries=256, k=10,
+        ds=rd.read_parquet(path, columns=["vec_id", "embedding"]),
+    )
+    timings["ann_topk_ivf"] = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    ndup = embedding_near_dup(
+        "", threshold=0.8,
+        ds=rd.read_parquet(path,
+                           columns=["vec_id", "embedding", "label"]),
+    )
+    timings["embedding_near_dup"] = round(time.perf_counter() - t0, 3)
+
+    def digest(df) -> str:
+        import pandas as pd
+
+        return hashlib.md5(
+            pd.util.hash_pandas_object(df, index=False).values.tobytes()
+        ).hexdigest()
+
+    out = {
+        "metric": "embedding family (IVF ANN top-10 x256 queries + blocked "
+        "cosine near-dup) on the 1.2M x 64 bench table",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "num_cpus": num_cpus,
+        "ann_rows": len(ann),
+        "ndup_pairs": len(ndup),
+        "ann_md5": digest(ann),
+        "ndup_md5": digest(ndup),
+    }
+    ray.shutdown()
+    return out
+
+
+def run_emb_scaling(lo: int = 2, hi: int = 8) -> dict:
+    """Two-parallelism-level run of the embedding family in fresh
+    processes on the same input (the BASELINE.json N-vs-4N stand-in for
+    this operator family): per-stage efficiency + a bit-identical output
+    check across levels."""
+    ensure_bench_embeddings()
+    reps = int(os.environ.get("GRAFT_SCALING_REPS", "2"))
+
+    def one(ncpu: int) -> dict:
+        best = None
+        for _ in range(max(1, reps)):
+            env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--embeddings"],
+                env=env, capture_output=True, text=True, check=True,
+                cwd=os.path.dirname(os.path.abspath(__file__)),
+            ).stdout
+            r = json.loads(out.strip().splitlines()[-1])
+            if best is None:
+                best = r
+            else:
+                for k, v in r["queries"].items():
+                    best["queries"][k] = min(best["queries"][k], v)
+        best["value"] = round(sum(best["queries"].values()), 3)
+        return best
+
+    r_lo, r_hi = one(lo), one(hi)
+    identical = (r_lo["ann_md5"] == r_hi["ann_md5"]
+                 and r_lo["ndup_md5"] == r_hi["ndup_md5"]
+                 and r_lo["ndup_pairs"] == r_hi["ndup_pairs"])
+    eff = r_lo["value"] / r_hi["value"] / (hi / lo)
+    stage_eff = {
+        k: round(r_lo["queries"][k] / r_hi["queries"][k] / (hi / lo), 3)
+        for k in r_lo["queries"]
+    }
+    return {
+        "metric": f"embedding-family scaling efficiency (num_cpus {lo} vs "
+        f"{hi}, fresh processes, same 1.2M x 64 input)",
+        "value": round(eff, 3),
+        "unit": "efficiency",
+        "stage_efficiency": stage_eff,
+        "results_identical_across_levels": identical,
+        "sec_lo": r_lo["value"],
+        "sec_hi": r_hi["value"],
+        "queries_lo": r_lo["queries"],
+        "queries_hi": r_hi["queries"],
+        "ndup_pairs": r_lo["ndup_pairs"],
+        "num_cpus_lo": lo,
+        "num_cpus_hi": hi,
+    }
+
+
 def run_scaling(sf_dir: str, lo: int = 8, hi: int = 32) -> dict:
     ensure_bench_corpus()  # generate once, before either subprocess runs
     ensure_bench_graph()
@@ -915,5 +1092,11 @@ if __name__ == "__main__":
         print(json.dumps(run_betweenness_big(num_cpus)))
     elif "--walks" in sys.argv:
         print(json.dumps(run_walks_big(num_cpus)))
+    elif "--embeddings" in sys.argv:
+        print(json.dumps(run_embeddings_big(num_cpus)))
+    elif "--embscaling" in sys.argv:
+        lo = int(os.environ.get("GRAFT_SCALING_LO", "2"))
+        hi = int(os.environ.get("GRAFT_SCALING_HI", "8"))
+        print(json.dumps(run_emb_scaling(lo=lo, hi=hi)))
     else:
         print(json.dumps(run_benchmarks(sf_dir, num_cpus)))

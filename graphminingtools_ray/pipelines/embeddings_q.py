@@ -177,7 +177,8 @@ def ann_topk_lsh(
 
 
 def embedding_near_dup(sf_dir: str, threshold: float = 0.3,
-                       chunk_rows: int = 2048, tile_rows: int = 8192):
+                       chunk_rows: int = 2048, tile_rows: int = 8192,
+                       ds: rd.Dataset | None = None):
     """Blocked embedding near-dup: candidate pairs restricted to equal
     ``label`` (the blocking key), cosine > threshold, a < b.
 
@@ -201,7 +202,9 @@ def embedding_near_dup(sf_dir: str, threshold: float = 0.3,
     Labels with nc == 1 take the same path with a single (0, 0) tile."""
     from ..functions.bucketing import bucketed_group_combine
 
-    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding", "label"])
+    if ds is None:
+        ds = read_table(sf_dir, "embeddings",
+                        columns=["vec_id", "embedding", "label"])
 
     # pass 1: label sizes (label-scale final on the driver — label is a
     # BLOCKING key, its cardinality is modest by construction)
@@ -333,6 +336,7 @@ def ann_topk_ivf(
     sample_cap: int = 2048,
     iters: int = 8,
     seed: int = 7,
+    ds: rd.Dataset | None = None,
 ):
     """Approximate top-k via IVF (inverted-file) cells — the second
     documented scale path next to ``ann_topk_lsh``: a spherical-k-means
@@ -345,28 +349,43 @@ def ann_topk_ivf(
     batches; for a one-shot query set the fused scan is strictly cheaper.
     Recall vs the brute-force baseline is asserted in tests, not 100% by
     design. Deterministic in ``seed``."""
-    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    if ds is None:
+        ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
 
-    # seeded hash-sample for centroid training (~1/4 of rows, capped)
+    # ONE prep pass for both driver-side smalls (query rows = lowest
+    # n_queries vec_ids; training sample = lowest sample_cap vec_ids of the
+    # seeded ~1/4 hash-sample): per-batch partial bottom-n on each side, so
+    # only (n_queries + sample_cap) x #blocks rows reach the driver — the
+    # previous two full passes shipped the whole sampled quarter
+    # (embedding payloads included) to the driver and did not scale.
     mult = np.uint64(0x9E3779B97F4A7C15 ^ (seed * 0x10001))
 
-    def sample_batch(t: pa.Table) -> pa.Table:
+    def prep_partial(t: pa.Table) -> pa.Table:
         ids = t["vec_id"].to_numpy()
+        kq = min(n_queries, len(ids))
+        keep_q = (np.sort(np.argpartition(ids, kq - 1)[:kq])
+                  if kq else np.empty(0, np.int64))
         h = (ids.astype(np.uint64) * mult) >> np.uint64(32)
-        return t.filter(pa.array((h % np.uint64(4)) == 0))
+        m = np.flatnonzero((h % np.uint64(4)) == 0)
+        ks = min(sample_cap, len(m))
+        keep_s = (np.sort(m[np.argpartition(ids[m], ks - 1)[:ks]])
+                  if ks else np.empty(0, np.int64))
+        ta = t.take(pa.array(keep_q)).append_column(
+            "side", pa.array(np.zeros(len(keep_q), np.int8)))
+        tb = t.take(pa.array(keep_s)).append_column(
+            "side", pa.array(np.ones(len(keep_s), np.int8)))
+        return pa.concat_tables([ta, tb])
 
-    sample_pdf = (
-        ds.map_batches(sample_batch, batch_format="pyarrow")
-        .to_pandas()
-        .sort_values("vec_id")
-        .head(sample_cap)
-    )
+    prep = ds.map_batches(prep_partial, batch_format="pyarrow").to_pandas()
+    sample_pdf = (prep[prep["side"] == 1].sort_values("vec_id")
+                  .head(sample_cap).reset_index(drop=True))
     sample_mat = np.stack(sample_pdf["embedding"].to_numpy()).astype(np.float64)
     n_lists = max(1, min(n_lists, len(sample_mat)))
     n_probe = min(n_probe, n_lists)
     cents = _spherical_kmeans(sample_mat, n_lists, iters)
 
-    q_pdf = _lowest_vec_ids(ds, n_queries)
+    q_pdf = (prep[prep["side"] == 0].sort_values("vec_id")
+             .head(n_queries).reset_index(drop=True))
     q_ids = q_pdf["vec_id"].to_numpy(np.int64)
     q_mat = np.stack(q_pdf["embedding"].to_numpy()).astype(np.float64)
     qn = _normalize(q_mat)
