@@ -602,6 +602,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_features_real": text_q.media_features_real,
         # REAL baseline-JPEG decode (stages/jpeg.py, T.81 Huffman + IDCT)
         "media_features_jpeg": text_q.media_features_jpeg,
+        # REAL PNG decode (stages/png.py, stdlib zlib + filter recon)
+        "media_features_png": text_q.media_features_png,
         "media_frame_features": text_q.media_frame_features,
         # embeddings: similarity search + near-dup
         "ann_topk": embeddings_q.ann_topk,
@@ -628,6 +630,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tci_mean",
         "skipgram_pairs",
         "media_features_jpeg",
+        "media_features_png",
         # round-4 additions
         "media_features_real",
         "merge_sparse_features",
@@ -3134,6 +3137,28 @@ def oracle_sql() -> dict[str, str]:
                    CAST(64 * list_sum(list_transform(
                             range(0, (w // 8) * (h // 8)),
                             b -> (doc_id * 7 + 13 * b) % 256))
+                        AS BIGINT) AS sum_values
+            FROM p
+        """,
+        # PNG decode: the RGB fixtures carry the media_features_real pixel
+        # formula through the zlib stream + all five row filters
+        "media_features_png": """
+            WITH p AS (
+                SELECT doc_id,
+                       2 + doc_id % 7 AS w,
+                       2 + doc_id % 5 AS h
+                FROM documents
+            )
+            SELECT doc_id AS media_id,
+                   'png' AS kind,
+                   CAST(w AS BIGINT) AS width,
+                   CAST(h AS BIGINT) AS height,
+                   3::BIGINT AS channels,
+                   0::BIGINT AS sample_rate,
+                   CAST(w * h * 3 AS BIGINT) AS n_values,
+                   CAST(list_sum(list_transform(
+                            range(0, w * h * 3),
+                            i -> (doc_id * 31 + i) % 256))
                         AS BIGINT) AS sum_values
             FROM p
         """,

@@ -650,6 +650,39 @@ def media_features_jpeg(sf_dir: str):
     )
 
 
+def media_features_png(sf_dir: str):
+    """REAL PNG decode end to end: one deterministic RGB PNG per document
+    id (``stages.png.synth_png_payload`` — real zlib-compressed bytes with
+    row filters cycling through all five types), parsed by the
+    dependency-free decoder (stdlib zlib + numpy filter reconstruction)
+    into integer-exact features. The DuckDB twin recomputes the pixel sum
+    from the fixtures' closed form, so a hash match certifies chunk
+    walking, CRCs, DEFLATE handling and every filter's reconstruction."""
+    from ..stages.media import MediaDecode
+    from ..stages.png import synth_png_payload
+
+    def to_payload(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy()
+        return pa.table(
+            {
+                "media_id": t["doc_id"],
+                "payload": pa.array(
+                    [synth_png_payload(i) for i in ids], pa.binary()
+                ),
+            }
+        )
+
+    ds = _docs(sf_dir, columns=("doc_id",)).map_batches(
+        to_payload, batch_format="pyarrow"
+    )
+    return ds.map_batches(
+        MediaDecode,
+        batch_format="pyarrow",
+        batch_size=1024,
+        concurrency=actor_pool(),
+    )
+
+
 def media_frame_features(sf_dir: str):
     """Chained multimodal plumbing: payload → resize (size-class change) →
     frame sampling (flat-map: rows multiply) → per-frame features — three

@@ -312,10 +312,16 @@ def decode_media(payload: bytes) -> dict:
         from .jpeg import decode_jpeg
 
         return decode_jpeg(payload)
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        # PNG: stdlib zlib + numpy filter reconstruction (stages/png.py);
+        # 16-bit depth / Adam7 interlace raise there
+        from .png import decode_png
+
+        return decode_png(payload)
     raise NotImplementedError(
-        "real decode supports PPM/BMP/WAV and baseline JPEG; remaining "
-        "codec formats (MP3/H.264/...) require libraries not present in "
-        "this environment"
+        "real decode supports PPM/BMP/WAV, baseline JPEG and 8-bit PNG; "
+        "remaining codec formats (MP3/H.264/...) require libraries not "
+        "present in this environment"
     )
 
 

@@ -287,3 +287,69 @@ def test_jpeg_unsupported_variants_raise():
         decode_jpeg(bytes(p))
     with pytest.raises(ValueError):
         decode_jpeg(b"\x00\x11not a jpeg")
+
+
+def test_png_closed_form_and_roundtrip():
+    """PNG decoder: closed-form RGB fixtures (cycling all five row
+    filters) + random roundtrips across color types; CRC verification."""
+    import numpy as np
+    import pytest
+
+    from graphminingtools_ray.stages.media import decode_media
+    from graphminingtools_ray.stages.png import (
+        decode_png,
+        encode_png,
+        synth_png_payload,
+    )
+
+    for mid in range(25):
+        m = decode_media(synth_png_payload(mid))  # FFD8... no: \x89PNG magic
+        w, h = 2 + mid % 7, 2 + mid % 5
+        assert (m["kind"], m["width"], m["height"], m["channels"]) == (
+            "png", w, h, 3)
+        assert m["sum_values"] == sum(
+            (mid * 31 + i) % 256 for i in range(w * h * 3))
+
+    rng = np.random.default_rng(5)
+    for _ in range(8):
+        ct = int(rng.choice([0, 2, 4, 6]))
+        ch = {0: 1, 2: 3, 4: 2, 6: 4}[ct]
+        h, w = int(rng.integers(1, 16)), int(rng.integers(1, 16))
+        px = rng.integers(0, 256, size=(h, w, ch)).astype(np.uint8)
+        for filters in ("zero", "cycle"):
+            m = decode_png(encode_png(px, color_type=ct, filters=filters))
+            assert m["sum_values"] == int(px.astype(np.int64).sum())
+            assert (m["width"], m["height"], m["channels"]) == (w, h, ch)
+
+    p = bytearray(synth_png_payload(3))
+    p[20] ^= 0xFF
+    with pytest.raises(ValueError):
+        decode_png(bytes(p))
+
+
+def test_png_palette_and_gates():
+    """Palette expansion via PLTE; 16-bit / interlaced gates raise."""
+    import struct
+    import zlib
+
+    import numpy as np
+    import pytest
+
+    from graphminingtools_ray.stages.png import _SIG, _chunk, decode_png
+
+    # hand-built 2x2 palette image: indices [[0,1],[1,0]]
+    plte = bytes([10, 20, 30, 200, 100, 50])
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0)
+    rows = b"\x00" + bytes([0, 1]) + b"\x00" + bytes([1, 0])
+    payload = (_SIG + _chunk(b"IHDR", ihdr) + _chunk(b"PLTE", plte)
+               + _chunk(b"IDAT", zlib.compress(rows)) + _chunk(b"IEND", b""))
+    m = decode_png(payload)
+    assert m["channels"] == 3 and m["n_values"] == 12
+    assert m["sum_values"] == 2 * (10 + 20 + 30) + 2 * (200 + 100 + 50)
+
+    ihdr16 = struct.pack(">IIBBBBB", 2, 2, 16, 0, 0, 0, 0)
+    bad = (_SIG + _chunk(b"IHDR", ihdr16)
+           + _chunk(b"IDAT", zlib.compress(b"\x00" * 10))
+           + _chunk(b"IEND", b""))
+    with pytest.raises(NotImplementedError):
+        decode_png(bad)
