@@ -576,10 +576,12 @@ def skipgram_pairs(corpus, window: int = 2, neg: int = 2,
             .iter_batches(batch_format="pyarrow")
         ):
             parts.append(b["vertex_id"].to_numpy())
-        neg_vertices = np.unique(
-            np.concatenate(parts) if parts else np.empty(0, np.int64)
-        )
-    uni_ref = ray.put(np.asarray(neg_vertices, np.int64)
+        neg_vertices = np.concatenate(parts) if parts else np.empty(0, np.int64)
+    # np.unique also normalizes caller-supplied universes: the md5-rank
+    # contract (and the SQL twin's ROW_NUMBER) is over the SORTED DISTINCT
+    # vertex set, so an unsorted/duplicated precomputed array must not
+    # silently shift the draw
+    uni_ref = ray.put(np.unique(np.asarray(neg_vertices, np.int64))
                       if neg > 0 else np.empty(0, np.int64))
 
     def pairs_fn(t: pa.Table) -> pa.Table:

@@ -171,39 +171,56 @@ def edge_common_neighbors(edges, num_buckets: int = 32,
                                   num_buckets=P), deg_ds
 
 
+def edge_jaccard_dataset(edges, num_buckets: int = 32):
+    """Full per-edge Jaccard as a STREAMING Dataset (src, dst,
+    common_neighbors, deg_src, deg_dst, jaccard) — the job-level variant
+    with no driver materialization: degrees attach per batch from the
+    partitioned degree index (broadcast refs, zero-copy object-store
+    reads), so edge-scale output flows straight to a parquet sink."""
+    from ..algos.partitioned import index_state
+
+    P = num_buckets
+    cn_ds, deg_ds = edge_common_neighbors(edges, num_buckets=P)
+    deg_index, _ = index_state(deg_ds)
+    ref = ray.put(deg_index)
+
+    def attach(t: pa.Table) -> pa.Table:
+        cache = _PartCache(ray.get(ref), ["ids", "deg"])
+        u = t["u"].to_numpy()
+        v = t["v"].to_numpy()
+        cn = t["cn"].to_numpy()
+
+        def lookup(vids: np.ndarray) -> np.ndarray:
+            out = np.empty(len(vids), np.int64)
+            parts = int_bucket(vids, P)
+            for p in np.unique(parts):
+                m = parts == p
+                ids_p, deg_p = cache.get(int(p))
+                out[m] = deg_p[np.searchsorted(ids_p, vids[m])]
+            return out
+
+        du, dv = lookup(u), lookup(v)
+        return pa.table({
+            "src": u,
+            "dst": v,
+            "common_neighbors": cn,
+            "deg_src": du,
+            "deg_dst": dv,
+            "jaccard": round_half_away(cn / (du + dv - cn), 9),
+        })
+
+    return cn_ds.map_batches(attach, batch_format="pyarrow")
+
+
 def edge_jaccard_query(sf_dir: str):
     """Gate query: common neighbors + neighborhood Jaccard per co-purchase
     edge in ≥1 triangle. Jaccard = cn / (deg_u + deg_v − cn): exact ints
-    into one elementwise float division + round-9, hash-exact vs SQL."""
+    into one elementwise float division + round-9, hash-exact vs SQL.
+    Gate-scale sink of the distributed :func:`edge_jaccard_dataset`."""
     from ..graph.build import copurchase_edges
 
-    cn_ds, deg_ds = edge_common_neighbors(copurchase_edges(sf_dir))
-    df = cn_ds.to_pandas().sort_values(["u", "v"]).reset_index(drop=True)
-
-    # degree lookup (vertex-scale result delivery, same as the stats trio)
-    from ..algos.partitioned import _row_lists
-
-    ids_parts, deg_parts = [], []
-    for b in deg_ds.iter_batches(batch_size=None, batch_format="pyarrow"):
-        for i in range(b.num_rows):
-            ids, dg = _row_lists(b, i, ["ids", "deg"])
-            ids_parts.append(ids)
-            deg_parts.append(dg)
-    ids = np.concatenate(ids_parts)
-    deg = np.concatenate(deg_parts)
-    order = np.argsort(ids)
-    ids, deg = ids[order], deg[order]
-    du = deg[np.searchsorted(ids, df["u"].to_numpy())]
-    dv = deg[np.searchsorted(ids, df["v"].to_numpy())]
-    cn = df["cn"].to_numpy()
-    return pd.DataFrame({
-        "src": df["u"].to_numpy(),
-        "dst": df["v"].to_numpy(),
-        "common_neighbors": cn,
-        "deg_src": du.astype(np.int64),
-        "deg_dst": dv.astype(np.int64),
-        "jaccard": round_half_away(cn / (du + dv - cn), 9),
-    })
+    out = edge_jaccard_dataset(copurchase_edges(sf_dir)).to_pandas()
+    return out.sort_values(["src", "dst"]).reset_index(drop=True)
 
 
 def k_truss(edges, k: int = 10, num_buckets: int = 32,

@@ -117,6 +117,21 @@ def filter_project_revenue(sf_dir: str):
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
+def _guarded_lookup(keys_sorted: np.ndarray, vals: np.ndarray,
+                    probe: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """(matched mask, value per matched probe) — a searchsorted join that
+    DROPS probes whose key is absent from the dimension side (inner-join
+    semantics) instead of crashing past the array end or silently crediting
+    a neighbor key. Shared by the broadcast AND bucketed plans so both
+    behave identically on foreign-key-violating input."""
+    if len(keys_sorted) == 0:
+        return np.zeros(len(probe), bool), np.empty(0, vals.dtype)
+    pos = np.searchsorted(keys_sorted, probe)
+    pos_c = np.minimum(pos, len(keys_sorted) - 1)
+    m = keys_sorted[pos_c] == probe
+    return m, vals[pos_c[m]]
+
+
 def _nation_partial(nk: np.ndarray, cents: np.ndarray) -> pa.Table:
     """(n_nationkey, revenue_c, n_orders) partial over already-attached
     nation keys — shared by the broadcast and bucketed nation_revenue
@@ -171,8 +186,8 @@ def nation_revenue(sf_dir: str, broadcast_limit: int = BROADCAST_ROW_LIMIT):
             # partial aggregate keyed on the INT nationkey (25 groups — the
             # final combine is tiny, no shuffle operator needed)
             ck_s, nk_ = ray.get(ref)
-            nk = nk_[np.searchsorted(ck_s, t["o_custkey"].to_numpy())]
-            return _nation_partial(nk, order_cents(t))
+            m, nk = _guarded_lookup(ck_s, nk_, t["o_custkey"].to_numpy())
+            return _nation_partial(nk, order_cents(t)[m])
 
         parts = orders_ds.map_batches(
             attach_partial, batch_format="pyarrow"
@@ -211,8 +226,8 @@ def nation_revenue(sf_dir: str, broadcast_limit: int = BROADCAST_ROW_LIMIT):
             o = np.argsort(dk, kind="stable")
             dk, dn = dk[o], dn[o]
             fk, fc = k[~is_dim], cents[~is_dim]
-            nk = dn[np.searchsorted(dk, fk)]
-            return _nation_partial(nk, fc)
+            m, nk = _guarded_lookup(dk, dn, fk)
+            return _nation_partial(nk, fc[m])
 
         both = cust_ds.map_batches(cust_rows, batch_format="pyarrow").union(
             orders_ds.map_batches(order_rows, batch_format="pyarrow")
@@ -697,11 +712,11 @@ def q5_local_supplier_volume(sf_dir: str,
 
         def order_rows(t: pa.Table) -> pa.Table:
             ck_, cn_, _, _ = ray.get(ref)
-            c_nat = cn_[np.searchsorted(ck_, t["o_custkey"].to_numpy())]
-            n = t.num_rows
+            m, c_nat = _guarded_lookup(ck_, cn_, t["o_custkey"].to_numpy())
+            n = int(m.sum())
             return pa.table(
                 {
-                    "k": t["o_orderkey"].to_numpy(),
+                    "k": t["o_orderkey"].to_numpy()[m],
                     "nat": c_nat.astype(np.int64),
                     "rev_e4": np.zeros(n, np.int64),
                     "is_order": np.ones(n, np.int8),
@@ -710,9 +725,9 @@ def q5_local_supplier_volume(sf_dir: str,
 
         def line_rows(t: pa.Table) -> pa.Table:
             _, _, sk_, sn_ = ray.get(ref)
-            s_nat = sn_[np.searchsorted(sk_, t["l_suppkey"].to_numpy())]
+            m, s_nat = _guarded_lookup(sk_, sn_, t["l_suppkey"].to_numpy())
             return _q5_line_partial(
-                t["l_orderkey"].to_numpy(), s_nat, _q5_line_rev(t)
+                t["l_orderkey"].to_numpy()[m], s_nat, _q5_line_rev(t)[m]
             )
 
         orders = orders_src.map_batches(order_rows, batch_format="pyarrow")
@@ -757,7 +772,9 @@ def q5_local_supplier_volume(sf_dir: str,
             o = np.argsort(dk, kind="stable")
             dk, dv = dk[o], dv[o]
             m = ~is_dim
-            return k[m], a[m], b[m], dv[np.searchsorted(dk, k[m])]
+            hit, vals = _guarded_lookup(dk, dv, k[m])
+            keep = np.flatnonzero(m)[hit]
+            return k[keep], a[keep], b[keep], vals
 
         def order_bucket(t: pa.Table) -> pa.Table:
             _, okeys, _, c_nat = attach(t)

@@ -265,9 +265,10 @@ class _BitReader:
         if n == 0:
             return 0
         self._fill()
-        if self.nbits < n:
+        while self.nbits < n:
             # padding past the end of the segment reads as 1-bits (F.2.2.5
-            # never needs them for a well-formed stream)
+            # never needs them for a well-formed stream; a truncated stream
+            # must not underflow the shift below)
             self.acc = (self.acc << 8) | 0xFF
             self.nbits += 8
         v = (self.acc >> (self.nbits - n)) & ((1 << n) - 1)
@@ -347,11 +348,17 @@ def decode_jpeg(payload: bytes, return_coefficients: bool = False):
     while i + 4 <= len(payload):
         if payload[i] != 0xFF:
             raise ValueError("marker expected in JPEG header")
+        # T.81 B.1.1.2: markers may be preceded by any number of 0xFF fill
+        # bytes — skip them so `FF FF DB ...` parses as DQT, not marker 0xFF
+        while i + 2 <= len(payload) and payload[i + 1] == 0xFF:
+            i += 1
         marker = payload[i + 1]
         if marker == 0xD9:
             break
         size = int.from_bytes(payload[i + 2:i + 4], "big")
         body = payload[i + 4:i + 2 + size]
+        if len(body) != size - 2:
+            raise ValueError("truncated JPEG segment")
         i += 2 + size
         if marker == 0xDB:
             j = 0

@@ -36,33 +36,49 @@ def _paeth(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
 
 def _unfilter(raw: np.ndarray, h: int, stride: int, bpp: int) -> np.ndarray:
     """Reverse per-scanline filtering: raw is h rows of (1 filter byte +
-    stride data bytes); returns (h, stride) reconstructed bytes."""
+    stride data bytes); returns (h, stride) reconstructed bytes.
+
+    None/Up are fully vectorized; Sub is a per-lane cumulative sum (mod 256
+    distributes over addition, so ``cumsum % 256`` reconstructs the whole
+    row in one pass per channel lane); Average/Paeth have a true sequential
+    dependence on the left pixel, so they run one PIXEL at a time with the
+    bpp channel lanes vectorized — w iterations of small-array numpy per
+    row, not stride iterations of Python scalars."""
     raw = raw.reshape(h, stride + 1)
     out = np.zeros((h, stride), np.uint8)
     zero_row = np.zeros(stride, np.uint8)
     for y in range(h):
         ft = int(raw[y, 0])
-        line = raw[y, 1:].copy()
+        line = raw[y, 1:]
         prev = out[y - 1] if y else zero_row
         if ft == 0:
             out[y] = line
-        elif ft == 1:  # Sub
-            for x in range(stride):
-                left = out[y, x - bpp] if x >= bpp else 0
-                out[y, x] = (int(line[x]) + int(left)) & 0xFF
+        elif ft == 1:  # Sub: per-lane cumsum mod 256
+            lanes = line.reshape(-1, bpp).astype(np.int64)
+            out[y] = (np.cumsum(lanes, axis=0) & 0xFF).astype(
+                np.uint8).reshape(-1)
         elif ft == 2:  # Up
             out[y] = line + prev  # uint8 wraparound == mod 256
         elif ft == 3:  # Average
-            for x in range(stride):
-                left = int(out[y, x - bpp]) if x >= bpp else 0
-                out[y, x] = (int(line[x]) + (left + int(prev[x])) // 2) & 0xFF
+            row = out[y]
+            left = np.zeros(bpp, np.int64)
+            pv = prev.astype(np.int64)
+            li = line.astype(np.int64)
+            for x0 in range(0, stride, bpp):
+                v = (li[x0:x0 + bpp] + (left + pv[x0:x0 + bpp]) // 2) & 0xFF
+                row[x0:x0 + bpp] = v
+                left = v
         elif ft == 4:  # Paeth
-            for x in range(stride):
-                left = int(out[y, x - bpp]) if x >= bpp else 0
-                ul = int(prev[x - bpp]) if x >= bpp else 0
-                pr = int(_paeth(np.uint8(left), prev[x:x + 1],
-                                np.uint8(ul))[0])
-                out[y, x] = (int(line[x]) + pr) & 0xFF
+            row = out[y]
+            left = np.zeros(bpp, np.uint8)
+            ul = np.zeros(bpp, np.uint8)
+            for x0 in range(0, stride, bpp):
+                up = prev[x0:x0 + bpp]
+                pr = _paeth(left, up, ul)
+                v = (line[x0:x0 + bpp] + pr)  # uint8 wraparound
+                row[x0:x0 + bpp] = v
+                left = v
+                ul = up
         else:
             raise ValueError(f"invalid PNG filter type {ft}")
     return out
@@ -107,6 +123,11 @@ def encode_png(pixels: np.ndarray, color_type: int = 2,
     if pixels.ndim == 2:
         pixels = pixels[:, :, None]
     h, w, ch = pixels.shape
+    if color_type == 3:
+        raise ValueError(
+            "palette encoding (PLTE authoring) is not supported; "
+            "use color type 0/2/4/6 — the DECODER handles palette PNGs"
+        )
     if _CHANNELS[color_type] != ch:
         raise ValueError("channel count does not match color type")
     bpp = ch

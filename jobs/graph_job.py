@@ -165,11 +165,10 @@ def main() -> int:
                    "n_edges": info.get("n_edges")}
     elif args.algo == "edge_jaccard":
         from graphminingtools_ray.pipelines.linkpred import (
-            edge_common_neighbors,
+            edge_jaccard_dataset,
         )
 
-        cn_ds, _deg_ds = edge_common_neighbors(edges)
-        sink(cn_ds, "edge_jaccard")
+        sink(edge_jaccard_dataset(edges), "edge_jaccard")
         summary = {"algo": "edge_jaccard"}
     else:
         if args.symmetrize:

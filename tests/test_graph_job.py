@@ -150,7 +150,8 @@ def test_ktruss_and_edge_jaccard_jobs(tmp_path):
     r = _run_job("edge_jaccard", edges_path, out_j)
     assert r.returncode == 0, r.stderr[-2000:]
     jac = _read_sorted(os.path.join(out_j, "edge_jaccard"))
-    assert set(jac.columns) == {"u", "v", "cn"}
+    assert set(jac.columns) == {"src", "dst", "common_neighbors",
+                                "deg_src", "deg_dst", "jaccard"}
     jac = jac[sorted(jac.columns)].sort_values(
         sorted(jac.columns)).reset_index(drop=True)
 
@@ -162,7 +163,7 @@ def test_ktruss_and_edge_jaccard_jobs(tmp_path):
         ray.init(address="local", num_cpus=4, include_dashboard=False,
                  logging_level="ERROR", ignore_reinit_error=True)
     from graphminingtools_ray.pipelines.linkpred import (
-        edge_common_neighbors,
+        edge_jaccard_dataset,
         k_truss,
     )
 
@@ -172,8 +173,7 @@ def test_ktruss_and_edge_jaccard_jobs(tmp_path):
     want_truss = want_truss[sorted(want_truss.columns)].sort_values(
         list(sorted(want_truss.columns))).reset_index(drop=True)
     assert truss.equals(want_truss)
-    cn_ds, _ = edge_common_neighbors(edges)
-    want_jac = cn_ds.to_pandas()
+    want_jac = edge_jaccard_dataset(edges).to_pandas()
     want_jac = want_jac[sorted(want_jac.columns)].sort_values(
         sorted(want_jac.columns)).reset_index(drop=True)
     assert jac.equals(want_jac)

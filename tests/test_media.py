@@ -353,3 +353,22 @@ def test_png_palette_and_gates():
            + _chunk(b"IEND", b""))
     with pytest.raises(NotImplementedError):
         decode_png(bad)
+
+
+def test_jpeg_fill_bytes_and_truncation():
+    """T.81 B.1.1.2 fill bytes before markers parse; a truncated entropy
+    stream raises a parse-level error, not an arithmetic one."""
+    import pytest
+
+    from graphminingtools_ray.stages.jpeg import decode_jpeg, synth_jpeg_payload
+
+    p = synth_jpeg_payload(4)
+    ref = decode_jpeg(p)
+    # inject a fill 0xFF before the DQT marker (FF DB)
+    i = p.find(b"\xff\xdb")
+    padded = p[:i] + b"\xff" + p[i:]
+    assert decode_jpeg(padded) == ref
+    # truncate mid-entropy-data: must raise a ValueError (bad stream), not
+    # a negative-shift arithmetic error
+    with pytest.raises((ValueError, NotImplementedError)):
+        decode_jpeg(p[: len(p) - 12])
