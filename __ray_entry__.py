@@ -591,6 +591,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_clusters_md5": text_q.dedup_clusters_md5,
         # end-to-end dedup policy: clusters + quality-based keeper
         "dedup_keep_best": text_q.dedup_keep_best,
+        # bigram-LM perplexity filter (corpus-trained add-one bigram model)
+        "bigram_logprob": text_q.bigram_logprob,
         # Gopher-family repetition/quality filter signals (integer-exact)
         "gopher_stats": text_q.gopher_stats,
         # PII / scrub-signal pattern counts (emails, URLs, IPv4)
@@ -631,6 +633,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "skipgram_pairs",
         "media_features_jpeg",
         "media_features_png",
+        "bigram_logprob",
         # round-4 additions
         "media_features_real",
         "merge_sparse_features",
@@ -3139,6 +3142,40 @@ def oracle_sql() -> dict[str, str]:
                             b -> (doc_id * 7 + 13 * b) % 256))
                         AS BIGINT) AS sum_values
             FROM p
+        """,
+        # bigram-LM perplexity filter: add-one-smoothed bigram model trained
+        # on the corpus itself; logprob_sum folds LEFT TO RIGHT in document
+        # position order (list_reduce over list(... ORDER BY pos)) and the
+        # engine routes ln/exp through libm, so the doubles are bit-exact
+        "bigram_logprob": r"""
+            WITH d AS (SELECT doc_id, COALESCE(text, '') AS t
+                       FROM documents),
+            tk AS (SELECT doc_id, regexp_extract_all(t, '\S+') AS toks
+                   FROM d),
+            tok AS (SELECT doc_id, unnest(toks) AS w,
+                           generate_subscripts(toks, 1) AS p
+                    FROM tk),
+            v AS (SELECT COUNT(DISTINCT w)::BIGINT AS nv FROM tok),
+            bg AS (
+                SELECT doc_id, p - 1 AS pos,
+                       lag(w) OVER (PARTITION BY doc_id ORDER BY p) AS w1,
+                       w AS w2
+                FROM tok QUALIFY w1 IS NOT NULL),
+            cnt AS (
+                SELECT doc_id, pos,
+                       COUNT(*) OVER (PARTITION BY w1, w2) AS c2,
+                       COUNT(*) OVER (PARTITION BY w1) AS c1
+                FROM bg),
+            per AS (
+                SELECT doc_id, COUNT(*)::BIGINT AS n_bigrams,
+                       list_reduce(
+                           list(ln(CAST(c2 + 1 AS DOUBLE) / (c1 + nv))
+                                ORDER BY pos),
+                           (a, b) -> a + b) AS logprob_sum
+                FROM cnt CROSS JOIN v GROUP BY doc_id)
+            SELECT doc_id, n_bigrams, logprob_sum,
+                   exp(-logprob_sum / n_bigrams) AS ppl
+            FROM per
         """,
         # PNG decode: the RGB fixtures carry the media_features_real pixel
         # formula through the zlib stream + all five row filters

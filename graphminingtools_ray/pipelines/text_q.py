@@ -1102,3 +1102,136 @@ def doc_top_terms(sf_dir: str, k: int = 5):
     ).reset_index(drop=True)
     out["tf"] = out["tf"].astype(np.int64)
     return out[["doc_id", "term", "tf", "df"]]
+
+
+def bigram_logprob(sf_dir: str, as_pandas: bool = True):
+    """Bigram-LM perplexity scoring — the classic perplexity-filter pass of
+    a training-data pipeline (score each document under an n-gram language
+    model trained on the corpus itself; low-probability docs are filter
+    candidates). Model: add-one-smoothed bigram LM over whitespace tokens,
+    P(w2|w1) = (c(w1,w2) + 1) / (c(w1 ·) + V), with c(w1 ·) the corpus
+    count of bigrams starting w1 and V the corpus vocabulary size. Per doc
+    (≥ 2 tokens): n_bigrams, logprob_sum = Σ ln P over the document's
+    bigrams IN DOCUMENT ORDER (a left fold — the order is part of the
+    contract so the float is hash-exact), ppl = exp(−logprob_sum /
+    n_bigrams).
+
+    Scale shape — token-scale rows cross three keyed exchanges, nothing
+    vocabulary- or corpus-scale on the driver:
+      1. keyed on bigram hash: every occurrence of a bigram lands in one
+         bucket, so its global count c2 is the bucket-local group size;
+      2. keyed on first-word hash: same trick for the continuation count
+         c1 (rows ride through with their c2 attached);
+      3. keyed on doc: sort by position, left-fold ln((c2+1)/(c1+V))
+         through libm (DuckDB's ln — numpy's SIMD ln differs by ulps).
+    V comes from one distinct-count exchange over the token hashes (a
+    per-bucket distinct partial + a scalar driver sum). Engine counts key
+    on md5_u64 of the token strings (the ngram_jaccard 64-bit-collision
+    caveat applies; the twin compares strings)."""
+    import math
+
+    from ..functions.bucketing import bucketed_group_combine
+    from ..stages.dedup_md5 import md5_u64, tokens_flat
+
+    SEP = "\x1f"
+
+    def bigram_rows(t: pa.Table) -> pa.Table:
+        toks, offs = tokens_flat(pa.compute.fill_null(t["text"], ""))
+        counts = np.diff(offs)
+        doc_ids = t["doc_id"].to_numpy()
+        h_tok = md5_u64(toks)
+        # bigram at position p pairs token p-1 with token p (within doc)
+        n_bi = np.maximum(counts - 1, 0)
+        doc = np.repeat(doc_ids, n_bi)
+        keep = np.ones(len(toks), bool)
+        keep[offs[:-1][counts > 0]] = False  # drop each doc's first token
+        w2_idx = np.flatnonzero(keep)
+        w1_idx = w2_idx - 1
+        pos = (w2_idx - np.repeat(offs[:-1], n_bi)).astype(np.int64)
+        pair = (np.char.add(np.char.add(
+            toks[w1_idx].astype("U"), SEP), toks[w2_idx].astype("U"))
+            .astype(object))
+        return pa.table(
+            {
+                "h2": md5_u64(pair).view(np.int64),
+                "h1": h_tok[w1_idx].view(np.int64),
+                "doc": doc,
+                "pos": pos,
+            }
+        )
+
+    bi = _docs(sf_dir).map_batches(bigram_rows, batch_format="pyarrow")
+
+    # V: distinct tokens, per-bucket distinct partials -> scalar sum
+    def tok_rows(t: pa.Table) -> pa.Table:
+        toks, _ = tokens_flat(pa.compute.fill_null(t["text"], ""))
+        return pa.table({"h": np.unique(md5_u64(toks)).view(np.int64)})
+
+    def distinct_count(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"n": np.array([len(np.unique(t["h"].to_numpy()))], np.int64)}
+        )
+
+    v_parts = bucketed_group_combine(
+        _docs(sf_dir).map_batches(tok_rows, batch_format="pyarrow"),
+        ["h"], distinct_count,
+    ).to_pandas()
+    V = int(v_parts["n"].sum())
+
+    def attach_c2(t: pa.Table) -> pa.Table:
+        h2 = t["h2"].to_numpy()
+        uq, inv, cnt = np.unique(h2, return_inverse=True, return_counts=True)
+        return pa.table(
+            {
+                "h1": t["h1"].combine_chunks(),
+                "doc": t["doc"].combine_chunks(),
+                "pos": t["pos"].combine_chunks(),
+                "c2": cnt[inv].astype(np.int64),
+            }
+        )
+
+    def attach_c1(t: pa.Table) -> pa.Table:
+        h1 = t["h1"].to_numpy()
+        uq, inv, cnt = np.unique(h1, return_inverse=True, return_counts=True)
+        return pa.table(
+            {
+                "doc": t["doc"].combine_chunks(),
+                "pos": t["pos"].combine_chunks(),
+                "c2": t["c2"].combine_chunks(),
+                "c1": cnt[inv].astype(np.int64),
+            }
+        )
+
+    with_c2 = bucketed_group_combine(bi, ["h2"], attach_c2)
+    with_c1 = bucketed_group_combine(with_c2, ["h1"], attach_c1)
+
+    def fold(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().sort_values(["doc", "pos"])
+        docs, sums, ns, ppls = [], [], [], []
+        for doc, g in df.groupby("doc", sort=True):
+            c2 = g["c2"].to_numpy()
+            c1 = g["c1"].to_numpy()
+            s = 0.0
+            first = True
+            for a, b in zip(c2, c1):
+                v = math.log((a + 1) / (b + V))
+                s = v if first else s + v
+                first = False
+            n = len(c2)
+            docs.append(doc)
+            sums.append(s)
+            ns.append(n)
+            ppls.append(math.exp(-s / n))
+        return pa.table(
+            {
+                "doc_id": pa.array(docs, pa.int64()),
+                "n_bigrams": pa.array(ns, pa.int64()),
+                "logprob_sum": pa.array(sums, pa.float64()),
+                "ppl": pa.array(ppls, pa.float64()),
+            }
+        )
+
+    out = bucketed_group_combine(with_c1, ["doc"], fold)
+    if not as_pandas:
+        return out
+    return out.to_pandas().sort_values("doc_id").reset_index(drop=True)

@@ -289,3 +289,33 @@ def test_pii_scrub_nonzero_parity():
                 "SELECT regexp_replace(?, ?, ?, 'g')", [cur, pat, rep]
             ).fetchone()[0]
         assert scrubbed[i] == cur, i
+
+
+def test_bigram_logprob_micro(ray_session, tmp_path):
+    """Bigram perplexity on a hand-checked corpus: add-one smoothing,
+    continuation counts, document-order fold."""
+    import math
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from graphminingtools_ray.pipelines.text_q import bigram_logprob
+
+    docs = ["a b a b", "a b", "x"]
+    pq.write_table(
+        pa.table({"doc_id": pa.array([0, 1, 2], pa.int64()),
+                  "text": pa.array(docs, pa.string())}),
+        str(tmp_path / "documents.parquet"),
+    )
+    out = bigram_logprob(str(tmp_path))
+    # vocabulary {a, b, x} -> V = 3; bigram counts: (a,b) x3, (b,a) x1;
+    # c1: a-> 3, b-> 1. Doc "x" has no bigram and is absent.
+    assert out["doc_id"].tolist() == [0, 1]
+    assert out["n_bigrams"].tolist() == [3, 1]
+    p_ab = math.log((3 + 1) / (3 + 3))
+    p_ba = math.log((1 + 1) / (1 + 3))
+    s0 = p_ab
+    s0 = s0 + p_ba
+    s0 = s0 + p_ab
+    assert out["logprob_sum"].tolist() == [s0, p_ab]
+    assert out["ppl"].tolist() == [math.exp(-s0 / 3), math.exp(-p_ab / 1)]
