@@ -593,6 +593,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_keep_best": text_q.dedup_keep_best,
         # bigram-LM perplexity filter (corpus-trained add-one bigram model)
         "bigram_logprob": text_q.bigram_logprob,
+        # duplicated-substring span coverage (substring-dedup signal)
+        "substring_dup_spans": text_q.substring_dup_spans,
         # Gopher-family repetition/quality filter signals (integer-exact)
         "gopher_stats": text_q.gopher_stats,
         # PII / scrub-signal pattern counts (emails, URLs, IPv4)
@@ -634,6 +636,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_features_jpeg",
         "media_features_png",
         "bigram_logprob",
+        "substring_dup_spans",
         # round-4 additions
         "media_features_real",
         "merge_sparse_features",
@@ -3176,6 +3179,51 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, n_bigrams, logprob_sum,
                    exp(-logprob_sum / n_bigrams) AS ppl
             FROM per
+        """,
+        # duplicated-substring spans: a window is duplicated iff its
+        # word-8-gram string occurs >= 2 times corpus-wide (multiplicity);
+        # covered tokens = union of same-width intervals per doc
+        # (sum of min(width, next_pos - pos) over sorted positions)
+        "substring_dup_spans": r"""
+            WITH d AS (SELECT doc_id, COALESCE(text, '') AS t
+                       FROM documents),
+            tk AS (SELECT doc_id, regexp_extract_all(t, '\S+') AS toks
+                   FROM d),
+            st AS (SELECT doc_id, len(toks)::BIGINT AS nt,
+                          CASE WHEN len(toks) = 0 THEN 0
+                               WHEN len(toks) < 8 THEN 1
+                               ELSE len(toks) - 7 END::BIGINT AS nw
+                   FROM tk),
+            shl AS (SELECT doc_id, CASE
+                WHEN len(toks) = 0 THEN []::VARCHAR[]
+                WHEN len(toks) < 8 THEN [array_to_string(toks, ' ')]
+                ELSE list_transform(generate_series(1, len(toks) - 7),
+                                    i -> array_to_string(toks[i:i + 7], ' '))
+            END AS shs FROM tk),
+            win AS (SELECT doc_id,
+                           unnest(shs) AS g,
+                           generate_subscripts(shs, 1) - 1 AS pos
+                    FROM shl),
+            dup AS (SELECT doc_id, pos FROM (
+                        SELECT doc_id, pos,
+                               COUNT(*) OVER (PARTITION BY g) AS c
+                        FROM win) WHERE c >= 2),
+            sp AS (SELECT doc_id, pos,
+                          lead(pos) OVER (PARTITION BY doc_id
+                                          ORDER BY pos) AS nxt
+                   FROM dup),
+            cov AS (SELECT sp.doc_id,
+                           COUNT(*)::BIGINT AS n_dup_windows,
+                           SUM(LEAST(CASE WHEN s.nt < 8 THEN s.nt ELSE 8 END,
+                                     COALESCE(sp.nxt - sp.pos,
+                                              9223372036854775807)))::BIGINT
+                               AS n_dup_tokens
+                    FROM sp JOIN st s ON s.doc_id = sp.doc_id
+                    GROUP BY sp.doc_id)
+            SELECT st.doc_id, st.nw AS n_windows,
+                   COALESCE(cov.n_dup_windows, 0)::BIGINT AS n_dup_windows,
+                   COALESCE(cov.n_dup_tokens, 0)::BIGINT AS n_dup_tokens
+            FROM st LEFT JOIN cov ON cov.doc_id = st.doc_id
         """,
         # PNG decode: the RGB fixtures carry the media_features_real pixel
         # formula through the zlib stream + all five row filters

@@ -1235,3 +1235,117 @@ def bigram_logprob(sf_dir: str, as_pandas: bool = True):
     if not as_pandas:
         return out
     return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
+def substring_dup_spans(sf_dir: str, k: int = 8, as_pandas: bool = True):
+    """Exact duplicated-substring signal (the Lee et al. 2022 "Deduplicating
+    Training Data" substring-dedup shape): a token window of length ``k``
+    is DUPLICATED iff its word-k-gram occurs ≥ 2 times in the corpus
+    (counting multiplicity — a doc repeating itself counts); per document,
+    report the window count, the duplicated-window count, and the number
+    of tokens covered by the UNION of duplicated windows (the span a
+    substring-dedup pass would cut). Windowing follows the md5 shingle
+    family (docs with 0 < cnt < k contribute ONE window over all cnt
+    tokens).
+
+    Scale shape: window-scale rows cross TWO keyed exchanges — (1) on the
+    window hash: global multiplicity is bucket-local, only duplicated
+    windows (doc, pos) come back out; (2) on doc: vectorized interval-union
+    merge (windows have constant width per doc, so coverage is
+    Σ min(w, next_pos − pos) over the sorted positions). Per-doc stats ride
+    to exchange 2 as sentinel rows. md5-hash keying carries the
+    ngram_jaccard 64-bit-collision caveat; the twin compares strings.
+
+    Returns (doc_id, n_windows, n_dup_windows, n_dup_tokens)."""
+    from ..functions.bucketing import bucketed_group_combine
+    from ..stages.dedup_md5 import shingle_hashes_md5, tokens_flat
+
+    def window_rows(t: pa.Table) -> pa.Table:
+        texts = pa.compute.fill_null(t["text"], "")
+        flat, offs = shingle_hashes_md5(texts, k)
+        counts = np.diff(offs)
+        doc_ids = t["doc_id"].to_numpy()
+        doc = np.repeat(doc_ids, counts)
+        pos = (np.arange(offs[-1]) - np.repeat(offs[:-1], counts)).astype(
+            np.int64
+        )
+        return pa.table({"h": flat.view(np.int64), "doc": doc, "pos": pos})
+
+    def stat_rows(t: pa.Table) -> pa.Table:
+        texts = pa.compute.fill_null(t["text"], "")
+        _, toffs = tokens_flat(texts)
+        nt = np.diff(toffs).astype(np.int64)
+        nw = np.where(nt == 0, 0, np.where(nt < k, 1, nt - k + 1))
+        return pa.table(
+            {
+                "doc": t["doc_id"].combine_chunks(),
+                "pos": np.full(len(nt), -1, np.int64),  # sentinel
+                "nw": nw,
+                "nt": nt,
+            }
+        )
+
+    wins = _docs(sf_dir).map_batches(window_rows, batch_format="pyarrow")
+
+    def dup_only(t: pa.Table) -> pa.Table:
+        h = t["h"].to_numpy()
+        uq, inv, cnt = np.unique(h, return_inverse=True, return_counts=True)
+        m = cnt[inv] >= 2
+        n = int(m.sum())
+        return pa.table(
+            {
+                "doc": t["doc"].to_numpy()[m],
+                "pos": t["pos"].to_numpy()[m],
+                "nw": np.full(n, -1, np.int64),
+                "nt": np.full(n, -1, np.int64),
+            }
+        )
+
+    dups = bucketed_group_combine(wins, ["h"], dup_only)
+    stats = _docs(sf_dir).map_batches(stat_rows, batch_format="pyarrow")
+
+    def per_doc(t: pa.Table) -> pa.Table:
+        doc = t["doc"].to_numpy()
+        pos = t["pos"].to_numpy()
+        nw = t["nw"].to_numpy()
+        nt = t["nt"].to_numpy()
+        is_stat = pos == -1
+        s_doc, s_nw, s_nt = doc[is_stat], nw[is_stat], nt[is_stat]
+        so = np.argsort(s_doc, kind="stable")
+        s_doc, s_nw, s_nt = s_doc[so], s_nw[so], s_nt[so]
+        d_doc, d_pos = doc[~is_stat], pos[~is_stat]
+        order = np.lexsort((d_pos, d_doc))
+        d_doc, d_pos = d_doc[order], d_pos[order]
+        # per-doc window width: min(k, token count)
+        w = np.minimum(k, s_nt[np.searchsorted(s_doc, d_doc)]) if len(d_doc) \
+            else np.empty(0, np.int64)
+        # interval union over sorted same-width windows: each window
+        # contributes min(w, next_pos - pos); the last of a doc contributes w
+        if len(d_doc):
+            last = np.ones(len(d_doc), bool)
+            last[:-1] = d_doc[1:] != d_doc[:-1]
+            gap = np.empty(len(d_doc), np.int64)
+            gap[:-1] = d_pos[1:] - d_pos[:-1]
+            gap[last] = 0  # overwritten below
+            contrib = np.where(last, w, np.minimum(w, gap))
+            nd_tok = np.zeros(len(s_doc), np.int64)
+            nd_win = np.zeros(len(s_doc), np.int64)
+            di = np.searchsorted(s_doc, d_doc)
+            np.add.at(nd_tok, di, contrib)
+            np.add.at(nd_win, di, 1)
+        else:
+            nd_tok = np.zeros(len(s_doc), np.int64)
+            nd_win = np.zeros(len(s_doc), np.int64)
+        return pa.table(
+            {
+                "doc_id": s_doc,
+                "n_windows": s_nw,
+                "n_dup_windows": nd_win,
+                "n_dup_tokens": nd_tok,
+            }
+        )
+
+    out = bucketed_group_combine(dups.union(stats), ["doc"], per_doc)
+    if not as_pandas:
+        return out
+    return out.to_pandas().sort_values("doc_id").reset_index(drop=True)

@@ -319,3 +319,43 @@ def test_bigram_logprob_micro(ray_session, tmp_path):
     s0 = s0 + p_ab
     assert out["logprob_sum"].tolist() == [s0, p_ab]
     assert out["ppl"].tolist() == [math.exp(-s0 / 3), math.exp(-p_ab / 1)]
+
+
+def test_substring_dup_spans_micro(ray_session, tmp_path):
+    """Duplicated-k-gram span coverage on a hand-checked corpus: interval
+    union of overlapping windows, short-doc single-window rule, and the
+    multiplicity rule (a doc repeating itself counts)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from graphminingtools_ray.pipelines.text_q import substring_dup_spans
+
+    k = 3
+    docs = [
+        "a b c d e f",      # windows: abc bcd cde def (pos 0..3)
+        "a b c d x y",      # shares abc bcd with doc 0
+        "p q",              # short: ONE window over 2 tokens, unique
+        "r s t r s t r s t",  # self-repeating: rst str trs all dup'd
+        "",
+    ]
+    pq.write_table(
+        pa.table({"doc_id": pa.array(range(5), pa.int64()),
+                  "text": pa.array(docs, pa.string())}),
+        str(tmp_path / "documents.parquet"),
+    )
+    out = substring_dup_spans(str(tmp_path), k=k).set_index("doc_id")
+    # doc 0: dup windows at pos 0,1 (abc, bcd) -> union covers tokens 0..3
+    assert out.loc[0, "n_windows"] == 4
+    assert out.loc[0, "n_dup_windows"] == 2
+    assert out.loc[0, "n_dup_tokens"] == 4  # min(3,1) + 3
+    # doc 2: one short window, no duplicate anywhere
+    assert out.loc[2, "n_windows"] == 1
+    assert out.loc[2, "n_dup_windows"] == 0
+    assert out.loc[2, "n_dup_tokens"] == 0
+    # doc 3: 7 windows; every 3-gram occurs >= 2 times within the doc ->
+    # all windows dup'd, union covers all 9 tokens
+    assert out.loc[3, "n_windows"] == 7
+    assert out.loc[3, "n_dup_windows"] == 7
+    assert out.loc[3, "n_dup_tokens"] == 9
+    # empty doc present with zeros
+    assert out.loc[4, "n_windows"] == 0 and out.loc[4, "n_dup_tokens"] == 0
