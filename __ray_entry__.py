@@ -608,6 +608,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_features_jpeg": text_q.media_features_jpeg,
         # REAL PNG decode (stages/png.py, stdlib zlib + filter recon)
         "media_features_png": text_q.media_features_png,
+        # REAL GIF decode (stages/gif.py, pure-Python LZW + palette)
+        "media_features_gif": text_q.media_features_gif,
         "media_frame_features": text_q.media_frame_features,
         # embeddings: similarity search + near-dup
         "ann_topk": embeddings_q.ann_topk,
@@ -637,6 +639,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_features_png",
         "bigram_logprob",
         "substring_dup_spans",
+        "media_features_gif",
         # round-4 additions
         "media_features_real",
         "merge_sparse_features",
@@ -3224,6 +3227,32 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(cov.n_dup_windows, 0)::BIGINT AS n_dup_windows,
                    COALESCE(cov.n_dup_tokens, 0)::BIGINT AS n_dup_tokens
             FROM st LEFT JOIN cov ON cov.doc_id = st.doc_id
+        """,
+        # GIF decode: index at raster position i = (id*31 + i) % 256,
+        # palette entry j = (j, 2j mod 256, 3j mod 256) — sum closed-form
+        # (interlacing permutes rows, so the sum is interlace-invariant;
+        # the de-interlace layer is pixel-exact pytest-oracled)
+        "media_features_gif": """
+            WITH p AS (
+                SELECT doc_id,
+                       2 + doc_id % 7 AS w,
+                       2 + doc_id % 5 AS h
+                FROM documents
+            )
+            SELECT doc_id AS media_id,
+                   'gif' AS kind,
+                   CAST(w AS BIGINT) AS width,
+                   CAST(h AS BIGINT) AS height,
+                   3::BIGINT AS channels,
+                   0::BIGINT AS sample_rate,
+                   CAST(w * h * 3 AS BIGINT) AS n_values,
+                   CAST(list_sum(list_transform(
+                            range(0, w * h),
+                            i -> (doc_id * 31 + i) % 256
+                                 + (2 * ((doc_id * 31 + i) % 256)) % 256
+                                 + (3 * ((doc_id * 31 + i) % 256)) % 256))
+                        AS BIGINT) AS sum_values
+            FROM p
         """,
         # PNG decode: the RGB fixtures carry the media_features_real pixel
         # formula through the zlib stream + all five row filters

@@ -683,6 +683,39 @@ def media_features_png(sf_dir: str):
     )
 
 
+def media_features_gif(sf_dir: str):
+    """REAL GIF decode end to end: one deterministic LZW-compressed GIF per
+    document id (``stages.gif.synth_gif_payload`` — every third id
+    interlaced; the sum is interlace-invariant, so the pixel-exact
+    de-interlace oracle lives in pytest), parsed by the dependency-free
+    decoder into integer-exact palette-expanded features. The DuckDB twin
+    recomputes the RGB sum from the fixtures' closed form, so a hash match
+    certifies the LZW layer against real compressed bytes."""
+    from ..stages.gif import synth_gif_payload
+    from ..stages.media import MediaDecode
+
+    def to_payload(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy()
+        return pa.table(
+            {
+                "media_id": t["doc_id"],
+                "payload": pa.array(
+                    [synth_gif_payload(i) for i in ids], pa.binary()
+                ),
+            }
+        )
+
+    ds = _docs(sf_dir, columns=("doc_id",)).map_batches(
+        to_payload, batch_format="pyarrow"
+    )
+    return ds.map_batches(
+        MediaDecode,
+        batch_format="pyarrow",
+        batch_size=1024,
+        concurrency=actor_pool(),
+    )
+
+
 def media_frame_features(sf_dir: str):
     """Chained multimodal plumbing: payload → resize (size-class change) →
     frame sampling (flat-map: rows multiply) → per-frame features — three

@@ -318,10 +318,16 @@ def decode_media(payload: bytes) -> dict:
         from .png import decode_png
 
         return decode_png(payload)
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        # GIF: pure-Python LZW + palette expansion (stages/gif.py);
+        # first frame of animated files, interlacing handled
+        from .gif import decode_gif
+
+        return decode_gif(payload)
     raise NotImplementedError(
-        "real decode supports PPM/BMP/WAV, baseline JPEG and 8-bit PNG; "
-        "remaining codec formats (MP3/H.264/...) require libraries not "
-        "present in this environment"
+        "real decode supports PPM/BMP/WAV, baseline JPEG, 8-bit PNG and "
+        "GIF; remaining codec formats (MP3/H.264/...) require libraries "
+        "not present in this environment"
     )
 
 

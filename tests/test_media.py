@@ -372,3 +372,41 @@ def test_jpeg_fill_bytes_and_truncation():
     # a negative-shift arithmetic error
     with pytest.raises((ValueError, NotImplementedError)):
         decode_jpeg(p[: len(p) - 12])
+
+
+def test_gif_closed_form_and_roundtrip():
+    """GIF decoder: closed-form fixtures (every third id interlaced) +
+    pixel-exact LZW/interlace roundtrips incl. dictionary resets."""
+    import numpy as np
+    import pytest
+
+    from graphminingtools_ray.stages.gif import (
+        decode_gif,
+        encode_gif,
+        synth_gif_payload,
+    )
+    from graphminingtools_ray.stages.media import decode_media
+
+    for mid in range(24):
+        m = decode_media(synth_gif_payload(mid))
+        w, h = 2 + mid % 7, 2 + mid % 5
+        want = sum(
+            x + (2 * x) % 256 + (3 * x) % 256
+            for x in (((mid * 31 + i) % 256) for i in range(w * h))
+        )
+        assert (m["kind"], m["width"], m["height"], m["channels"]) == (
+            "gif", w, h, 3)
+        assert m["sum_values"] == want
+
+    rng = np.random.default_rng(5)
+    pal = rng.integers(0, 256, size=(256, 3)).astype(np.uint8)
+    # large random image: many LZW width increases + 4096-entry resets;
+    # interlace path verified pixel-exact (the sum alone cannot see it)
+    idx = rng.integers(0, 256, size=(120, 90)).astype(np.uint8)
+    for il in (False, True):
+        got = decode_gif(encode_gif(idx, pal, interlace=il),
+                         return_indices=True)
+        assert np.array_equal(got, idx), il
+
+    with pytest.raises(ValueError):
+        decode_gif(b"NOTGIF" + b"\x00" * 20)
