@@ -610,6 +610,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_features_png": text_q.media_features_png,
         # REAL GIF decode (stages/gif.py, pure-Python LZW + palette)
         "media_features_gif": text_q.media_features_gif,
+        # REAL frame sampling: animated GIFs flat-mapped to per-frame rows
+        "media_gif_frames": text_q.media_gif_frames,
         "media_frame_features": text_q.media_frame_features,
         # embeddings: similarity search + near-dup
         "ann_topk": embeddings_q.ann_topk,
@@ -640,6 +642,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bigram_logprob",
         "substring_dup_spans",
         "media_features_gif",
+        "media_gif_frames",
         # round-4 additions
         "media_features_real",
         "merge_sparse_features",
@@ -3253,6 +3256,33 @@ def oracle_sql() -> dict[str, str]:
                                  + (3 * ((doc_id * 31 + i) % 256)) % 256))
                         AS BIGINT) AS sum_values
             FROM p
+        """,
+        # animated-GIF frame sampling: frame f's index at position i is
+        # (id*31 + f*97 + i) % 256 over the shared closed-form palette
+        "media_gif_frames": """
+            WITH p AS (
+                SELECT doc_id,
+                       2 + doc_id % 7 AS w,
+                       2 + doc_id % 5 AS h,
+                       1 + doc_id % 3 AS nf
+                FROM documents
+            ),
+            fr AS (
+                SELECT doc_id, w, h, unnest(range(0, nf)) AS f FROM p
+            )
+            SELECT doc_id AS media_id,
+                   CAST(f AS BIGINT) AS frame_index,
+                   CAST(w AS BIGINT) AS width,
+                   CAST(h AS BIGINT) AS height,
+                   CAST(list_sum(list_transform(
+                            range(0, w * h),
+                            i -> (doc_id * 31 + f * 97 + i) % 256
+                                 + (2 * ((doc_id * 31 + f * 97 + i) % 256))
+                                     % 256
+                                 + (3 * ((doc_id * 31 + f * 97 + i) % 256))
+                                     % 256))
+                        AS BIGINT) AS sum_values
+            FROM fr
         """,
         # PNG decode: the RGB fixtures carry the media_features_real pixel
         # formula through the zlib stream + all five row filters

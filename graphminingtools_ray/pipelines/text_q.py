@@ -716,6 +716,40 @@ def media_features_gif(sf_dir: str):
     )
 
 
+def media_gif_frames(sf_dir: str):
+    """REAL frame sampling end to end — the video-style flat-map with an
+    actual decoder: one deterministic ANIMATED GIF per document id
+    (``stages.gif.synth_gif_animation_payload``, 1 + id%3 frames), each
+    frame LZW-decoded to integer-exact per-frame features (rows multiply:
+    one output row per frame). The DuckDB twin recomputes every frame's
+    RGB sum from the closed form, so a hash match certifies multi-frame
+    parsing + the LZW layer on animated files."""
+    from ..stages.gif import synth_gif_animation_payload
+    from ..stages.media import GifFrameFeatures
+
+    def to_payload(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy()
+        return pa.table(
+            {
+                "media_id": t["doc_id"],
+                "payload": pa.array(
+                    [synth_gif_animation_payload(i) for i in ids],
+                    pa.binary(),
+                ),
+            }
+        )
+
+    ds = _docs(sf_dir, columns=("doc_id",)).map_batches(
+        to_payload, batch_format="pyarrow"
+    )
+    return ds.map_batches(
+        GifFrameFeatures,
+        batch_format="pyarrow",
+        batch_size=1024,
+        concurrency=actor_pool(),
+    )
+
+
 def media_frame_features(sf_dir: str):
     """Chained multimodal plumbing: payload → resize (size-class change) →
     frame sampling (flat-map: rows multiply) → per-frame features — three

@@ -162,16 +162,11 @@ def encode_gif(indices: np.ndarray, palette: np.ndarray,
     return bytes(out)
 
 
-def decode_gif(payload: bytes, return_indices: bool = False):
-    """GIF -> typed metadata dict (decode_media contract) for the FIRST
-    frame: kind='gif', width, height, channels=3, n_values = w*h*3,
-    sum_values = integer sum of the palette-expanded RGB samples. With
-    ``return_indices`` returns the (h, w) de-interlaced index array (test
-    oracle for the LZW/interlace layers)."""
+def iter_gif_frames(payload: bytes):
+    """Yield (width, height, index_array, color_table) per image frame of a
+    (possibly animated) GIF, de-interlaced, in file order."""
     if payload[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF")
-    sw = int.from_bytes(payload[6:8], "little")
-    sh = int.from_bytes(payload[8:10], "little")
     packed = payload[10]
     i = 13
     gct = None
@@ -211,18 +206,28 @@ def decode_gif(payload: bytes, return_indices: bool = False):
                 idx = _deinterlace(idx)
             if int(idx.max(initial=0)) >= len(ct):
                 raise ValueError("GIF index outside color table")
-            if return_indices:
-                return idx
-            rgb = ct[idx.reshape(-1)]
-            return {
-                "kind": "gif", "width": w, "height": h, "channels": 3,
-                "sample_rate": 0, "bits": 8, "n_values": w * h * 3,
-                "sum_values": int(rgb.astype(np.int64).sum()),
-            }
+            yield w, h, idx, ct
         elif b == 0x3B:
-            break
+            return
         else:
             raise ValueError(f"unexpected GIF block {b:#x}")
+
+
+def decode_gif(payload: bytes, return_indices: bool = False):
+    """GIF -> typed metadata dict (decode_media contract) for the FIRST
+    frame: kind='gif', width, height, channels=3, n_values = w*h*3,
+    sum_values = integer sum of the palette-expanded RGB samples. With
+    ``return_indices`` returns the (h, w) de-interlaced index array (test
+    oracle for the LZW/interlace layers)."""
+    for w, h, idx, ct in iter_gif_frames(payload):
+        if return_indices:
+            return idx
+        rgb = ct[idx.reshape(-1)]
+        return {
+            "kind": "gif", "width": w, "height": h, "channels": 3,
+            "sample_rate": 0, "bits": 8, "n_values": w * h * 3,
+            "sum_values": int(rgb.astype(np.int64).sum()),
+        }
     raise ValueError("GIF contains no image frame")
 
 
@@ -240,3 +245,44 @@ def synth_gif_payload(media_id: int) -> bytes:
     j = np.arange(256, dtype=np.int64)
     palette = np.stack([j, (2 * j) % 256, (3 * j) % 256], axis=1)
     return encode_gif(idx, palette, interlace=(mid % 3 == 0))
+
+
+def encode_gif_animation(frame_indices: list[np.ndarray],
+                         palette: np.ndarray) -> bytes:
+    """Multi-frame GIF89a (animated-file shape): one global color table,
+    a graphics-control extension + image descriptor per frame."""
+    h, w = frame_indices[0].shape
+    if any(f.shape != (h, w) for f in frame_indices):
+        raise ValueError("frames must share dimensions")
+    out = bytearray(b"GIF89a")
+    out += int(w).to_bytes(2, "little") + int(h).to_bytes(2, "little")
+    out.append(0xF7)
+    out += b"\x00\x00"
+    out += palette.astype(np.uint8).tobytes()
+    for f in frame_indices:
+        # graphics control extension (delay 10, no transparency)
+        out += b"\x21\xf9\x04\x00\x0a\x00\x00\x00"
+        out += b"\x2c" + b"\x00\x00\x00\x00"
+        out += int(w).to_bytes(2, "little") + int(h).to_bytes(2, "little")
+        out.append(0x00)
+        out += lzw_encode(f.reshape(-1), 8)
+    out.append(0x3B)
+    return bytes(out)
+
+
+def synth_gif_animation_payload(media_id: int) -> bytes:
+    """Deterministic multi-frame GIF per id: 1 + id%3 frames, frame f's
+    index at raster position i = (id*31 + f*97 + i) % 256, shared
+    closed-form palette (synth_gif_payload's) — the REAL-decode input of
+    the frame-sampling pipeline."""
+    mid = int(media_id)
+    w, h = 2 + mid % 7, 2 + mid % 5
+    nf = 1 + mid % 3
+    frames = [
+        ((mid * 31 + f * 97 + np.arange(w * h, dtype=np.int64)) % 256)
+        .astype(np.uint8).reshape(h, w)
+        for f in range(nf)
+    ]
+    j = np.arange(256, dtype=np.int64)
+    palette = np.stack([j, (2 * j) % 256, (3 * j) % 256], axis=1)
+    return encode_gif_animation(frames, palette)

@@ -400,6 +400,49 @@ def synth_media_payload(media_id: int) -> bytes:
     )
 
 
+class GifFrameFeatures:
+    """REAL frame-sampling stage (the video-style flat-map shape of
+    FrameSampleStub, with an actual decoder behind it): each (possibly
+    animated) GIF payload explodes into one row PER FRAME — every
+    ``stride``-th frame kept — with integer-exact per-frame features
+    (width, height, sum of palette-expanded RGB). Output rows ≠ input
+    rows; per-payload work is the pure-Python LZW decode (stages/gif.py)."""
+
+    def __init__(self, stride: int = 1, id_col: str = "media_id",
+                 payload_col: str = "payload"):
+        self.stride = max(1, int(stride))
+        self.id_col = id_col
+        self.payload_col = payload_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from .gif import iter_gif_frames
+
+        ids_out, fidx, ws, hs, sums = [], [], [], [], []
+        for mid, p in zip(
+            batch[self.id_col].to_pylist(),
+            batch[self.payload_col].to_pylist(),
+        ):
+            for f, (w, h, idx, ct) in enumerate(iter_gif_frames(p or b"")):
+                if f % self.stride:
+                    continue
+                ids_out.append(mid)
+                fidx.append(f)
+                ws.append(w)
+                hs.append(h)
+                sums.append(
+                    int(ct[idx.reshape(-1)].astype(np.int64).sum())
+                )
+        return pa.table(
+            {
+                self.id_col: pa.array(ids_out, batch[self.id_col].type),
+                "frame_index": pa.array(fidx, pa.int64()),
+                "width": pa.array(ws, pa.int64()),
+                "height": pa.array(hs, pa.int64()),
+                "sum_values": pa.array(sums, pa.int64()),
+            }
+        )
+
+
 class MediaDecode:
     """Actor-pool stage: payload binary → typed integer-exact media features
     (kind, width, height, channels, sample_rate, n_values, sum_values) via

@@ -410,3 +410,46 @@ def test_gif_closed_form_and_roundtrip():
 
     with pytest.raises(ValueError):
         decode_gif(b"NOTGIF" + b"\x00" * 20)
+
+
+def test_gif_animation_frames():
+    """Animated GIF: iter_gif_frames yields every frame pixel-exact; the
+    GifFrameFeatures flat-map stage multiplies rows with stride support."""
+    import numpy as np
+    import pyarrow as pa
+
+    from graphminingtools_ray.stages.gif import (
+        encode_gif_animation,
+        iter_gif_frames,
+        synth_gif_animation_payload,
+    )
+    from graphminingtools_ray.stages.media import GifFrameFeatures
+
+    rng = np.random.default_rng(4)
+    pal = rng.integers(0, 256, size=(256, 3)).astype(np.uint8)
+    frames = [rng.integers(0, 256, size=(12, 9)).astype(np.uint8)
+              for _ in range(4)]
+    payload = encode_gif_animation(frames, pal)
+    got = list(iter_gif_frames(payload))
+    assert len(got) == 4
+    for f, (w, h, idx, ct) in zip(frames, got):
+        assert (w, h) == (9, 12)
+        assert np.array_equal(idx, f)
+        assert np.array_equal(ct, pal)
+
+    batch = pa.table({
+        "media_id": pa.array([7], pa.int64()),
+        "payload": pa.array([payload], pa.binary()),
+    })
+    out = GifFrameFeatures()(batch)
+    assert out["frame_index"].to_pylist() == [0, 1, 2, 3]
+    assert out["sum_values"].to_pylist() == [
+        int(pal[f.reshape(-1)].astype(np.int64).sum()) for f in frames
+    ]
+    out2 = GifFrameFeatures(stride=2)(batch)
+    assert out2["frame_index"].to_pylist() == [0, 2]
+
+    # the synthetic fixture has 1 + id%3 frames
+    for mid in (0, 1, 2, 5):
+        n = len(list(iter_gif_frames(synth_gif_animation_payload(mid))))
+        assert n == 1 + mid % 3
