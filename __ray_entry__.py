@@ -595,6 +595,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bigram_logprob": text_q.bigram_logprob,
         # duplicated-substring span coverage (substring-dedup signal)
         "substring_dup_spans": text_q.substring_dup_spans,
+        # per-source unigram KL drift (corpus-mix monitoring)
+        "corpus_kl_drift": text_q.corpus_kl_drift,
         # Gopher-family repetition/quality filter signals (integer-exact)
         "gopher_stats": text_q.gopher_stats,
         # PII / scrub-signal pattern counts (emails, URLs, IPv4)
@@ -643,6 +645,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "substring_dup_spans",
         "media_features_gif",
         "media_gif_frames",
+        "corpus_kl_drift",
         # round-4 additions
         "media_features_real",
         "merge_sparse_features",
@@ -3256,6 +3259,37 @@ def oracle_sql() -> dict[str, str]:
                                  + (3 * ((doc_id * 31 + i) % 256)) % 256))
                         AS BIGINT) AS sum_values
             FROM p
+        """,
+        # per-source KL drift: add-one-smoothed unigram distributions,
+        # KL folds LEFT TO RIGHT over the token-ascending full vocabulary
+        # (binary UTF-8 order == the engine's Python code-point sort)
+        "corpus_kl_drift": r"""
+            WITH d AS (SELECT COALESCE(text, '') AS t,
+                              COALESCE(source, '') AS source
+                       FROM documents),
+            tok AS (SELECT source, unnest(regexp_extract_all(t, '\S+')) AS w
+                    FROM d),
+            cnt AS (SELECT source, w, COUNT(*)::BIGINT AS cs
+                    FROM tok GROUP BY 1, 2),
+            vocab AS (SELECT w, SUM(cs)::BIGINT AS c FROM cnt GROUP BY 1),
+            srcs AS (SELECT source, SUM(cs)::BIGINT AS ns
+                     FROM cnt GROUP BY 1),
+            tot AS (SELECT SUM(c)::BIGINT AS n, COUNT(*)::BIGINT AS nv
+                    FROM vocab),
+            grid AS (SELECT s.source, s.ns, v.w, v.c,
+                            COALESCE(cn.cs, 0)::BIGINT AS cs
+                     FROM srcs s CROSS JOIN vocab v
+                     LEFT JOIN cnt cn
+                       ON cn.source = s.source AND cn.w = v.w)
+            SELECT source, any_value(ns)::BIGINT AS n_tokens,
+                   list_reduce(
+                       list((CAST(cs + 1 AS DOUBLE) / (ns + nv))
+                            * ln((CAST(cs + 1 AS DOUBLE) / (ns + nv))
+                                 / (CAST(c + 1 AS DOUBLE) / (n + nv)))
+                            ORDER BY w),
+                       (a, b) -> a + b) AS kl
+            FROM grid CROSS JOIN tot
+            GROUP BY source
         """,
         # animated-GIF frame sampling: frame f's index at position i is
         # (id*31 + f*97 + i) % 256 over the shared closed-form palette

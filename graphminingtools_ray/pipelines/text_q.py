@@ -1416,3 +1416,131 @@ def substring_dup_spans(sf_dir: str, k: int = 8, as_pandas: bool = True):
     if not as_pandas:
         return out
     return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
+def corpus_kl_drift(sf_dir: str):
+    """Per-source distribution drift — KL(P_source || P_corpus) over
+    add-one-smoothed unigram token distributions (the corpus-mix
+    monitoring op next to corpus_mix_report: a source whose language
+    drifts from the blend shows up as rising KL). P_s(w) =
+    (c_s(w)+1)/(n_s+V), Q(w) = (c(w)+1)/(n+V), KL = Σ_w P_s ln(P_s/Q)
+    over the FULL corpus vocabulary (absent words contribute their
+    smoothed mass).
+
+    Determinism contract: per source the vocabulary is sorted ascending by
+    token string (Python code-point order == DuckDB binary UTF-8 order)
+    and the sum folds LEFT TO RIGHT through libm ln. Scale shape: one
+    token-keyed exchange computes global + per-source counts in-bucket and
+    fans each token out to every source (|V| × |sources| rows — sources
+    are few by construction); one source-keyed exchange folds. Totals
+    (n_s, n, V) come from tiny scalar aggregates.
+
+    Returns (source, n_tokens, kl)."""
+    import math
+
+    from ..functions.bucketing import bucketed_group_combine
+
+    docs = _docs(sf_dir, columns=("doc_id", "text", "source"))
+
+    def tok_partials(t: pa.Table) -> pa.Table:
+        from ..stages.text import _pl_utf8
+
+        toks = _pl_utf8(t["text"]).str.extract_all(r"\S+")
+        counts = toks.list.len().to_numpy().astype(np.int64)
+        flat = toks.explode().drop_nulls().to_pandas().to_numpy()
+        src = np.repeat(
+            t["source"].to_pandas().fillna("").to_numpy(), counts
+        )
+        df = pd.DataFrame({"token": flat, "source": src})
+        g = df.groupby(["token", "source"], sort=False).size().reset_index(
+            name="cnt")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    partials = docs.map_batches(tok_partials, batch_format="pyarrow")
+
+    # tiny driver smalls: per-source token totals (source-cardinality rows
+    # per batch) and V via a distinct-count exchange — nothing vocab-scale
+    # reaches the driver
+    def src_counts(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "source": t["source"].to_pandas(),
+            "cnt": t["cnt"].to_numpy(zero_copy_only=False),
+        })
+        g = df.groupby("source", sort=False)["cnt"].sum().reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    st = partials.map_batches(
+        src_counts, batch_format="pyarrow"
+    ).to_pandas().groupby("source")["cnt"].sum()
+    sources = sorted(st.index)
+    n_total = int(st.sum())
+
+    from ..stages.dedup_md5 import md5_u64
+
+    def tok_hash_rows(t: pa.Table) -> pa.Table:
+        toks = t["token"].to_pandas().to_numpy()
+        return pa.table({"h": np.unique(md5_u64(toks)).view(np.int64)})
+
+    def distinct_count(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"n": np.array([len(np.unique(t["h"].to_numpy()))], np.int64)}
+        )
+
+    V = int(
+        bucketed_group_combine(
+            partials.map_batches(tok_hash_rows, batch_format="pyarrow"),
+            ["h"], distinct_count,
+        ).to_pandas()["n"].sum()
+    )
+    src_ref = ray.put((sources, {s: int(v) for s, v in st.items()},
+                       n_total, V))
+
+    def fan_out(t: pa.Table) -> pa.Table:
+        srcs, _, _, _ = ray.get(src_ref)
+        df = t.to_pandas()
+        pv = df.pivot_table(index="token", columns="source", values="cnt",
+                            aggfunc="sum", fill_value=0)
+        pv = pv.reindex(columns=srcs, fill_value=0)
+        toks = pv.index.to_numpy()
+        mat = pv.to_numpy().astype(np.int64)  # (|tokens|, |sources|)
+        glob = mat.sum(axis=1)
+        S = len(srcs)
+        return pa.Table.from_pandas(
+            pd.DataFrame({
+                "source": np.tile(np.array(srcs, object), len(toks)),
+                "token": np.repeat(toks, S),
+                "cs": mat.ravel(),
+                "c": np.repeat(glob, S),
+            }),
+            preserve_index=False,
+        )
+
+    fanned = bucketed_group_combine(partials, ["token"], fan_out)
+
+    def fold(t: pa.Table) -> pa.Table:
+        srcs, ns_of, n, V_ = ray.get(src_ref)
+        df = t.to_pandas().sort_values(["source", "token"])
+        out_s, out_n, out_kl = [], [], []
+        for s, g in df.groupby("source", sort=True):
+            ns = ns_of[s]
+            acc = 0.0
+            first = True
+            for cs, c in zip(g["cs"].to_numpy(), g["c"].to_numpy()):
+                p = (int(cs) + 1) / (ns + V_)
+                q = (int(c) + 1) / (n + V_)
+                v = p * math.log(p / q)
+                acc = v if first else acc + v
+                first = False
+            out_s.append(s)
+            out_n.append(ns)
+            out_kl.append(acc)
+        return pa.table(
+            {
+                "source": pa.array(out_s, pa.string()),
+                "n_tokens": pa.array(out_n, pa.int64()),
+                "kl": pa.array(out_kl, pa.float64()),
+            }
+        )
+
+    out = bucketed_group_combine(fanned, ["source"], fold).to_pandas()
+    return out.sort_values("source").reset_index(drop=True)

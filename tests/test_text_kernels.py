@@ -359,3 +359,41 @@ def test_substring_dup_spans_micro(ray_session, tmp_path):
     assert out.loc[3, "n_dup_tokens"] == 9
     # empty doc present with zeros
     assert out.loc[4, "n_windows"] == 0 and out.loc[4, "n_dup_tokens"] == 0
+
+
+def test_corpus_kl_drift_micro(ray_session, tmp_path):
+    """KL drift on a hand-checked 2-source corpus: add-one smoothing over
+    the FULL vocabulary (absent words contribute) and the fold order."""
+    import math
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from graphminingtools_ray.pipelines.text_q import corpus_kl_drift
+
+    pq.write_table(
+        pa.table({
+            "doc_id": pa.array([0, 1], pa.int64()),
+            "text": pa.array(["a a b", "b c"], pa.string()),
+            "source": pa.array(["s1", "s2"], pa.string()),
+        }),
+        str(tmp_path / "documents.parquet"),
+    )
+    out = corpus_kl_drift(str(tmp_path)).set_index("source")
+    V, n = 3, 5
+    glob = {"a": 2, "b": 2, "c": 1}
+
+    def kl(counts, ns):
+        acc, first = 0.0, True
+        for w in sorted(glob):  # token-ascending fold
+            p = (counts.get(w, 0) + 1) / (ns + V)
+            q = (glob[w] + 1) / (n + V)
+            v = p * math.log(p / q)
+            acc = v if first else acc + v
+            first = False
+        return acc
+
+    assert out.loc["s1", "n_tokens"] == 3
+    assert out.loc["s2", "n_tokens"] == 2
+    assert out.loc["s1", "kl"] == kl({"a": 2, "b": 1}, 3)
+    assert out.loc["s2", "kl"] == kl({"b": 1, "c": 1}, 2)
