@@ -597,6 +597,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "substring_dup_spans": text_q.substring_dup_spans,
         # per-source unigram KL drift (corpus-mix monitoring)
         "corpus_kl_drift": text_q.corpus_kl_drift,
+        # BPE merge-rule induction (tokenizer training; rows-only — the
+        # iterative merge loop has no tractable SQL unroll, pytest-oracled)
+        "bpe_train": text_q.bpe_train,
         # Gopher-family repetition/quality filter signals (integer-exact)
         "gopher_stats": text_q.gopher_stats,
         # PII / scrub-signal pattern counts (emails, URLs, IPv4)

@@ -1544,3 +1544,106 @@ def corpus_kl_drift(sf_dir: str):
 
     out = bucketed_group_combine(fanned, ["source"], fold).to_pandas()
     return out.sort_values("source").reset_index(drop=True)
+
+
+def bpe_train(sf_dir: str, n_merges: int = 50):
+    """BPE merge-rule induction (Sennrich et al. 2016 — tokenizer training,
+    the canonical vocabulary-building pass of an LLM data pipeline):
+    whitespace words split into character symbols + a '</w>' end marker;
+    repeatedly merge the most frequent adjacent symbol pair (tie → the
+    lexicographically smallest (left, right) pair — deterministic, unlike
+    dict-order implementations).
+
+    Scale shape (how real BPE trainers work): the WORD-FREQUENCY dictionary
+    is computed distributed (one token-keyed exchange of per-batch partial
+    counts — corpus-scale text collapses to vocabulary-scale rows), then
+    the merge loop runs driver-side over that compact dictionary with
+    incremental pair-count updates (only words containing the merged pair
+    are re-segmented each round).
+
+    Returns (rank, left, right, freq) — freq = the merged pair's count at
+    merge time, weighted by word frequency. Rows-only at the gate
+    (iterative merges have no tractable SQL unroll); exactness pinned by a
+    brute-force pytest oracle."""
+    from collections import Counter, defaultdict
+
+    from ..functions.bucketing import bucketed_group_combine
+
+    def word_partials(t: pa.Table) -> pa.Table:
+        from ..stages.text import _pl_utf8
+
+        toks = (_pl_utf8(t["text"]).str.extract_all(r"\S+")
+                .explode().drop_nulls())
+        if len(toks) == 0:
+            return pa.table({"word": pa.array([], pa.string()),
+                             "cnt": pa.array([], pa.int64())})
+        vc = toks.value_counts()
+        return pa.table({
+            "word": vc["t"].to_arrow().cast(pa.string()),
+            "cnt": vc["count"].to_numpy().astype(np.int64),
+        })
+
+    def sum_bucket(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "word": t["word"].to_pylist(),
+            "cnt": t["cnt"].to_numpy(zero_copy_only=False),
+        })
+        g = df.groupby("word", sort=False)["cnt"].sum().reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    vocab_df = bucketed_group_combine(
+        _docs(sf_dir).map_batches(word_partials, batch_format="pyarrow"),
+        ["word"], sum_bucket,
+    ).to_pandas()
+
+    # driver-side merge induction over the compact dictionary
+    words = {
+        tuple(w) + ("</w>",): int(c)
+        for w, c in zip(vocab_df["word"], vocab_df["cnt"])
+    }
+    pair_counts: Counter = Counter()
+    pair_words: defaultdict = defaultdict(set)
+    for w, c in words.items():
+        for a, b in zip(w, w[1:]):
+            pair_counts[(a, b)] += c
+            pair_words[(a, b)].add(w)
+    merges = []
+    for rank in range(n_merges):
+        if not pair_counts:
+            break
+        # max count, tie -> lexicographically smallest pair
+        best = min(pair_counts, key=lambda p: (-pair_counts[p], p))
+        freq = pair_counts[best]
+        if freq <= 0:
+            break
+        merges.append((rank, best[0], best[1], freq))
+        joined = best[0] + best[1]
+        affected = list(pair_words.pop(best, ()))
+        for w in affected:
+            c = words.pop(w, None)
+            if c is None:
+                continue
+            # remove w's old pair contributions
+            for a, b in zip(w, w[1:]):
+                pair_counts[(a, b)] -= c
+                if pair_counts[(a, b)] <= 0:
+                    del pair_counts[(a, b)]
+                pair_words[(a, b)].discard(w)
+            # re-segment w with the new merge applied greedily left-to-right
+            out = []
+            i = 0
+            while i < len(w):
+                if i + 1 < len(w) and w[i] == best[0] and w[i + 1] == best[1]:
+                    out.append(joined)
+                    i += 2
+                else:
+                    out.append(w[i])
+                    i += 1
+            nw = tuple(out)
+            words[nw] = words.get(nw, 0) + c
+            for a, b in zip(nw, nw[1:]):
+                pair_counts[(a, b)] += c
+                pair_words[(a, b)].add(nw)
+    return pd.DataFrame(
+        merges, columns=["rank", "left", "right", "freq"]
+    ).astype({"rank": np.int64, "freq": np.int64})

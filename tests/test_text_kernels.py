@@ -397,3 +397,57 @@ def test_corpus_kl_drift_micro(ray_session, tmp_path):
     assert out.loc["s2", "n_tokens"] == 2
     assert out.loc["s1", "kl"] == kl({"a": 2, "b": 1}, 3)
     assert out.loc["s2", "kl"] == kl({"b": 1, "c": 1}, 2)
+
+
+def test_bpe_train_bruteforce(ray_session, tmp_path):
+    """BPE induction == a from-scratch brute-force reimplementation
+    (recount all pairs every round; max count, tie -> lexicographically
+    smallest pair; greedy leftmost re-segmentation)."""
+    from collections import Counter
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from graphminingtools_ray.pipelines.text_q import bpe_train
+
+    docs = [
+        "low lower lowest low low",
+        "new newer newest new",
+        "wide wider widest",
+        "low new wide w i d e",
+    ]
+    pq.write_table(
+        pa.table({"doc_id": pa.array(range(len(docs)), pa.int64()),
+                  "text": pa.array(docs, pa.string())}),
+        str(tmp_path / "documents.parquet"),
+    )
+    got = bpe_train(str(tmp_path), n_merges=12)
+
+    # brute force
+    freq = Counter(w for d in docs for w in d.split())
+    words = {tuple(w) + ("</w>",): c for w, c in freq.items()}
+    expect = []
+    for rank in range(12):
+        pc = Counter()
+        for w, c in words.items():
+            for a, b in zip(w, w[1:]):
+                pc[(a, b)] += c
+        if not pc:
+            break
+        best = min(pc, key=lambda p: (-pc[p], p))
+        expect.append((rank, best[0], best[1], pc[best]))
+        nxt = {}
+        for w, c in words.items():
+            out, i = [], 0
+            while i < len(w):
+                if i + 1 < len(w) and (w[i], w[i + 1]) == best:
+                    out.append(best[0] + best[1])
+                    i += 2
+                else:
+                    out.append(w[i])
+                    i += 1
+            nw = tuple(out)
+            nxt[nw] = nxt.get(nw, 0) + c
+        words = nxt
+    assert [tuple(r) for r in got.itertuples(index=False)] == expect
+    assert got["freq"].iloc[0] >= got["freq"].iloc[-1]  # sanity: nonincreasing-ish
