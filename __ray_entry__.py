@@ -600,6 +600,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # BPE merge-rule induction (tokenizer training; rows-only — the
         # iterative merge loop has no tractable SQL unroll, pytest-oracled)
         "bpe_train": text_q.bpe_train,
+        # WARC container ingest (sources/warc.py — the crawl-format reader)
+        "warc_ingest": text_q.warc_ingest,
         # Gopher-family repetition/quality filter signals (integer-exact)
         "gopher_stats": text_q.gopher_stats,
         # PII / scrub-signal pattern counts (emails, URLs, IPv4)
@@ -649,6 +651,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_features_gif",
         "media_gif_frames",
         "corpus_kl_drift",
+        "warc_ingest",
         # round-4 additions
         "media_features_real",
         "merge_sparse_features",
@@ -3262,6 +3265,17 @@ def oracle_sql() -> dict[str, str]:
                                  + (3 * ((doc_id * 31 + i) % 256)) % 256))
                         AS BIGINT) AS sum_values
             FROM p
+        """,
+        # WARC ingest: the response body round-trips the document text
+        # through real (half per-record-gzipped) archive bytes, so
+        # sha256(text) is the whole certification
+        "warc_ingest": """
+            SELECT doc_id,
+                   2::BIGINT AS n_records,
+                   octet_length(encode(COALESCE(text, '')))::BIGINT
+                       AS n_bytes,
+                   sha256(COALESCE(text, '')) AS content_sha256
+            FROM documents
         """,
         # per-source KL drift: add-one-smoothed unigram distributions,
         # KL folds LEFT TO RIGHT over the token-ascending full vocabulary

@@ -1647,3 +1647,41 @@ def bpe_train(sf_dir: str, n_merges: int = 50):
     return pd.DataFrame(
         merges, columns=["rank", "left", "right", "freq"]
     ).astype({"rank": np.int64, "freq": np.int64})
+
+
+def warc_ingest(sf_dir: str):
+    """WARC → document-row ingest (the crawl pipeline's first stage, over
+    REAL container bytes): each document's text is wrapped into a
+    deterministic two-record WARC payload (warcinfo + response; every
+    second id per-record-GZIPPED, the .warc.gz layout), then parsed back
+    by the dependency-free reader (sources/warc.py) and the response body
+    re-emitted with its sha256 — the BASELINE.json per-row content
+    invariant driven through a real archive container. The DuckDB twin
+    recomputes sha256(text) directly, so a hash match certifies the record
+    framing, Content-Length handling and gzip-member splitting."""
+    from ..functions.hashing import sha256_hex
+    from ..sources.warc import parse_warc, synth_warc_payload
+
+    def roundtrip(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy()
+        texts = pa.compute.fill_null(t["text"], "").to_pylist()
+        n_records, n_bytes, bodies = [], [], []
+        for i, txt in zip(ids, texts):
+            payload = synth_warc_payload(int(i), txt)
+            recs = parse_warc(payload)
+            resp = [b for h, b in recs if h.get("warc-type") == "response"]
+            n_records.append(len(recs))
+            n_bytes.append(len(resp[0]))
+            bodies.append(resp[0].decode("utf-8"))
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_records": pa.array(n_records, pa.int64()),
+                "n_bytes": pa.array(n_bytes, pa.int64()),
+                "content_sha256": sha256_hex(bodies),
+            }
+        )
+
+    return _docs(sf_dir).map_batches(
+        roundtrip, batch_format="pyarrow", batch_size=1024
+    )

@@ -453,3 +453,42 @@ def test_gif_animation_frames():
     for mid in (0, 1, 2, 5):
         n = len(list(iter_gif_frames(synth_gif_animation_payload(mid))))
         assert n == 1 + mid % 3
+
+
+def test_warc_parse_roundtrip():
+    """WARC reader: plain and per-record-gzipped layouts round-trip;
+    headers parse; truncation and framing errors raise."""
+    import pytest
+
+    from graphminingtools_ray.sources.warc import (
+        build_warc,
+        parse_warc,
+        synth_warc_payload,
+    )
+
+    records = [
+        ({"WARC-Type": "warcinfo"}, b"software: test"),
+        ({"WARC-Type": "response",
+          "WARC-Target-URI": "https://x.test/a"},
+         "héllo\r\nworld".encode("utf-8")),
+        ({"WARC-Type": "response"}, b""),  # empty body
+    ]
+    for gz in (False, True):
+        got = parse_warc(build_warc(records, gzip_members=gz))
+        assert len(got) == 3
+        assert [h["warc-type"] for h, _ in got] == [
+            "warcinfo", "response", "response"]
+        assert got[1][0]["warc-target-uri"] == "https://x.test/a"
+        assert [b for _, b in got] == [b for _, b in records]
+        assert all(h["warc-version"] == "WARC/1.0" for h, _ in got)
+
+    p = synth_warc_payload(3, "abc")  # odd id -> gzip members
+    assert p[:2] == b"\x1f\x8b"
+    assert parse_warc(p)[1][1] == b"abc"
+    assert synth_warc_payload(2, "abc")[:5] == b"WARC/"
+
+    plain = build_warc(records)
+    with pytest.raises(ValueError):
+        parse_warc(plain[:-20])  # truncated body
+    with pytest.raises(ValueError):
+        parse_warc(b"HTTP/1.1 200 OK\r\n\r\n")
